@@ -1,0 +1,160 @@
+"""Convolution / pooling / dense primitives on XLA.
+
+Reference: ``elektronn2/neuromancer/computations.py::conv, dot, upconv,
+pooling, unpooling, upsampling, maxout, softmax`` (Theano / cuDNN
+``dnn_conv3d`` paths). Rebuilt on ``lax.conv_general_dilated`` /
+``lax.reduce_window`` so XLA tiles the contraction onto the MXU; layouts are
+left to XLA (we pass logical NC+spatial dimension numbers).
+
+Array convention throughout: ``(b, f, *spatial)`` with 1–3 spatial dims,
+matching the reference's TaggedShape tag order (b, f, z, x, y).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _dim_numbers(nsp):
+    """Logical dimension numbers for (b, f, *spatial) arrays."""
+    sp = "DHW"[-nsp:] if nsp <= 3 else None
+    if sp is None:
+        raise ValueError(f"unsupported spatial rank {nsp}")
+    lhs = "NC" + sp
+    rhs = "OI" + sp
+    return lax.conv_dimension_numbers((1, 1) + (1,) * nsp,
+                                      (1, 1) + (1,) * nsp,
+                                      (lhs, rhs, lhs))
+
+
+def conv(x, w, border_mode="valid", stride=None, dilation=None,
+         precision=None):
+    """N-D convolution (cross-correlation), valid mode by default.
+
+    x: (b, f_in, *sp); w: (f_out, f_in, *filter). Lowers to one XLA
+    convolution → MXU. ``precision`` forwards to lax (None → default;
+    use ``lax.Precision.HIGHEST`` for float32 parity tests).
+    """
+    nsp = x.ndim - 2
+    if w.ndim != nsp + 2:
+        raise ValueError(f"weight rank {w.ndim} does not match input rank {x.ndim}")
+    stride = (1,) * nsp if stride is None else tuple(stride)
+    dilation = (1,) * nsp if dilation is None else tuple(dilation)
+    pad = "VALID" if border_mode == "valid" else "SAME"
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride, padding=pad,
+        rhs_dilation=dilation, dimension_numbers=_dim_numbers(nsp),
+        precision=precision)
+
+
+def upconv(x, w, pool_shape, precision=None):
+    """Transposed convolution ("upconv") with stride = kernel = pool_shape.
+
+    Reference: ``computations.py::upconv`` — used by decoder paths to invert
+    a pooling: output spatial size = input * pool. w: (f_out, f_in, *pool).
+    Implemented as input dilation (lhs_dilation) so it lowers to a single XLA
+    conv; with kernel == stride the outputs tile without overlap.
+    """
+    nsp = x.ndim - 2
+    pool_shape = tuple(int(p) for p in pool_shape)
+    # conv_general_dilated with lhs_dilation=p and VALID padding of (p-1) on
+    # both sides of the dilated input gives the standard transposed conv.
+    pad = [(p - 1, p - 1) for p in pool_shape]
+    # w is (f_out, f_in, *pool); flip spatial axes so the op is the true
+    # transpose of a forward `conv` with the same kernel
+    w_flipped = jnp.flip(w, axis=tuple(range(2, 2 + nsp)))
+    return lax.conv_general_dilated(
+        x, w_flipped.astype(x.dtype), window_strides=(1,) * nsp, padding=pad,
+        lhs_dilation=pool_shape, dimension_numbers=_dim_numbers(nsp),
+        precision=precision)
+
+
+def dot(x, w, axis=1, precision=None):
+    """Feature-axis dense transform: (b, f_in, *sp) @ (f_in, f_out).
+
+    Reference: ``computations.py::dot``. Applied per remaining position
+    (equivalent to a 1x1 conv when spatial axes are present) → MXU matmul.
+    """
+    x_m = jnp.moveaxis(x, axis, -1)
+    y = jnp.matmul(x_m, w.astype(x.dtype), precision=precision)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def pooling(x, pool_shape, mode="max", stride=None):
+    """Non-overlapping window pooling over the spatial axes.
+
+    Reference: ``computations.py::pooling`` (ignore_border=True semantics:
+    trailing elements that do not fill a window are dropped).
+    """
+    nsp = x.ndim - 2
+    pool_shape = tuple(int(p) for p in pool_shape)
+    if len(pool_shape) != nsp:
+        raise ValueError("pool_shape rank mismatch")
+    stride = pool_shape if stride is None else tuple(stride)
+    window = (1, 1) + pool_shape
+    strides = (1, 1) + stride
+    if mode == "max":
+        init, op = -jnp.inf, lax.max
+        init = jnp.array(init, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.iinfo(x.dtype).min
+    elif mode in ("sum", "avg", "mean"):
+        init, op = jnp.array(0, x.dtype), lax.add
+    else:
+        raise ValueError(f"unknown pooling mode {mode!r}")
+    y = lax.reduce_window(x, init, op, window, strides, "VALID")
+    if mode in ("avg", "mean"):
+        y = y / np.prod(pool_shape)
+    return y
+
+
+def unpooling(x, pool_shape):
+    """Nearest-neighbour unpooling (repeat each voxel pool times).
+
+    Reference: ``computations.py::unpooling``.
+    """
+    for i, p in enumerate(pool_shape):
+        x = jnp.repeat(x, p, axis=2 + i)
+    return x
+
+
+upsampling = unpooling  # reference alias
+
+
+def maxout(x, factor, axis=1):
+    """Maxout over groups of ``factor`` consecutive feature maps.
+
+    Reference: ``computations.py::maxout``.
+    """
+    n_f = x.shape[axis]
+    if n_f % factor:
+        raise ValueError(f"feature count {n_f} not divisible by maxout {factor}")
+    new_shape = x.shape[:axis] + (n_f // factor, factor) + x.shape[axis + 1:]
+    return jnp.max(x.reshape(new_shape), axis=axis + 1)
+
+
+def softmax(x, axis=1):
+    """Numerically-stable softmax over the feature axis.
+
+    Reference: ``computations.py::softmax``.
+    """
+    return jax.nn.softmax(x, axis=axis)
+
+
+def apply_activation(x, activation_func, alpha=None):
+    """Apply an activation by reference name; see ops.activations.
+
+    ``maxout:k`` reduces features by k; ``prelu`` uses learnable ``alpha``.
+    """
+    from elektronn2_tpu.ops.activations import get_activation
+    if isinstance(activation_func, str) and activation_func.startswith("maxout"):
+        k = int(activation_func.split(":")[1]) if ":" in activation_func else 2
+        return maxout(x, k)
+    if activation_func == "prelu":
+        if alpha is None:
+            raise ValueError("prelu requires alpha parameter")
+        a = alpha.reshape((1, -1) + (1,) * (x.ndim - 2)).astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+    return get_activation(activation_func)(x)

@@ -1,0 +1,24 @@
+"""utils — IO helpers, shape calculator, plotting, misc.
+
+Reference: ``elektronn2/utils/``.
+"""
+
+from elektronn2_tpu.utils.cnncalculator import (
+    cnncalculator, get_valid_patch_sizes, get_cloesest_valid_patch_size,
+    get_closest_valid_patch_size,
+)
+
+__all__ = [
+    "cnncalculator", "get_valid_patch_sizes", "get_cloesest_valid_patch_size",
+    "get_closest_valid_patch_size",
+]
+
+try:
+    from elektronn2_tpu.utils.basic import (  # noqa: F401
+        h5save, h5load, picklesave, pickleload, timeit, cache,
+        AccumulationArray, DynamicKDT, as_list,
+    )
+    __all__ += ["h5save", "h5load", "picklesave", "pickleload", "timeit",
+                "cache", "AccumulationArray", "DynamicKDT", "as_list"]
+except ImportError:  # pragma: no cover
+    pass
