@@ -29,7 +29,7 @@ try:
         GaussianRV, ScanN, SkelLoss, SkelPrior, SkelGetBatch,
     )
     from elektronn2_tpu.neuromancer.model import (  # noqa: F401
-        Model, modelload, rebuild_model, simple_cnn,
+        Model, modelload, rebuild_model, simple_cnn, params_from_model_file,
     )
     from elektronn2_tpu.neuromancer import optimiser  # noqa: F401
     __all__ += [
@@ -41,7 +41,8 @@ try:
         "Softmax", "MultinoulliNLL", "BinaryNLL", "GaussianNLL",
         "SquaredLoss", "AbsLoss", "AggregateLoss", "Errors", "MalisNLL",
         "GaussianRV", "ScanN", "SkelLoss", "SkelPrior", "SkelGetBatch",
-        "Model", "modelload", "rebuild_model", "simple_cnn", "optimiser",
+        "Model", "modelload", "rebuild_model", "simple_cnn",
+        "params_from_model_file", "optimiser",
     ]
 except ImportError:  # pragma: no cover - during incremental bring-up only
     pass

@@ -1,0 +1,147 @@
+"""Dense (whole-volume) inference: overlap-tiled MFP sweep.
+
+Reference: ``elektronn2/neuromancer/node_basic.py::Node.predict_dense`` +
+``elektronn2/utils/cnncalculator.py`` geometry (SURVEY.md §4.B call stack):
+choose tiles, run the compiled predict function per tile, restitch MFP
+fragments, write into the big output map.
+
+TPU-first redesign: fragment restitching happens ON DEVICE inside the jitted
+tile function (one fused program per tile); tiles can be batched along the
+batch axis to keep the MXU fed; host work is only slicing the source volume
+and writing finished dense tiles into the output buffer.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+
+from elektronn2_tpu.log import logger
+
+
+def _dense_geometry(pred_shape):
+    """(g, n_off, dense_sp) for a prediction TaggedShape: per-dim dense
+    stride after stitching, fragment-offset counts, and per-tile dense size."""
+    from elektronn2_tpu.ops.mfp import _interleave_geometry
+    nsp = len(pred_shape.spatial_axes)
+    if pred_shape.n_frag > 1:
+        g, n_off, _ = _interleave_geometry(pred_shape.mfp_offsets)
+    else:
+        g = [int(s) for s in pred_shape.strides]
+        n_off = [1] * nsp
+    dense_sp = [k * n for k, n in zip(pred_shape.spatial_shape, n_off)]
+    return g, n_off, dense_sp
+
+
+def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
+                  tile_batch=1, verbose=False):
+    """Predict a dense map over an arbitrarily large volume.
+
+    Parameters mirror the reference: ``raw_img`` is (f, *spatial) or
+    (*spatial,); ``pad_raw`` mirror-pads so the output grid covers the whole
+    input volume; ``as_uint8`` rescales probabilities to uint8.
+
+    Returns (f_out, *out_spatial) numpy; with every pooling MFP'd the output
+    stride is 1 (full resolution). Non-unit residual stride g is upsampled by
+    nearest-neighbour repetition to full resolution (documented deviation —
+    the reference leaves strided outputs strided).
+    """
+    inp, pred = model.input_node, model.prediction_node
+    if pred is None:
+        raise RuntimeError("designate a prediction_node first")
+    in_ts = inp.shape
+    nsp = len(in_ts.spatial_axes)
+    tile_in = list(in_ts.spatial_shape)
+    n_ch = in_ts["f"]
+
+    raw = np.asarray(raw_img)
+    if raw.ndim == nsp:
+        raw = raw[None]
+    if raw.ndim != nsp + 1:
+        raise ValueError(f"raw has rank {raw.ndim}, expected {nsp} or "
+                         f"{nsp + 1} (f, *spatial)")
+    if raw.shape[0] != n_ch:
+        raise ValueError(f"raw channels {raw.shape[0]} != model input "
+                         f"channels {n_ch}")
+    if raw.dtype == np.uint8:
+        raw = raw.astype(np.float32) / 255.0
+    else:
+        raw = raw.astype(np.float32)
+
+    g, n_off, dense_sp = _dense_geometry(pred.shape)
+    fov = list(pred.shape.fov)
+    f_out = pred.shape["f"]
+
+    V_orig = list(raw.shape[1:])
+    if pad_raw:
+        pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
+        raw = np.pad(raw, pads, mode="reflect")
+    V = list(raw.shape[1:])
+    for d in range(nsp):
+        if V[d] < tile_in[d]:
+            raise ValueError(
+                f"volume dim {d} ({V[d]}) smaller than model patch "
+                f"{tile_in[d]}; pad_raw=True may help")
+
+    # right-align the last tile on the dense grid: pad so (V-tile)%g == 0
+    pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
+    if any(pad_r):
+        raw = np.pad(raw, [(0, 0)] + [(0, p) for p in pad_r], mode="reflect")
+        V = list(raw.shape[1:])
+
+    out_total = [(V[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
+    span = [dense_sp[d] * g[d] for d in range(nsp)]
+    n_tiles = [max(1, -(-out_total[d] // dense_sp[d])) for d in range(nsp)]
+
+    fn = model._get_predict_fn(pred, dense=True)
+
+    # enumerate tile input origins (aligned to g, clamped to the volume)
+    origins = []
+    for idx in itertools.product(*[range(n) for n in n_tiles]):
+        o = []
+        for d in range(nsp):
+            i0 = min(idx[d] * span[d], V[d] - tile_in[d])
+            o.append((i0 // g[d]) * g[d])
+        origins.append(tuple(o))
+
+    out = np.empty([f_out] + out_total, dtype=np.float32)
+    total = len(origins)
+    tb = max(1, int(tile_batch))
+    for start in range(0, total, tb):
+        group = origins[start:start + tb]
+        tiles = np.stack([
+            raw[(slice(None),) + tuple(slice(o[d], o[d] + tile_in[d])
+                                       for d in range(nsp))]
+            for o in group])
+        if len(group) < tb:  # pad group to keep one compiled shape
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], tb - len(group), axis=0)])
+        dense = np.asarray(fn(model.params, model.state,
+                              {inp.name: tiles}))
+        for bi, o in enumerate(group):
+            o_out = [o[d] // g[d] for d in range(nsp)]
+            sl_out, sl_src = [slice(None)], [slice(None)]
+            for d in range(nsp):
+                n = min(dense_sp[d], out_total[d] - o_out[d])
+                sl_out.append(slice(o_out[d], o_out[d] + n))
+                sl_src.append(slice(0, n))
+            out[tuple(sl_out)] = dense[bi][tuple(sl_src)]
+        if verbose:
+            logger.info(f"predict_dense: {min(start + tb, total)}/{total} tiles")
+
+    if any(gd > 1 for gd in g):
+        # residual (non-MFP) stride: upsample to full resolution by
+        # nearest-neighbour repetition (documented deviation)
+        for d in range(nsp):
+            if g[d] > 1:
+                out = np.repeat(out, g[d], axis=1 + d)
+    # crop the alignment padding back off: the output must cover exactly the
+    # original volume (pad_raw) or its valid interior (no padding)
+    keep = [V_orig[d] if pad_raw else V_orig[d] - fov[d] + 1
+            for d in range(nsp)]
+    out = out[(slice(None),) + tuple(slice(0, k) for k in keep)]
+    if as_uint8:
+        out = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+    return out

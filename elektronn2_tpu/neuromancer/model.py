@@ -1,0 +1,510 @@
+"""Model — designated nodes, compiled step functions, save/load.
+
+Reference: ``elektronn2/neuromancer/model.py::Model, modelload,
+rebuild_model, simple_cnn``. The Model aggregates the graph (designated
+input/target/loss/prediction nodes), builds & caches compiled functions
+(``trainingstep``, ``loss``, ``predict``, ``predict_dense``), exposes
+parameter statistics, and serialises via the GraphManager node-spec contract.
+
+TPU-first redesign: ``trainingstep`` is ONE jitted XLA program
+(fwd+bwd+optimiser update, params donated so updates are in-place in HBM);
+optimiser hyperparams are traced scalars → live-tunable without recompile;
+model/optimiser state are explicit pytrees, not shared variables.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elektronn2_tpu.log import logger
+from elektronn2_tpu.neuromancer import graphmanager
+from elektronn2_tpu.neuromancer.graphmanager import GraphManager
+from elektronn2_tpu.neuromancer.node_basic import Input, TraceCtx
+from elektronn2_tpu.neuromancer.optimiser import get_optimiser, Optimiser
+
+
+class Model:
+    """A compiled view over a node graph.
+
+    Usage (mirrors the reference):
+        model = model_manager.getmodel()       # or gm.getmodel()
+        model.designate_nodes(input_node=inp, target_node=tgt,
+                              loss_node=loss, prediction_node=pred,
+                              prediction_ext_node=ext, error_node=err)
+        loss = model.trainingstep(data, target)
+        probs = model.predict(raw)
+    """
+
+    def __init__(self, graph_manager, name="model"):
+        self.gm = graph_manager
+        self.name = name
+        self.nodes = graph_manager.nodes
+        self.input_node = None
+        self.target_node = None
+        self.loss_node = None
+        self.prediction_node = None
+        self.prediction_ext_node = None
+        self.error_node = None
+        self.debug_outputs = []
+        self.extra_inputs = []
+
+        # functional state
+        self.params = {n.name: {k: jnp.asarray(v) for k, v in n.params.items()}
+                       for n in self.nodes.values() if n.params}
+        self.state = {}                       # aux state (BN running stats)
+        self.optimiser = None
+        self.opt_state = None
+        self._lr_mults = None
+        self._wd_mults = None
+        self._step_fn = None
+        self._predict_fns = {}
+        self._loss_fn = None
+        self._rng_key = jax.random.PRNGKey(0)
+        self._step_count = 0
+        self._node_index = {name: i for i, name in enumerate(self.nodes)}
+
+    # ------------------------------------------------------------ designation
+    def designate_nodes(self, input_node=None, target_node=None,
+                        loss_node=None, prediction_node=None,
+                        prediction_ext_node=None, error_node=None,
+                        debug_outputs=None, extra_inputs=None):
+        self.input_node = input_node
+        self.target_node = target_node
+        self.loss_node = loss_node
+        self.prediction_node = prediction_node
+        self.prediction_ext_node = prediction_ext_node
+        self.error_node = error_node
+        self.debug_outputs = debug_outputs or []
+        self.extra_inputs = extra_inputs or []
+        self.gm.designations = {
+            k: (v.name if v is not None else None) for k, v in [
+                ("input_node", input_node), ("target_node", target_node),
+                ("loss_node", loss_node), ("prediction_node", prediction_node),
+                ("prediction_ext_node", prediction_ext_node),
+                ("error_node", error_node)]}
+        self.gm.designations["debug_outputs"] = [n.name for n in
+                                                 self.debug_outputs]
+        self.gm.designations["extra_inputs"] = [n.name for n in
+                                                self.extra_inputs]
+        return self
+
+    # --------------------------------------------------------------- plumbing
+    def _apply(self, out_nodes, params, state, feed, rng, train):
+        ctx = TraceCtx(params, feed, rng, train=train, state_in=state,
+                       node_index=self._node_index)
+        outs = [ctx.get(n) for n in out_nodes]
+        new_state = dict(state)
+        new_state.update(ctx.state_out)
+        return outs, new_state
+
+    def _feed(self, data, target=None, extra=None):
+        feed = {self.input_node.name: data}
+        if target is not None and self.target_node is not None:
+            feed[self.target_node.name] = target
+        for node, val in zip(self.extra_inputs, extra or []):
+            feed[node.name] = val
+        return feed
+
+    def _next_rng(self):
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
+    # --------------------------------------------------------------- training
+    def set_opt(self, optimiser="Adam", **hyperparams):
+        """Attach an optimiser (name or instance). Reference: Model/Trainer
+        optimiser setup."""
+        if isinstance(optimiser, Optimiser):
+            self.optimiser = optimiser
+        else:
+            self.optimiser = get_optimiser(optimiser)(**hyperparams)
+        self.opt_state = self.optimiser.init_state(self._trainable(self.params))
+        self._lr_mults = self._mult_tree("lr_mult")
+        self._wd_mults = self._mult_tree("wd_mult")
+        self._step_fn = None
+        return self.optimiser
+
+    def _trainable(self, params):
+        out = {}
+        for nname, pdict in params.items():
+            node = self.nodes[nname]
+            sub = {p: v for p, v in pdict.items()
+                   if node.param_flags[p]["trainable"]}
+            if sub:
+                out[nname] = sub
+        return out
+
+    def _mult_tree(self, key):
+        out = {}
+        for nname, pdict in self._trainable(self.params).items():
+            node = self.nodes[nname]
+            out[nname] = {p: node.param_flags[p][key] for p in pdict}
+        return out
+
+    def _build_step(self):
+        if self.loss_node is None:
+            raise RuntimeError("designate a loss_node before training")
+        if self.optimiser is None:
+            self.set_opt("Adam")
+        aux_nodes = []
+        if self.error_node is not None:
+            aux_nodes.append(self.error_node)
+        aux_nodes += self.debug_outputs
+        opt = self.optimiser
+        lr_mults, wd_mults = self._lr_mults, self._wd_mults
+
+        def step(params, opt_state, state, feed, rng, hyper):
+            def loss_fn(train_params):
+                merged = {n: {**params.get(n, {}), **train_params.get(n, {})}
+                          for n in set(params) | set(train_params)}
+                outs, new_state = self._apply(
+                    [self.loss_node] + aux_nodes, merged, state, feed, rng,
+                    train=True)
+                return outs[0][0], (outs[1:], new_state)
+
+            train_params = self._trainable(params)
+            (loss_v, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_params)
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g))
+                for g in jax.tree_util.tree_leaves(grads)))
+            new_train, new_opt_state = opt.update(
+                train_params, grads, opt_state, hyper, lr_mults, wd_mults)
+            new_params = {n: {**params.get(n, {}), **new_train.get(n, {})}
+                          for n in set(params) | set(new_train)}
+            return loss_v, aux, gnorm, new_params, new_opt_state, new_state
+
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+
+    def trainingstep(self, data, target=None, extra=None):
+        """One fused fwd+bwd+update step. Returns (loss, aux_dict).
+
+        aux_dict holds 'error' (if an error node is designated), per-debug
+        outputs, and 'gradnorm'. Reference: ``Model.trainingstep``.
+        """
+        if self._step_fn is None:
+            self._build_step()
+        feed = self._feed(data, target, extra)
+        hyper = self.optimiser.current_hyper()
+        loss_v, aux, gnorm, self.params, self.opt_state, self.state = \
+            self._step_fn(self.params, self.opt_state, self.state, feed,
+                          self._next_rng(), hyper)
+        self._step_count += 1
+        aux_dict = {"gradnorm": gnorm}
+        i = 0
+        if self.error_node is not None:
+            aux_dict["error"] = aux[0][0]
+            i = 1
+        for node, v in zip(self.debug_outputs, aux[i:]):
+            aux_dict[node.name] = v
+        return loss_v, aux_dict
+
+    def loss(self, data, target=None, extra=None):
+        """Evaluate the scalar loss without updating (eval mode)."""
+        if self._loss_fn is None:
+            def f(params, state, feed):
+                outs, _ = self._apply([self.loss_node], params, state, feed,
+                                      None, train=False)
+                return outs[0][0]
+            self._loss_fn = jax.jit(f)
+        return self._loss_fn(self.params, self.state,
+                             self._feed(data, target, extra))
+
+    def test_error(self, data, target, extra=None):
+        """Loss + error rate in eval mode (validation)."""
+        nodes = [self.loss_node]
+        if self.error_node is not None:
+            nodes.append(self.error_node)
+        key = "test_error"
+        if key not in self._predict_fns:
+            def f(params, state, feed):
+                outs, _ = self._apply(nodes, params, state, feed, None,
+                                      train=False)
+                return [o[0] for o in outs]
+            self._predict_fns[key] = jax.jit(f)
+        outs = self._predict_fns[key](self.params, self.state,
+                                      self._feed(data, target, extra))
+        return (outs[0], outs[1]) if len(outs) > 1 else (outs[0], None)
+
+    # -------------------------------------------------------------- inference
+    def _get_predict_fn(self, node, dense):
+        key = (node.name, dense)
+        if key not in self._predict_fns:
+            from elektronn2_tpu.ops.mfp import fragments2dense
+
+            def f(params, state, feed):
+                outs, _ = self._apply([node], params, state, feed, None,
+                                      train=False)
+                y = outs[0]
+                if dense and node.shape.n_frag > 1:
+                    y = fragments2dense(y, node.shape.mfp_offsets)
+                return y
+            self._predict_fns[key] = jax.jit(f)
+        return self._predict_fns[key]
+
+    def predict(self, raw, extra=None):
+        """Forward pass to the prediction node (eval mode, no stitching)."""
+        node = self.prediction_node
+        fn = self._get_predict_fn(node, dense=False)
+        return fn(self.params, self.state, self._feed(raw, extra=extra))
+
+    def predict_ext(self, raw, extra=None):
+        node = self.prediction_ext_node or self.prediction_node
+        fn = self._get_predict_fn(node, dense=False)
+        return fn(self.params, self.state, self._feed(raw, extra=extra))
+
+    def predict_dense(self, raw_img, pad_raw=False, as_uint8=False,
+                      tile_batch=1, verbose=False):
+        """MFP dense prediction over an arbitrarily large volume.
+
+        Reference: ``node_basic.py::Node.predict_dense`` (see SURVEY.md §4.B).
+        Overlap-tiled sweep; fragments are restitched ON DEVICE per tile.
+        """
+        from elektronn2_tpu.neuromancer.inference import predict_dense
+        return predict_dense(self, raw_img, pad_raw=pad_raw,
+                             as_uint8=as_uint8, tile_batch=tile_batch,
+                             verbose=verbose)
+
+    # ------------------------------------------------------------------ stats
+    @property
+    def param_count(self):
+        return sum(int(np.prod(v.shape))
+                   for nd in self.params.values() for v in nd.values())
+
+    def paramstats(self):
+        """Per-node parameter norm/min/max (reference: Model.paramstats)."""
+        stats = {}
+        for nname, pdict in self.params.items():
+            for pname, v in pdict.items():
+                a = np.asarray(v)
+                stats[f"{nname}/{pname}"] = {
+                    "shape": tuple(a.shape),
+                    "mean": float(a.mean()), "std": float(a.std()),
+                    "min": float(a.min()), "max": float(a.max())}
+        return stats
+
+    def measure_exectimes(self, data, target=None, n_warmup=2, n_runs=5):
+        """Rough per-node forward timings (reference:
+        ``Model.measure_exectimes`` via Theano profiling; here: incremental
+        jitted subgraph timing — time(node) includes its ancestors)."""
+        feed = self._feed(data, target)
+        times = {}
+        order = self.loss_node.all_parents() if self.loss_node \
+            else list(self.nodes.values())
+        for node in order:
+            if isinstance(node, Input):
+                continue
+            try:
+                fn = self._get_predict_fn(node, dense=False)
+                for _ in range(n_warmup):
+                    jax.block_until_ready(fn(self.params, self.state, feed))
+                t0 = time.perf_counter()
+                for _ in range(n_runs):
+                    jax.block_until_ready(fn(self.params, self.state, feed))
+                times[node.name] = (time.perf_counter() - t0) / n_runs
+            except KeyError:
+                continue  # node needs feeds not provided
+        return times
+
+    # ---------------------------------------------------------------- save/load
+    def save(self, fname):
+        """Serialise spec + params (+ optimiser & aux state) to one file.
+
+        Format: ``.npz`` containing a JSON node-spec (GraphManager contract:
+        loading replays constructors) and flat arrays. Reference:
+        ``Model.save`` (pickle → here JSON+npz, SURVEY.md do-not-mirror).
+        """
+        spec_json, arg_arrays = self.gm.spec_json()
+        payload = {"__spec__": np.frombuffer(spec_json.encode(), np.uint8)}
+        for k, v in arg_arrays.items():
+            payload[k] = v
+        for nname, pdict in self.params.items():
+            for pname, v in pdict.items():
+                payload[f"param/{nname}/{pname}"] = np.asarray(v)
+        for nname, st in self.state.items():
+            # aux state entries are flat dicts name->array (e.g. BN mean/var)
+            for k, v in st.items():
+                payload[f"state/{nname}/{k}"] = np.asarray(v)
+        if self.optimiser is not None:
+            meta = {"cls": type(self.optimiser).__name__,
+                    "hyper": self.optimiser.hyperparams,
+                    "step_count": self._step_count}
+            payload["__opt__"] = np.frombuffer(
+                json.dumps(meta).encode(), np.uint8)
+            leaves = jax.tree_util.tree_leaves(self.opt_state)
+            for i, v in enumerate(leaves):
+                payload[f"opt/{i}"] = np.asarray(v)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **payload)
+        with open(fname, "wb") as f:
+            f.write(buf.getvalue())
+        logger.info(f"saved model to {fname} "
+                    f"({self.param_count} params)")
+
+    def set_params(self, params):
+        self.params = {n: {p: jnp.asarray(v) for p, v in d.items()}
+                       for n, d in params.items()}
+
+    def __repr__(self):
+        return (f"<Model {self.name!r}: {len(self.nodes)} nodes, "
+                f"{self.param_count} params>")
+
+    def summary(self):
+        lines = [f"Model {self.name!r}"]
+        for node in self.nodes.values():
+            mark = ""
+            for attr in ("input_node", "target_node", "loss_node",
+                         "prediction_node"):
+                if getattr(self, attr) is node:
+                    mark = f"  <- {attr}"
+            lines.append(f"  {node!r}{mark}")
+        return "\n".join(lines)
+
+
+def modelload(fname, override_mfp_to_active=False, imposed_patch_size=None,
+              **kwargs):
+    """Load a model file by replaying its node spec.
+
+    Reference: ``model.py::modelload``.
+    """
+    with np.load(fname, allow_pickle=False) as z:
+        spec = json.loads(bytes(z["__spec__"].tobytes()).decode())
+        arg_arrays = {k: z[k] for k in z.files if k.startswith("__spec__/")}
+        params, state, opt_leaves = {}, {}, {}
+        for k in z.files:
+            if k.startswith("param/"):
+                _, nname, pname = k.split("/", 2)
+                params.setdefault(nname, {})[pname] = z[k]
+            elif k.startswith("state/"):
+                _, nname, sname = k.split("/", 2)
+                state.setdefault(nname, {})[sname] = jnp.asarray(z[k])
+            elif k.startswith("opt/"):
+                opt_leaves[int(k.split("/")[1])] = z[k]
+        opt_meta = (json.loads(bytes(z["__opt__"].tobytes()).decode())
+                    if "__opt__" in z.files else None)
+    gm = GraphManager.replay(spec["nodes"], arg_arrays)
+    gm.designations = spec.get("designations", {})
+    model = Model(gm, name=spec.get("graph", "model"))
+    d = gm.designations
+
+    def pick(key):
+        n = d.get(key)
+        return gm.nodes[n] if n else None
+
+    model.designate_nodes(
+        input_node=pick("input_node"), target_node=pick("target_node"),
+        loss_node=pick("loss_node"), prediction_node=pick("prediction_node"),
+        prediction_ext_node=pick("prediction_ext_node"),
+        error_node=pick("error_node"),
+        debug_outputs=[gm.nodes[n] for n in d.get("debug_outputs", [])],
+        extra_inputs=[gm.nodes[n] for n in d.get("extra_inputs", [])])
+    model.set_params(params)
+    model.state = state
+    if opt_meta is not None:
+        model.set_opt(opt_meta["cls"], **opt_meta["hyper"])
+        model._step_count = opt_meta.get("step_count", 0)
+        if opt_leaves:
+            init = model.opt_state
+            leaves, treedef = jax.tree_util.tree_flatten(init)
+            restored = [jnp.asarray(opt_leaves.get(i, l))
+                        for i, l in enumerate(leaves)]
+            model.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+    logger.info(f"loaded model from {fname}: {model!r}")
+    return model
+
+
+def params_from_model_file(fname):
+    """Extract just the parameter arrays from a model file."""
+    params = {}
+    with np.load(fname, allow_pickle=False) as z:
+        for k in z.files:
+            if k.startswith("param/"):
+                _, nname, pname = k.split("/", 2)
+                params.setdefault(nname, {})[pname] = z[k]
+    return params
+
+
+def rebuild_model(model, override_mfp_to_active=False,
+                  imposed_patch_size=None):
+    """Rebuild a model's graph from its own spec (e.g. to change patch size
+    or activate MFP for inference). Reference: ``model.py::rebuild_model``.
+    """
+    descriptors, arrays = model.gm.get_descriptors()
+    if imposed_patch_size is not None or override_mfp_to_active:
+        for d in descriptors:
+            if d["cls"] == "Input" and imposed_patch_size is not None:
+                shape = d["args"][0] if d["args"] else d["kwargs"]["shape"]
+                tags = d["args"][1] if len(d["args"]) > 1 else d["kwargs"]["tags"]
+                if isinstance(tags, str):
+                    tags = tags.split(",") if "," in tags else list(tags)
+                sp_idx = [i for i, t in enumerate(tags) if t in ("z", "x", "y")]
+                for i, ax in enumerate(sp_idx):
+                    shape[ax] = int(imposed_patch_size[i])
+            if override_mfp_to_active and d["cls"] in ("Conv", "Pool"):
+                d["kwargs"]["mfp"] = True
+    gm = GraphManager.replay(descriptors, arrays)
+    gm.designations = dict(model.gm.designations)
+    new = Model(gm, name=model.name)
+    dd = gm.designations
+
+    def pick(key):
+        n = dd.get(key)
+        return gm.nodes[n] if n else None
+
+    new.designate_nodes(
+        input_node=pick("input_node"), target_node=pick("target_node"),
+        loss_node=pick("loss_node"), prediction_node=pick("prediction_node"),
+        prediction_ext_node=pick("prediction_ext_node"),
+        error_node=pick("error_node"))
+    # copy over params where shapes still match
+    for nname, pdict in model.params.items():
+        if nname in new.params:
+            for pname, v in pdict.items():
+                if (pname in new.params[nname]
+                        and new.params[nname][pname].shape == v.shape):
+                    new.params[nname][pname] = v
+    return new
+
+
+def simple_cnn(batch_size, n_ch, n_lab, desired_input, filters, pools,
+               nof_filters, activation_func="relu", mfp=False, ndim=3,
+               target="nll", dropout_rates=None, batch_normalisation=False):
+    """Convenience constructor for a plain conv stack (reference:
+    ``model.py::simple_cnn``). Picks the closest valid patch size via
+    cnncalculator and returns a designated Model."""
+    from elektronn2_tpu.utils.cnncalculator import cnncalculator
+    from elektronn2_tpu.neuromancer import node_basic as nb
+    from elektronn2_tpu.neuromancer import neural, loss as loss_mod
+
+    calc = cnncalculator(filters, pools, desired_input, mfp=mfp, ndim=ndim)
+    patch = calc.input if ndim > 1 else [calc.input]
+    tags = ["b", "f"] + list("zxy"[:ndim] if ndim == 3 else "xy"[:ndim])
+    gm = graphmanager.current_manager()
+    gm.reset()
+    inp = nb.Input([batch_size, n_ch] + list(patch), tags, name="raw")
+    x = inp
+    dropout_rates = dropout_rates or [0.0] * len(filters)
+    for i, (f, p, nf, dr) in enumerate(
+            zip(filters, pools, nof_filters, dropout_rates)):
+        x = neural.Conv(x, nf, f, p, activation_func=activation_func,
+                        mfp=mfp, dropout_rate=dr,
+                        batch_normalisation=batch_normalisation,
+                        name=f"conv{i}")
+    out = neural.Conv(x, n_lab, 1, 1, activation_func="lin", name="class")
+    probs = loss_mod.Softmax(out, name="probs")
+    tgt_sp = list(probs.shape.spatial_shape)
+    tgt = nb.Input([probs.shape["b"]] + tgt_sp, ["b"] + tags[2:],
+                   dtype="int32", name="target")
+    nll = loss_mod.MultinoulliNLL(probs, tgt, target_is_sparse=True,
+                                  name="nll")
+    agg = loss_mod.AggregateLoss(nll, name="loss")
+    err = loss_mod.Errors(probs, tgt, target_is_sparse=True)
+    model = gm.getmodel("simple_cnn")
+    model.designate_nodes(input_node=inp, target_node=tgt, loss_node=agg,
+                          prediction_node=probs, error_node=err)
+    return model

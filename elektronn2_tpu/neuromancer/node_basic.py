@@ -50,8 +50,12 @@ class TraceCtx:
         """Memoised evaluation of ``node`` (and, recursively, its parents)."""
         v = self.values.get(node.name)
         if v is None:
-            parent_vals = [self.get(p) for p in node.parents]
-            v = node._compute(self, *parent_vals)
+            if getattr(node, "_lazy", False):
+                # lazy nodes (ScanN) orchestrate their own sub-evaluation
+                v = node._compute_lazy(self)
+            else:
+                parent_vals = [self.get(p) for p in node.parents]
+                v = node._compute(self, *parent_vals)
             self.values[node.name] = v
         return v
 
@@ -80,6 +84,8 @@ class Node:
     Subclasses must set ``self.shape`` (a TaggedShape) in ``__init__`` and
     implement ``_compute(ctx, *parent_values) -> jnp array``.
     """
+
+    _lazy = False  # lazy nodes implement _compute_lazy(ctx) instead
 
     def __new__(cls, *args, **kwargs):
         obj = object.__new__(cls)
@@ -330,6 +336,9 @@ class InitialState_like(Node):
     hidden state for the tracing models.
     """
 
+    _lazy = True  # must not force-compute its parent (often a per-step
+    #               placeholder inside a ScanN sub-graph); shapes are static
+
     def __init__(self, parent, override_f, init_kwargs=None,
                  name="initial_state", print_repr=True):
         super().__init__(parent, name, print_repr)
@@ -347,12 +356,9 @@ class InitialState_like(Node):
             val = (rng.randn(*per_f) * scale).astype(floatX)
         self.register_param("state0", val, trainable=True)
 
-    def _compute(self, ctx, parent_val):
-        b_ax = self.shape.tag2index("b")
+    def _compute_lazy(self, ctx):
         state0 = ctx.param(self, "state0")
-        target = list(state0.shape)
-        target[b_ax] = parent_val.shape[b_ax]
-        return jnp.broadcast_to(state0, target)
+        return jnp.broadcast_to(state0, tuple(self.shape))
 
 
 @register_node_class

@@ -96,12 +96,14 @@ def pooling(x, pool_shape, mode="max", stride=None):
     stride = pool_shape if stride is None else tuple(stride)
     window = (1, 1) + pool_shape
     strides = (1, 1) + stride
+    # NOTE: init must be a PYTHON scalar — a traced array prevents JAX from
+    # recognising the max/add monoid, breaking autodiff under jit
     if mode == "max":
-        init, op = -jnp.inf, lax.max
-        init = jnp.array(init, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-            else jnp.iinfo(x.dtype).min
+        op = lax.max
+        init = (-np.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                else np.iinfo(np.dtype(x.dtype)).min)
     elif mode in ("sum", "avg", "mean"):
-        init, op = jnp.array(0, x.dtype), lax.add
+        init, op = 0, lax.add
     else:
         raise ValueError(f"unknown pooling mode {mode!r}")
     y = lax.reduce_window(x, init, op, window, strides, "VALID")
