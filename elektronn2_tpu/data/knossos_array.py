@@ -1,0 +1,216 @@
+"""KNOSSOS-backed lazy volume access.
+
+Reference: ``elektronn2/data/knossos_array.py::KnossosArray,
+KnossosArrayMulti``. A KNOSSOS dataset is a directory tree of small raw
+cubes (classically 128³ uint8) at
+``mag{M}/x{X:04d}/y{Y:04d}/z{Z:04d}/{exp}_mag{M}_x{X:04d}_y{Y:04d}_z{Z:04d}.raw``.
+This class presents it as an ndarray-like object: ``__getitem__`` assembles
+arbitrary sub-volumes, loading only the needed cubes, with an LRU cube cache
+and background prefetch.
+
+TPU-first change vs the reference: prefetch uses *threads* (IO-bound reads
+release the GIL) feeding a plain cache, instead of forked worker processes
+with shared ctypes memory (SURVEY.md do-not-mirror list).
+
+Axis convention: this class exposes (z, x, y) indexing to match the rest of
+the framework; KNOSSOS files are laid out x-fastest (z, y, x within a cube).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from elektronn2_tpu.log import logger
+
+
+class KnossosArray:
+    """Lazily-loaded KNOSSOS dataset with cube cache + thread prefetch."""
+
+    def __init__(self, path, max_ram=512, n_preload=2, fixed_mag=1,
+                 cube_edge=128, exp_name=None, dtype=np.uint8):
+        self.path = os.path.abspath(path)
+        self.mag = int(fixed_mag)
+        self.cube_edge = int(cube_edge)
+        self.dtype = np.dtype(dtype)
+        self._exp_name = exp_name
+        self._read_conf()
+        cube_bytes = self.cube_edge ** 3 * self.dtype.itemsize
+        self._max_cubes = max(8, int(max_ram * 2 ** 20 / cube_bytes))
+        self._cache = OrderedDict()
+        self._lock = threading.Lock()
+        self._pool = (ThreadPoolExecutor(max_workers=n_preload)
+                      if n_preload else None)
+        self._pending = {}
+
+    def _read_conf(self):
+        """Parse knossos.conf for extents/experiment name if present."""
+        self.shape = None
+        conf = os.path.join(self.path, "knossos.conf")
+        boundary = {}
+        if os.path.exists(conf):
+            txt = open(conf).read()
+            for ax in "xyz":
+                m = re.search(rf"boundary\s+{ax}\s+(\d+)", txt)
+                if m:
+                    boundary[ax] = int(m.group(1))
+            m = re.search(r'experiment name\s+"([^"]+)"', txt)
+            if m and self._exp_name is None:
+                self._exp_name = m.group(1)
+            m = re.search(r"edge length\s+(\d+)", txt)
+            if m:
+                self.cube_edge = int(m.group(1))
+        if len(boundary) == 3:
+            self.shape = (boundary["z"], boundary["x"], boundary["y"])
+        else:
+            # infer from directory structure of magnification 1
+            magdir = self._magdir()
+            xs = sorted(int(d[1:]) for d in os.listdir(magdir)
+                        if d.startswith("x"))
+            ymax = zmax = 0
+            for xd in os.listdir(magdir):
+                for yd in os.listdir(os.path.join(magdir, xd)):
+                    ymax = max(ymax, int(yd[1:]))
+                    for zd in os.listdir(os.path.join(magdir, xd, yd)):
+                        zmax = max(zmax, int(zd[1:]))
+            self.shape = ((zmax + 1) * self.cube_edge,
+                          (max(xs) + 1) * self.cube_edge,
+                          (ymax + 1) * self.cube_edge)
+        if self._exp_name is None:
+            self._exp_name = os.path.basename(self.path.rstrip("/"))
+
+    def _magdir(self):
+        for cand in (os.path.join(self.path, f"mag{self.mag}"), self.path):
+            if os.path.isdir(cand):
+                return cand
+        raise FileNotFoundError(f"no magnification dir under {self.path}")
+
+    @property
+    def ndim(self):
+        return 3
+
+    def __len__(self):
+        return self.shape[0]
+
+    # ----------------------------------------------------------- cube access
+    def _cube_path(self, cx, cy, cz):
+        return os.path.join(
+            self._magdir(), f"x{cx:04d}", f"y{cy:04d}", f"z{cz:04d}",
+            f"{self._exp_name}_mag{self.mag}_x{cx:04d}_y{cy:04d}_z{cz:04d}.raw")
+
+    def _load_cube(self, key):
+        cx, cy, cz = key
+        p = self._cube_path(cx, cy, cz)
+        e = self.cube_edge
+        if not os.path.exists(p):
+            return np.zeros((e, e, e), self.dtype)  # missing cube → zeros
+        buf = np.fromfile(p, dtype=self.dtype)
+        if buf.size != e ** 3:
+            raise IOError(f"cube {p} has {buf.size} voxels, expected {e**3}")
+        # KNOSSOS stores x-fastest: (z, y, x) → transpose to (z, x, y)
+        return buf.reshape(e, e, e).transpose(0, 2, 1)
+
+    def _get_cube(self, key):
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+            fut = self._pending.pop(key, None)
+        cube = fut.result() if fut is not None else self._load_cube(key)
+        with self._lock:
+            self._cache[key] = cube
+            while len(self._cache) > self._max_cubes:
+                self._cache.popitem(last=False)
+        return cube
+
+    def preload(self, keys):
+        """Asynchronously prefetch cubes (background threads)."""
+        if self._pool is None:
+            return
+        with self._lock:
+            for key in keys:
+                if key not in self._cache and key not in self._pending:
+                    self._pending[key] = self._pool.submit(self._load_cube,
+                                                           key)
+
+    # ------------------------------------------------------------- slicing
+    def __getitem__(self, idx):
+        """Assemble a sub-volume for a (z, x, y) basic-slice tuple."""
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        idx = idx + (slice(None),) * (3 - len(idx))
+        bounds = []
+        for d, s in enumerate(idx):
+            if isinstance(s, slice):
+                lo, hi, step = s.indices(self.shape[d])
+                if step != 1:
+                    raise IndexError("KnossosArray supports step-1 slices")
+            else:
+                lo, hi = int(s), int(s) + 1
+            bounds.append((lo, hi))
+        (z0, z1), (x0, x1), (y0, y1) = bounds
+        e = self.cube_edge
+        out = np.zeros((z1 - z0, x1 - x0, y1 - y0), self.dtype)
+        keys = [(cx, cy, cz)
+                for cz in range(z0 // e, max(z0 // e + 1, -(-z1 // e)))
+                for cx in range(x0 // e, max(x0 // e + 1, -(-x1 // e)))
+                for cy in range(y0 // e, max(y0 // e + 1, -(-y1 // e)))]
+        for (cx, cy, cz) in keys:
+            cube = self._get_cube((cx, cy, cz))
+            gz0, gz1 = max(z0, cz * e), min(z1, (cz + 1) * e)
+            gx0, gx1 = max(x0, cx * e), min(x1, (cx + 1) * e)
+            gy0, gy1 = max(y0, cy * e), min(y1, (cy + 1) * e)
+            if gz0 >= gz1 or gx0 >= gx1 or gy0 >= gy1:
+                continue
+            out[gz0 - z0:gz1 - z0, gx0 - x0:gx1 - x0, gy0 - y0:gy1 - y0] = \
+                cube[gz0 - cz * e:gz1 - cz * e, gx0 - cx * e:gx1 - cx * e,
+                     gy0 - cy * e:gy1 - cy * e]
+        # squeeze integer-indexed axes
+        squeeze = tuple(d for d, s in enumerate(idx)
+                        if not isinstance(s, slice))
+        return out.squeeze(axis=squeeze) if squeeze else out
+
+    def __repr__(self):
+        return (f"<KnossosArray {self._exp_name!r} shape={self.shape} "
+                f"cube={self.cube_edge} cached={len(self._cache)}>")
+
+
+class KnossosArrayMulti:
+    """Stack of KnossosArrays presented as a (f, z, x, y) volume.
+
+    Reference: ``knossos_array.py::KnossosArrayMulti``.
+    """
+
+    def __init__(self, path_prefix, feature_paths, **kwargs):
+        self.arrays = [KnossosArray(os.path.join(path_prefix or "", p),
+                                    **kwargs) for p in feature_paths]
+        shapes = {a.shape for a in self.arrays}
+        if len(shapes) != 1:
+            raise ValueError(f"inconsistent shapes: {shapes}")
+        self.shape = (len(self.arrays),) + self.arrays[0].shape
+
+    @property
+    def ndim(self):
+        return 4
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        f_idx = idx[0] if idx else slice(None)
+        rest = idx[1:]
+        if isinstance(f_idx, slice):
+            sel = range(*f_idx.indices(len(self.arrays)))
+            return np.stack([self.arrays[i][rest] for i in sel])
+        return self.arrays[int(f_idx)][rest]
+
+    def preload(self, keys):
+        for a in self.arrays:
+            a.preload(keys)
+
+    def __repr__(self):
+        return f"<KnossosArrayMulti {self.shape}>"

@@ -1,0 +1,154 @@
+"""Core utility helpers: HDF5/pickle IO, timing, buffers, KD-tree.
+
+Reference: ``elektronn2/utils/__init__.py`` (or ``utils_basic.py``)::
+``h5save, h5load, picklesave, pickleload, timeit, cache,
+AccumulationArray, DynamicKDT, as_list``.
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+import time
+
+import numpy as np
+
+from elektronn2_tpu.log import logger
+
+
+def as_list(x):
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+def h5save(data, path, keys=None, compress=True):
+    """Save array(s) to HDF5. ``data`` may be an array, list of arrays
+    (with ``keys``), or a dict. Reference: ``utils::h5save``."""
+    import h5py
+    kw = {"compression": "gzip"} if compress else {}
+    with h5py.File(path, "w") as f:
+        if isinstance(data, dict):
+            for k, v in data.items():
+                f.create_dataset(str(k), data=np.asarray(v), **kw)
+        elif isinstance(data, (list, tuple)):
+            keys = keys or [f"data{i}" for i in range(len(data))]
+            for k, v in zip(keys, data):
+                f.create_dataset(str(k), data=np.asarray(v), **kw)
+        else:
+            f.create_dataset(keys or "data", data=np.asarray(data), **kw)
+
+
+def h5load(path, keys=None):
+    """Load dataset(s) from HDF5; ``keys`` may be a str, list, or None
+    (→ all datasets; single array if only one). Reference: ``utils::h5load``."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        if isinstance(keys, str):
+            return f[keys][()]
+        names = keys or list(f.keys())
+        out = [f[k][()] for k in names]
+        if keys is None and len(out) == 1:
+            return out[0]
+        return out
+
+
+def picklesave(obj, path):
+    with open(path, "wb") as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def pickleload(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def timeit(fn):
+    """Decorator logging call duration. Reference: ``utils::timeit``."""
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        logger.debug(f"{fn.__name__}: {time.perf_counter() - t0:.4f}s")
+        return out
+    return wrap
+
+
+def cache(fn):
+    """Unbounded memoisation decorator. Reference: ``utils::cache``."""
+    return functools.lru_cache(maxsize=None)(fn)
+
+
+class AccumulationArray:
+    """Growing array buffer (amortised append). Reference:
+    ``utils::AccumulationArray`` — used by HistoryTracker and skeletons."""
+
+    def __init__(self, right_shape=(), dtype=np.float32, n_init=128):
+        right_shape = (right_shape,) if np.isscalar(right_shape) \
+            else tuple(right_shape)
+        self._buf = np.zeros((n_init,) + right_shape, dtype=dtype)
+        self.length = 0
+
+    def append(self, value):
+        if self.length == len(self._buf):
+            self._buf = np.concatenate([self._buf, np.zeros_like(self._buf)])
+        self._buf[self.length] = value
+        self.length += 1
+
+    def extend(self, values):
+        for v in values:
+            self.append(v)
+
+    @property
+    def data(self):
+        return self._buf[:self.length]
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+    def __array__(self, dtype=None):
+        d = self.data
+        return d.astype(dtype) if dtype else d
+
+
+class DynamicKDT:
+    """KD-tree over a growing point set (rebuilds lazily on query after
+    inserts). Reference: ``utils::DynamicKDT`` — nearest-neighbour queries
+    for the tracing agent."""
+
+    def __init__(self, points=None, k=1, rebuild_thresh=100):
+        self._points = AccumulationArray(right_shape=(3,), dtype=np.float64)
+        self._tree = None
+        self._pending = 0
+        self._thresh = int(rebuild_thresh)
+        self.k = k
+        if points is not None:
+            for p in np.asarray(points, np.float64).reshape(-1, 3):
+                self._points.append(p)
+
+    def append(self, point):
+        self._points.append(np.asarray(point, np.float64))
+        self._pending += 1
+
+    def _ensure_tree(self):
+        from scipy.spatial import cKDTree
+        if self._tree is None or self._pending > 0:
+            if len(self._points) == 0:
+                raise ValueError("empty KD-tree")
+            self._tree = cKDTree(self._points.data)
+            self._pending = 0
+
+    def get_knn(self, query, k=None):
+        """(distances, points, indices) of the k nearest neighbours."""
+        self._ensure_tree()
+        k = k or self.k
+        dist, idx = self._tree.query(np.asarray(query, np.float64), k=k)
+        return dist, self._points.data[idx], idx
+
+    def __len__(self):
+        return len(self._points)
