@@ -63,6 +63,9 @@ class Model:
         self._lr_mults = None
         self._wd_mults = None
         self._step_fn = None
+        self._step_raw = None
+        self._mesh = None
+        self._data_axis = "data"
         self._predict_fns = {}
         self._loss_fn = None
         self._rng_key = jax.random.PRNGKey(0)
@@ -179,7 +182,58 @@ class Model:
                           for n in set(params) | set(new_train)}
             return loss_v, aux, gnorm, new_params, new_opt_state, new_state
 
-        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+        self._step_raw = step
+        if getattr(self, "_mesh", None) is not None:
+            self._jit_sharded_step()
+        else:
+            self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------- scale-out
+    def use_mesh(self, mesh, data_axis="data"):
+        """Enable data-parallel training over a device mesh.
+
+        The batch is sharded along ``data_axis``; params/optimiser state are
+        replicated; XLA derives the gradient ``psum`` from the sharding
+        annotations (SURVEY.md §3.7 — the TPU-native communication backend).
+        The reference has no distributed training; this is the pod-scale
+        path named in BASELINE.json's configs.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self._mesh = mesh
+        self._data_axis = data_axis
+        repl = NamedSharding(mesh, P())
+        self.params = jax.device_put(self.params, repl)
+        self.state = jax.device_put(self.state, repl)
+        if self.opt_state is not None:
+            self.opt_state = jax.device_put(self.opt_state, repl)
+        if getattr(self, "_step_raw", None) is None:
+            self._build_step()
+        else:
+            self._jit_sharded_step()
+        self._predict_fns = {}
+        self._loss_fn = None
+        return self
+
+    def _jit_sharded_step(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self._mesh
+        repl = NamedSharding(mesh, P())
+        batch = NamedSharding(mesh, P(self._data_axis))
+
+        def shard_feed(feed):
+            return {k: batch for k in feed}
+
+        # in_shardings per arg: params, opt_state, state, feed, rng, hyper
+        self._step_fn = jax.jit(
+            self._step_raw, donate_argnums=(0, 1),
+            in_shardings=(repl, repl, repl, None, repl, repl))
+        self._feed_sharding = batch
+
+    def _shard_batch(self, feed):
+        if getattr(self, "_mesh", None) is None:
+            return feed
+        return {k: jax.device_put(jnp.asarray(v), self._feed_sharding)
+                for k, v in feed.items()}
 
     def trainingstep(self, data, target=None, extra=None):
         """One fused fwd+bwd+update step. Returns (loss, aux_dict).
@@ -189,7 +243,7 @@ class Model:
         """
         if self._step_fn is None:
             self._build_step()
-        feed = self._feed(data, target, extra)
+        feed = self._shard_batch(self._feed(data, target, extra))
         hyper = self.optimiser.current_hyper()
         loss_v, aux, gnorm, self.params, self.opt_state, self.state = \
             self._step_fn(self.params, self.opt_state, self.state, feed,

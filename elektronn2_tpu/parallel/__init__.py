@@ -1,0 +1,25 @@
+"""parallel — device-mesh scale-out (DP + spatial context parallelism).
+
+The reference is single-GPU; its only parallelism is host-side data loading
+(SURVEY.md §3.7). The TPU-native equivalents built here:
+
+  * Data parallelism: batch sharded over a ``data`` mesh axis; XLA inserts
+    the gradient ``psum`` from sharding annotations (``Model.use_mesh``).
+  * Spatial context parallelism (the conv analog of ring attention): volume
+    z-axis sharded over a ``space`` mesh axis with per-layer halo exchange
+    via ``lax.ppermute`` — valid-mode conv3d over volumes larger than one
+    chip's HBM (``halo.py``).
+  * TP/PP/EP: not needed at these model sizes (reference scope); the mesh
+    API keeps a ``model`` axis available so channel-sharded convs can be
+    added without restructuring.
+
+All collectives ride ICI within a slice; multi-host via
+``jax.distributed.initialize`` composes with the same mesh code.
+"""
+
+from elektronn2_tpu.parallel.mesh import make_mesh, mesh_info
+from elektronn2_tpu.parallel.halo import (halo_gather, cp_conv_z,
+                                          spatial_cp_stack)
+
+__all__ = ["make_mesh", "mesh_info", "halo_gather", "cp_conv_z",
+           "spatial_cp_stack"]

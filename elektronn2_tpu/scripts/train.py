@@ -1,0 +1,45 @@
+"""``elektronn2-train`` — train a model from an experiment config file.
+
+Reference: ``scripts/elektronn2-train`` (arg parsing, device flags before
+Theano import, exec config, Trainer(...).run()). Device selection is JAX's
+job now; ``--cpu`` forces the host backend for debugging (the analog of the
+reference's ``--gpu`` flag).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="elektronn2-train",
+        description="Train a model from an exec'd Python experiment config")
+    ap.add_argument("config", help="path to the experiment config file")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (debugging)")
+    ap.add_argument("--n-steps", type=int, default=None)
+    ap.add_argument("--save-path", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from elektronn2_tpu.config import ExperimentConfig
+    from elektronn2_tpu.training.trainer import Trainer
+    from elektronn2_tpu.log import logger
+
+    override = {}
+    if args.n_steps is not None:
+        override["n_steps"] = args.n_steps
+    if args.save_path is not None:
+        override["save_path"] = args.save_path
+    exp = ExperimentConfig.from_file(args.config, override=override)
+    logger.info(f"devices: {jax.devices()}")
+    trainer = Trainer(exp)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""The training loop.
+
+Reference: ``elektronn2/training/trainer.py::Trainer`` (``run``,
+``test_model``, ``debug_getbatch``, preview predictions, rolling saves) and
+``TracingTrainer`` for the recurrent tracing workload.
+
+Hot-loop anatomy (SURVEY.md §4.A): batches stream from background threads
+(``parallelisation.BackgroundProc``), each step is ONE fused XLA program
+(fwd+bwd+update, params donated — no host round-trip of weights), schedules
+mutate live hyperparams with zero recompile, and monitoring reads only the
+scalar loss (async device value) so the device never stalls on the host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from elektronn2_tpu.log import logger, add_file_handler
+from elektronn2_tpu.training.parallelisation import BackgroundProc
+from elektronn2_tpu.training.trainutils import (
+    HistoryTracker, Schedule, ConsoleControl, pretty_string_time,
+)
+
+
+class Trainer:
+    """Drive model training from an experiment configuration.
+
+    Accepts either an ``ExperimentConfig`` (see config.py — the exec'd
+    Python file surface of the reference) or explicit ``model=...,
+    data=...`` objects plus keyword overrides.
+    """
+
+    def __init__(self, exp_config=None, model=None, data=None, **kwargs):
+        cfg = {}
+        if exp_config is not None:
+            cfg.update(exp_config.as_dict()
+                       if hasattr(exp_config, "as_dict") else vars(exp_config))
+        cfg.update(kwargs)
+        self.cfg = cfg
+        self.save_path = cfg.get("save_path", "./")
+        self.save_name = cfg.get("save_name", "model")
+        self.batch_size = int(cfg.get("batch_size", 1))
+        self.n_steps = int(cfg.get("n_steps", 1000))
+        self.max_runtime = float(cfg.get("max_runtime", 4 * 24 * 3600))
+        self.history_freq = int(cfg.get("history_freq", 200))
+        self.preview_freq = int(cfg.get("preview_freq", 0) or 0)
+        self.save_freq = int(cfg.get("save_freq", 1000))
+        self.monitor_batch_size = int(cfg.get("monitor_batch_size",
+                                              self.batch_size))
+        self.data_batch_args = dict(cfg.get("data_batch_args", {}))
+        self.n_workers = int(cfg.get("n_workers", 2))
+        self.preview_data = cfg.get("preview_data")
+        self.preview_kwargs = dict(cfg.get("preview_kwargs", {}))
+        self.schedules = dict(cfg.get("schedules", {}))
+
+        # model: direct, from config factory, or from a saved file
+        self.model = model
+        if self.model is None:
+            if cfg.get("model_load_path"):
+                from elektronn2_tpu.neuromancer.model import modelload
+                self.model = modelload(cfg["model_load_path"])
+            elif cfg.get("create_model"):
+                self.model = cfg["create_model"]()
+            else:
+                raise ValueError("no model: pass model=, create_model() "
+                                 "in the config, or model_load_path")
+        if self.model.optimiser is None:
+            opt_name = cfg.get("optimiser", "Adam")
+            self.model.set_opt(opt_name, **dict(cfg.get("optimiser_params",
+                                                        {})))
+
+        # data: direct or from config
+        self.data = data
+        if self.data is None and cfg.get("data_class") is not None:
+            data_class = cfg["data_class"]
+            if isinstance(data_class, str):
+                import elektronn2_tpu.data as dmod
+                data_class = getattr(dmod, data_class)
+            self.data = data_class(**dict(cfg.get("data_init_kwargs", {})))
+        if self.data is not None and hasattr(self.data,
+                                             "link_model_geometry"):
+            if getattr(self.data, "patch_size", None) is None:
+                self.data.link_model_geometry(self.model)
+
+        os.makedirs(self.save_path, exist_ok=True)
+        add_file_handler(os.path.join(self.save_path,
+                                      self.save_name + ".log"))
+        self.history = HistoryTracker()
+        self.console = None
+        self._bind_schedules()
+        self.step = getattr(self.model, "_step_count", 0)
+        self._bg = None
+
+    # ------------------------------------------------------------- plumbing
+    def _bind_schedules(self):
+        bound = {}
+        for key, sched in self.schedules.items():
+            if isinstance(sched, dict):
+                sched = Schedule(**sched)
+            if key in self.model.optimiser.hyperparams:
+                sched.bind_variable(obj=self.model.optimiser, prop_name=key)
+            else:
+                sched.bind_variable(obj=self, prop_name=key)
+            bound[key] = sched
+        self.schedules = bound
+
+    def debug_getbatch(self):
+        return self.data.getbatch(self.batch_size, source="train",
+                                  **self.data_batch_args)
+
+    def save_model(self, suffix="-LAST"):
+        path = os.path.join(self.save_path, self.save_name + suffix + ".mdl")
+        self.model.save(path)
+        return path
+
+    def preview_prediction(self):
+        if self.preview_data is None:
+            logger.warning("no preview_data configured")
+            return None
+        out = self.model.predict_dense(self.preview_data,
+                                       **self.preview_kwargs)
+        try:
+            from elektronn2_tpu.utils.plotting import save_preview_images
+            save_preview_images(out, os.path.join(
+                self.save_path, f"{self.save_name}-preview-{self.step}"))
+        except Exception as e:  # pragma: no cover
+            logger.warning(f"preview plotting failed: {e}")
+        return out
+
+    def test_model(self, source="valid"):
+        """Validation loss/error on one monitoring batch."""
+        try:
+            d, t = self.data.getbatch(self.monitor_batch_size, source=source,
+                                      **{**self.data_batch_args,
+                                         "warp": False})
+        except (ValueError, RuntimeError):
+            return np.nan, np.nan
+        loss, err = self.model.test_error(d, t)
+        return (float(loss), float(err) if err is not None else np.nan)
+
+    # ------------------------------------------------------------ the loop
+    def run(self):
+        """The training hot loop. Reference: ``Trainer.run``."""
+        model, data = self.model, self.data
+        t_start = time.time()
+        self.console = ConsoleControl(self)
+        use_bg = data is not None and self.n_workers > 0
+        if use_bg:
+            self._bg = BackgroundProc(
+                data.getbatch, n_proc=self.n_workers,
+                target_args=(self.batch_size,),
+                target_kwargs=dict(self.data_batch_args),
+                queue_size=max(2, self.n_workers * 2))
+        logger.info(f"training {model.name}: {self.n_steps} steps, "
+                    f"batch {self.batch_size}, "
+                    f"{model.param_count} params")
+        last_loss, last_err = np.nan, np.nan
+        t_step = time.time()
+        try:
+            while self.step < self.n_steps:
+                if self.console.paused:
+                    time.sleep(0.2)
+                    self.console.poll()
+                    continue
+                batch = (self._bg.get() if use_bg
+                         else data.getbatch(self.batch_size,
+                                            **self.data_batch_args))
+                d, t = batch[0], batch[1] if len(batch) > 1 else None
+                loss, aux = model.trainingstep(d, t)
+                self.step += 1
+                self.history.update_timeline(self.step, loss)
+                for sched in self.schedules.values():
+                    sched.update(self.step, self.n_steps)
+
+                if self.step % 50 == 0 or self.step == 1:
+                    dt = (time.time() - t_step) / max(1, 50)
+                    t_step = time.time()
+                    logger.info(
+                        f"step {self.step}/{self.n_steps} "
+                        f"loss={float(loss):.4f} "
+                        f"smooth={self.history.loss_smooth:.4f} "
+                        f"({dt * 1000:.0f} ms/it, "
+                        f"lr={model.optimiser.hyperparams.get('lr'):.2e})")
+                if self.history_freq and self.step % self.history_freq == 0:
+                    last_loss, last_err = self.test_model()
+                    tr_err = float(aux["error"]) if "error" in aux else np.nan
+                    self.history.update_history(self.step, float(loss),
+                                                tr_err, last_loss, last_err)
+                    logger.info(f"validation: loss={last_loss:.4f} "
+                                f"err={last_err:.4f}")
+                if self.preview_freq and self.step % self.preview_freq == 0:
+                    self.preview_prediction()
+                if self.save_freq and self.step % self.save_freq == 0:
+                    self.save_model()
+                    self.save_history()
+                if not self.console.poll():
+                    break
+                if time.time() - t_start > self.max_runtime:
+                    logger.info("max_runtime reached — stopping")
+                    break
+        except KeyboardInterrupt:
+            logger.info("interrupted — saving and exiting")
+        finally:
+            if self._bg is not None:
+                self._bg.shutdown()
+            self.console.quit = True
+            path = self.save_model()
+            self.save_history()
+            logger.info(f"trained {self.step} steps in "
+                        f"{pretty_string_time(time.time() - t_start)}; "
+                        f"saved to {path}")
+        return self.history
+
+    def save_history(self):
+        prefix = os.path.join(self.save_path, self.save_name)
+        self.history.save(prefix)
+        try:
+            self.history.plot(prefix)
+        except Exception as e:  # pragma: no cover
+            logger.warning(f"history plot failed: {e}")
+
+
+class TracingTrainer(Trainer):
+    """Trainer for the recurrent skeleton-tracing workload.
+
+    Reference: ``trainer.py::TracingTrainer`` — drives ``AgentData``
+    tracing batches through a ScanN/GRU model; hidden state is carried via
+    the scan (truncated unroll within a batch, fresh state across batches,
+    matching the reference's truncated-BPTT behaviour).
+    """
+
+    def __init__(self, exp_config=None, model=None, data=None,
+                 n_scan_steps=8, **kwargs):
+        super().__init__(exp_config, model, data, **kwargs)
+        self.n_scan_steps = int(n_scan_steps)
+
+    def debug_getbatch(self):
+        return self.data.get_tracing_batch(self.batch_size,
+                                           n_steps=self.n_scan_steps)
+
+    def run(self):
+        # tracing batches come from get_tracing_batch instead of getbatch
+        orig = self.data.getbatch if self.data is not None else None
+        if self.data is not None:
+            self.data.getbatch = (
+                lambda bs, **kw: self.data.get_tracing_batch(
+                    bs, n_steps=self.n_scan_steps,
+                    source=kw.get("source", "train")))
+        try:
+            return super().run()
+        finally:
+            if orig is not None:
+                self.data.getbatch = orig
