@@ -1,0 +1,249 @@
+"""On-device warp augmentation — batched 3D affine+elastic resampling.
+
+Reference: ``elektronn2/data/transformations.py::warp_slice`` ran per-patch
+on host CPU workers (numba loops). Here the whole augmentation moves ON
+DEVICE (the BASELINE.json north star: "augmentation fully off the host
+critical path"): training cubes live in HBM, the host only samples random
+positions, and a single jitted function cuts+warps+grey-augments a whole
+batch. Transform parameters are generated with ``jax.random`` from
+per-batch keys.
+
+Implementation notes (TPU): the resampling core is a trilinear gather.
+XLA lowers ``jnp.take`` on flattened indices to a native gather — fully
+fused with the weight arithmetic, off the host path. A further speedup
+(planned, see ops/warp_pallas.py) decomposes the affine map into shear
+passes, turning the gather into axis-wise batched matmuls on the MXU.
+
+Parity contract: for identical (M, position) these functions match the host
+reference ``transformations.py`` within float tolerance (tests/test_warp_dev.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_grid(patch_size):
+    """Static centre-relative output grid, (3, N) float32."""
+    grids = np.meshgrid(*[np.arange(p, dtype=np.float32) - (p - 1) / 2.0
+                          for p in patch_size], indexing="ij")
+    return jnp.asarray(np.stack([g.ravel() for g in grids]))
+
+
+def trilinear_gather(src, coords):
+    """src: (f, Z, X, Y); coords: (3, N) → (f, N). Border-clamped."""
+    sp = src.shape[1:]
+    c0 = jnp.floor(coords).astype(jnp.int32)
+    frac = coords - c0
+    c0 = jnp.clip(c0, 0, jnp.asarray(sp, jnp.int32).reshape(3, 1) - 2)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    z0, x0, y0 = c0[0], c0[1], c0[2]
+    fz, fx, fy = frac[0], frac[1], frac[2]
+    flat = src.reshape(src.shape[0], -1)
+    sx, sy = sp[1] * sp[2], sp[2]
+
+    def g(dz, dx, dy):
+        idx = (z0 + dz) * sx + (x0 + dx) * sy + (y0 + dy)
+        return jnp.take(flat, idx, axis=1)
+
+    w000 = (1 - fz) * (1 - fx) * (1 - fy)
+    w001 = (1 - fz) * (1 - fx) * fy
+    w010 = (1 - fz) * fx * (1 - fy)
+    w011 = (1 - fz) * fx * fy
+    w100 = fz * (1 - fx) * (1 - fy)
+    w101 = fz * (1 - fx) * fy
+    w110 = fz * fx * (1 - fy)
+    w111 = fz * fx * fy
+    return (g(0, 0, 0) * w000 + g(0, 0, 1) * w001
+            + g(0, 1, 0) * w010 + g(0, 1, 1) * w011
+            + g(1, 0, 0) * w100 + g(1, 0, 1) * w101
+            + g(1, 1, 0) * w110 + g(1, 1, 1) * w111)
+
+
+def nearest_gather(src, coords):
+    """src: (Z, X, Y) or (f, Z, X, Y); coords: (3, N). Border-clamped."""
+    squeeze = src.ndim == 3
+    if squeeze:
+        src = src[None]
+    sp = src.shape[1:]
+    c = jnp.clip(jnp.rint(coords).astype(jnp.int32), 0,
+                 jnp.asarray(sp, jnp.int32).reshape(3, 1) - 1)
+    flat = src.reshape(src.shape[0], -1)
+    idx = c[0] * (sp[1] * sp[2]) + c[1] * sp[2] + c[2]
+    out = jnp.take(flat, idx, axis=1)
+    return out[0] if squeeze else out
+
+
+def transform_grid(grid, M, position):
+    """Apply homogeneous M (4,4) + translation to a (3, N) grid."""
+    lin = M[:3, :3] @ grid + M[:3, 3:4]
+    w = M[3, :3] @ grid + M[3, 3]
+    return lin / w + position.reshape(3, 1)
+
+
+def warp_patch(src, M, position, patch_size, target=None,
+               target_patch_size=None, target_strides=None,
+               target_offset=None):
+    """Cut one warped patch (+ aligned nearest-interp target) on device.
+
+    Device analog of ``data.transformations.warp_slice`` (border-clamp
+    instead of OOB error — position validity is the host sampler's job).
+    """
+    grid = make_grid(patch_size)
+    coords = transform_grid(grid, M, position)
+    out = trilinear_gather(src, coords).reshape((src.shape[0],)
+                                                + tuple(patch_size))
+    if target is None:
+        return out
+    tps = tuple(target_patch_size or patch_size)
+    tgrid = make_grid(tps)
+    if target_strides is not None:
+        tgrid = tgrid * jnp.asarray(target_strides,
+                                    jnp.float32).reshape(3, 1)
+    if target_offset is not None:
+        tgrid = tgrid + jnp.asarray(target_offset,
+                                    jnp.float32).reshape(3, 1)
+    t_coords = transform_grid(tgrid, M, position)
+    t_out = nearest_gather(target, t_coords)
+    t_out = t_out.reshape(tps if target.ndim == 3
+                          else (target.shape[0],) + tps)
+    return out, t_out
+
+
+# ------------------------------------------------- random params, on device
+
+def random_warp_matrices(key, batch_size, amount=1.0, lock_z=True,
+                         no_x_flip=False, sample_aniso=True):
+    """Batched random warp matrices, (B, 4, 4) — device analog of
+    ``transformations.get_random_warp_params`` + ``make_warp_matrix``."""
+    keys = jax.random.split(key, 6)
+    B = batch_size
+    rot = jax.random.uniform(keys[0], (B,), minval=-np.pi * amount,
+                             maxval=np.pi * amount)
+    shear_a = jax.random.uniform(keys[1], (B,), minval=-0.2,
+                                 maxval=0.2) * amount
+    sc = 1.0 + jax.random.uniform(keys[2], (B, 3), minval=-0.2,
+                                  maxval=0.2) * amount
+    if sample_aniso:
+        sc = sc.at[:, 0].set(1.0 + (sc[:, 0] - 1.0) * 0.5)
+    fx = (jnp.zeros(B, bool) if no_x_flip
+          else jax.random.bernoulli(keys[3], 0.5, (B,)))
+    fy = jax.random.bernoulli(keys[4], 0.5, (B,))
+    fz = (jnp.zeros(B, bool) if lock_z
+          else jax.random.bernoulli(keys[5], 0.5, (B,)))
+
+    c, s = jnp.cos(rot), jnp.sin(rot)
+    one = jnp.ones(B)
+    zero = jnp.zeros(B)
+    # R_z (rotation in x/y plane)
+    R = jnp.stack([
+        jnp.stack([one, zero, zero], 1),
+        jnp.stack([zero, c, -s], 1),
+        jnp.stack([zero, s, c], 1)], axis=1)
+    # shear in the plane orthogonal to z: M[1,2] += shear
+    Sh = jnp.eye(3)[None].repeat(B, 0).at[:, 1, 2].add(shear_a)
+    # scale * flip signs
+    sign = jnp.stack([jnp.where(fz, -1.0, 1.0), jnp.where(fx, -1.0, 1.0),
+                      jnp.where(fy, -1.0, 1.0)], axis=1)
+    D = jax.vmap(jnp.diag)(sc * sign)
+    lin = jnp.einsum("bij,bjk,bkl->bil", D, Sh, R)
+    M = jnp.zeros((B, 4, 4)).at[:, :3, :3].set(lin).at[:, 3, 3].set(1.0)
+    return M
+
+
+def grey_augment(key, x, channels=None):
+    """Batched on-device brightness/contrast/gamma distortion.
+
+    Device analog of ``data.image.greyAugment``; x: (B, f, *sp) in [0,1].
+    """
+    B, F = x.shape[:2]
+    kc, kb, kg = jax.random.split(key, 3)
+    alpha = 1.0 + jax.random.uniform(kc, (B, F), minval=-0.3, maxval=0.3)
+    beta = jax.random.uniform(kb, (B, F), minval=-0.15, maxval=0.15)
+    gamma = 2.0 ** jax.random.uniform(kg, (B, F), minval=-1.0, maxval=1.0)
+    if channels is not None:
+        mask = jnp.zeros(F, bool).at[jnp.asarray(channels)].set(True)
+        alpha = jnp.where(mask, alpha, 1.0)
+        beta = jnp.where(mask, beta, 0.0)
+        gamma = jnp.where(mask, gamma, 1.0)
+    shape = (B, F) + (1,) * (x.ndim - 2)
+    y = x * alpha.reshape(shape) + beta.reshape(shape)
+    return jnp.clip(y, 0.0, 1.0) ** gamma.reshape(shape)
+
+
+# ------------------------------------------------------- batched pipeline
+
+class DeviceBatchAugmenter:
+    """HBM-resident augmentation pipeline.
+
+    Training cubes are stacked (padded) into one device array; per batch the
+    host only draws cube indices + positions; ONE jitted call produces the
+    full augmented (data, target) batch on device. This is the TPU-native
+    replacement for the reference's forked CPU augmentation workers
+    (SURVEY.md §3.7 host-parallelism row).
+    """
+
+    def __init__(self, raws, labels, patch_size, target_size=None,
+                 target_strides=None, warp_amount=1.0, grey_channels=None,
+                 seed=0):
+        f = raws[0].shape[0]
+        sp = np.max([r.shape[1:] for r in raws], axis=0)
+        self.n_cubes = len(raws)
+        stack_r = np.zeros((self.n_cubes, f, *sp), np.float32)
+        stack_l = np.zeros((self.n_cubes, *sp), np.int32)
+        for i, (r, l) in enumerate(zip(raws, labels)):
+            sl = tuple(slice(0, s) for s in r.shape[1:])
+            stack_r[(i, slice(None)) + sl] = r
+            stack_l[(i,) + sl] = l
+        self.raws = jnp.asarray(stack_r)
+        self.labels = jnp.asarray(stack_l)
+        self.cube_shapes = np.array([r.shape[1:] for r in raws])
+        self.patch_size = tuple(int(p) for p in patch_size)
+        self.target_size = tuple(int(t) for t in (target_size or patch_size))
+        self.target_strides = (tuple(target_strides)
+                               if target_strides is not None else None)
+        self.warp_amount = float(warp_amount)
+        self.grey_channels = grey_channels
+        self.key = jax.random.PRNGKey(seed)
+        self._fn = jax.jit(self._batch_fn)
+        self._host_rng = np.random.RandomState(seed)
+
+    def _batch_fn(self, key, cube_idx, positions, warp_on):
+        kw, kg = jax.random.split(key)
+        B = cube_idx.shape[0]
+        Ms = random_warp_matrices(kw, B, amount=self.warp_amount)
+        eye = jnp.eye(4)[None]
+        Ms = jnp.where(warp_on.reshape(B, 1, 1), Ms, eye)
+
+        def one(i, M, pos):
+            src = self.raws[i]
+            lab = self.labels[i]
+            return warp_patch(src, M, pos, self.patch_size, target=lab,
+                              target_patch_size=self.target_size,
+                              target_strides=self.target_strides)
+
+        data, tgt = jax.vmap(one)(cube_idx, Ms, positions)
+        if self.grey_channels:
+            data = grey_augment(kg, data, self.grey_channels)
+        return data, tgt
+
+    def getbatch(self, batch_size=1, warp=0.5, source="train", **_ignored):
+        """Host-side driver: sample cubes/positions, run the jitted batch fn."""
+        rng = self._host_rng
+        idx = rng.randint(0, self.n_cubes, size=batch_size)
+        margin = np.linalg.norm(self.patch_size) / 2 + 2
+        pos = np.empty((batch_size, 3), np.float32)
+        for b, i in enumerate(idx):
+            sh = self.cube_shapes[i]
+            lo = np.minimum(margin, sh / 2 - 1)
+            pos[b] = rng.uniform(lo, sh - lo)
+        warp_on = rng.rand(batch_size) < (1.0 if warp is True else
+                                          float(warp or 0.0))
+        self.key, sub = jax.random.split(self.key)
+        data, tgt = self._fn(sub, jnp.asarray(idx), jnp.asarray(pos),
+                             jnp.asarray(warp_on))
+        return data, tgt
