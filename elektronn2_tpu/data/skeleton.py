@@ -1,0 +1,311 @@
+"""Neurite skeletons: representation, sampling, tracing targets.
+
+Reference: ``elektronn2/data/skeleton.py::SkeletonMFK, Trace`` — skeleton
+graphs from KNOSSOS NML / k.zip annotation files, geometry for the tracing
+agent (local frames along the neurite, next-step direction targets, KD-tree
+nearest-node queries, flight-path generation).
+
+The KD-tree query lives on the host (scipy cKDTree via
+``utils.basic.DynamicKDT``); inside jitted losses it is reached through
+``jax.pure_callback`` with a custom VJP (``skel_loss_callback``) — the same
+host-op pattern as the reference's non-symbolic skeleton ops.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elektronn2_tpu.log import logger
+from elektronn2_tpu.utils.basic import AccumulationArray, DynamicKDT
+
+
+class Trace:
+    """A recorded flight path of the tracing agent.
+
+    Reference: ``skeleton.py::Trace`` — positions + runtime features,
+    incremental direction statistics.
+    """
+
+    def __init__(self, positions=None):
+        self.positions = AccumulationArray(right_shape=(3,),
+                                           dtype=np.float64)
+        if positions is not None:
+            for p in np.asarray(positions, np.float64).reshape(-1, 3):
+                self.positions.append(p)
+
+    def append(self, position):
+        self.positions.append(np.asarray(position, np.float64))
+
+    @property
+    def coords(self):
+        return self.positions.data
+
+    def avg_dir(self, n_last=5):
+        c = self.coords
+        if len(c) < 2:
+            return np.array([0.0, 0.0, 1.0])
+        seg = c[-1] - c[max(0, len(c) - n_last)]
+        n = np.linalg.norm(seg)
+        return seg / n if n > 0 else np.array([0.0, 0.0, 1.0])
+
+    def tortuosity(self, n_last=None):
+        c = self.coords if n_last is None else self.coords[-n_last:]
+        if len(c) < 3:
+            return 1.0
+        path = np.linalg.norm(np.diff(c, axis=0), axis=1).sum()
+        chord = np.linalg.norm(c[-1] - c[0])
+        return float(path / max(chord, 1e-9))
+
+    def __len__(self):
+        return len(self.positions)
+
+
+def _parse_nml(data):
+    """Parse KNOSSOS NML XML → (nodes {id: (z,x,y)}, edges [(a,b)], radii)."""
+    root = ET.fromstring(data)
+    nodes, edges, radii = {}, [], {}
+    for thing in root.iter("thing"):
+        for node in thing.iter("node"):
+            nid = int(node.get("id"))
+            # NML stores x, y, z; framework order is (z, x, y)
+            nodes[nid] = (float(node.get("z")), float(node.get("x")),
+                          float(node.get("y")))
+            radii[nid] = float(node.get("radius", 1.0))
+        for edge in thing.iter("edge"):
+            edges.append((int(edge.get("source")), int(edge.get("target"))))
+    return nodes, edges, radii
+
+
+class SkeletonMFK:
+    """A neurite skeleton graph with tracing geometry.
+
+    Reference: ``skeleton.py::SkeletonMFK`` (Killinger's "MFK" skeleton).
+    Holds node positions (z, x, y), edges, radii; provides KD-tree queries,
+    flight-path sampling and next-step direction targets.
+    """
+
+    def __init__(self, positions, edges, radii=None):
+        self.positions = np.asarray(positions, np.float64).reshape(-1, 3)
+        self.edges = np.asarray(edges, np.int64).reshape(-1, 2)
+        self.radii = (np.asarray(radii, np.float64)
+                      if radii is not None
+                      else np.ones(len(self.positions)))
+        self._adj = [[] for _ in range(len(self.positions))]
+        for a, b in self.edges:
+            self._adj[a].append(b)
+            self._adj[b].append(a)
+        self._kdt = DynamicKDT(self.positions)
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def load(cls, fname):
+        """Load from .nml, .k.zip, or .npz (positions/edges arrays)."""
+        fname = os.fspath(fname)
+        if fname.endswith(".npz"):
+            z = np.load(fname)
+            return cls(z["positions"], z["edges"],
+                       z["radii"] if "radii" in z.files else None)
+        if fname.endswith((".k.zip", ".zip")):
+            with zipfile.ZipFile(fname) as zf:
+                nml_names = [n for n in zf.namelist() if n.endswith(".nml")]
+                data = zf.read(nml_names[0])
+        else:
+            with open(fname, "rb") as f:
+                data = f.read()
+        nodes, edges, radii = _parse_nml(data)
+        ids = sorted(nodes)
+        remap = {nid: i for i, nid in enumerate(ids)}
+        pos = np.array([nodes[i] for i in ids])
+        e = np.array([(remap[a], remap[b]) for a, b in edges
+                      if a in remap and b in remap])
+        r = np.array([radii[i] for i in ids])
+        return cls(pos, e, r)
+
+    def save(self, fname):
+        np.savez(fname, positions=self.positions, edges=self.edges,
+                 radii=self.radii)
+
+    # ------------------------------------------------------------- queries
+    def get_closest_node(self, position):
+        dist, pts, idx = self._kdt.get_knn(np.asarray(position,
+                                                      np.float64), k=1)
+        return int(idx), float(dist)
+
+    def distance_to_skeleton(self, positions):
+        """Distance of arbitrary points to the nearest skeleton node."""
+        d, _, _ = self._kdt.get_knn(np.asarray(positions, np.float64), k=1)
+        return np.atleast_1d(d)
+
+    # ------------------------------------------------------ flight sampling
+    def sample_node(self, rng):
+        return int(rng.randint(len(self.positions)))
+
+    def walk(self, start, n_steps, rng, avoid_backtrack=True):
+        """Random walk along edges: list of node indices (may repeat at
+        dead ends)."""
+        path = [start]
+        prev = -1
+        cur = start
+        for _ in range(n_steps):
+            nbrs = self._adj[cur]
+            if not nbrs:
+                path.append(cur)
+                continue
+            cand = [n for n in nbrs if n != prev] or nbrs
+            nxt = cand[rng.randint(len(cand))]
+            path.append(nxt)
+            prev, cur = cur, nxt
+        return path
+
+    def direction_target(self, position, lookahead=2):
+        """Unit direction from ``position`` toward the skeleton, then along
+        it: the tracing training target (reference: next-step vector toward
+        / along the neurite)."""
+        idx, dist = self.get_closest_node(position)
+        target_node = idx
+        for _ in range(lookahead):
+            nbrs = self._adj[target_node]
+            if not nbrs:
+                break
+            # walk toward the neighbour farthest from current position
+            target_node = max(
+                nbrs, key=lambda n: np.linalg.norm(self.positions[n]
+                                                   - position))
+        vec = self.positions[target_node] - np.asarray(position)
+        n = np.linalg.norm(vec)
+        return vec / n if n > 0 else np.array([0.0, 0.0, 1.0])
+
+    def local_frame(self, node_idx):
+        """Orthonormal frame at a node: (tangent, normal1, normal2)."""
+        nbrs = self._adj[node_idx]
+        if nbrs:
+            t = self.positions[nbrs[0]] - self.positions[node_idx]
+        else:
+            t = np.array([0.0, 0.0, 1.0])
+        n = np.linalg.norm(t)
+        t = t / n if n > 0 else np.array([0.0, 0.0, 1.0])
+        ref = np.array([1.0, 0.0, 0.0])
+        if abs(t @ ref) > 0.9:
+            ref = np.array([0.0, 1.0, 0.0])
+        n1 = np.cross(t, ref)
+        n1 /= np.linalg.norm(n1)
+        n2 = np.cross(t, n1)
+        return np.stack([t, n1, n2])
+
+    def __repr__(self):
+        return (f"<SkeletonMFK {len(self.positions)} nodes, "
+                f"{len(self.edges)} edges>")
+
+
+# --------------------------------------------------------------- skel loss
+
+def _make_skel_loss(skeletons):
+    """Host function: squared distance of landing points to skeleton +
+    gradient, per sample. ``skeletons``: list indexed by sample skel id."""
+
+    def host(landing, skel_ids):
+        landing = np.asarray(landing, np.float64)
+        out_d = np.zeros(len(landing), np.float32)
+        out_g = np.zeros((len(landing), 3), np.float32)
+        for i, (p, sid) in enumerate(zip(landing, skel_ids)):
+            sk = skeletons[int(sid)]
+            idx, dist = sk.get_closest_node(p)
+            diff = p - sk.positions[idx]
+            out_d[i] = dist ** 2
+            out_g[i] = 2.0 * diff
+        return out_d, out_g
+
+    return host
+
+
+def skel_loss_callback(pred, skel_feed, positions=None, skeletons=None):
+    """Differentiable skeleton distance loss inside jit.
+
+    ``pred``: (b, 3) predicted step vectors; ``skel_feed``: (b, 4) rows of
+    [skel_id, z, x, y] current positions (fed as a GenericInput). Loss per
+    sample = squared distance of (position + step) to the skeleton.
+    Gradient flows to ``pred`` through a custom VJP whose backward uses the
+    host-computed direction to the nearest node.
+    """
+    if skeletons is None:
+        skeletons = _SKELETON_REGISTRY
+    host = _make_skel_loss(skeletons)
+
+    @jax.custom_vjp
+    def loss(pred, skel_feed):
+        landing = skel_feed[:, 1:4] + pred
+        d, _ = jax.pure_callback(
+            host,
+            (jax.ShapeDtypeStruct((pred.shape[0],), jnp.float32),
+             jax.ShapeDtypeStruct((pred.shape[0], 3), jnp.float32)),
+            landing, skel_feed[:, 0].astype(jnp.int32),
+            vmap_method="sequential")
+        return d
+
+    def fwd(pred, skel_feed):
+        landing = skel_feed[:, 1:4] + pred
+        d, g = jax.pure_callback(
+            host,
+            (jax.ShapeDtypeStruct((pred.shape[0],), jnp.float32),
+             jax.ShapeDtypeStruct((pred.shape[0], 3), jnp.float32)),
+            landing, skel_feed[:, 0].astype(jnp.int32),
+            vmap_method="sequential")
+        return d, g
+
+    def bwd(g_saved, ct):
+        return (ct[:, None] * g_saved, None)
+
+    loss.defvjp(fwd, bwd)
+    return loss(pred, skel_feed)
+
+
+#: module registry so SkelLoss nodes can reference skeletons by integer id
+#: (node specs must stay JSON-serialisable)
+_SKELETON_REGISTRY = []
+
+
+def register_skeleton(sk):
+    _SKELETON_REGISTRY.append(sk)
+    return len(_SKELETON_REGISTRY) - 1
+
+
+def clear_skeleton_registry():
+    _SKELETON_REGISTRY.clear()
+
+
+# ------------------------------------------------------- tracing batches
+
+def sample_tracing_batch(agent_data, batch_size, n_steps, rng):
+    """(patches, directions, states) for TracingTrainer.
+
+    For each sample: pick a skeleton + walk; at each step cut the image
+    patch at the current position and compute the direction target. Returns
+    sequences shaped (n_steps, b, ...) for ScanN consumption.
+    """
+    from elektronn2_tpu.data.transformations import warp_slice, WarpingOOBError
+    if not agent_data.skeletons:
+        raise ValueError("AgentData has no skeletons loaded")
+    ps = agent_data.patch_size
+    seq_d = np.zeros((n_steps, batch_size, agent_data.n_ch, *ps), np.float32)
+    seq_t = np.zeros((n_steps, batch_size, 3), np.float32)
+    for b in range(batch_size):
+        sk = agent_data.skeletons[rng.randint(len(agent_data.skeletons))]
+        vol = agent_data.train_d[rng.randint(len(agent_data.train_d))]
+        path = sk.walk(sk.sample_node(rng), n_steps, rng)
+        for t in range(n_steps):
+            pos = sk.positions[path[t]]
+            pos = np.clip(pos, np.asarray(ps) / 2 + 1,
+                          np.asarray(vol.shape[1:]) - np.asarray(ps) / 2 - 1)
+            try:
+                seq_d[t, b] = warp_slice(vol, ps, position=pos)
+            except WarpingOOBError:
+                pass  # keep zeros for degenerate geometry
+            seq_t[t, b] = sk.direction_target(pos)
+    return seq_d, seq_t

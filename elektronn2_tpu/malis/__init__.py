@@ -265,11 +265,13 @@ def malis_weighted_nll(pred, aff_gt, seg_gt, nhood, unrestrict_neg=True):
         return pos, neg
 
     shape = jax.ShapeDtypeStruct(pred.shape, jnp.float32)
+    # weights are data-dependent but treated as constants for the gradient
+    # (reference semantics) — stop_gradient on the callback INPUT so the
+    # callback is never differentiated
     pos_w, neg_w = jax.pure_callback(
-        host_weights, (shape, shape), pred.astype(jnp.float32),
+        host_weights, (shape, shape),
+        jax.lax.stop_gradient(pred.astype(jnp.float32)),
         seg_gt, vmap_method="sequential")
-    pos_w = jax.lax.stop_gradient(pos_w)
-    neg_w = jax.lax.stop_gradient(neg_w)
     eps = 1e-10
     nll = -(pos_w * jnp.log(jnp.maximum(pred, eps))
             + neg_w * jnp.log(jnp.maximum(1.0 - pred, eps)))

@@ -269,14 +269,23 @@ class MalisNLL(Node):
 
     def __init__(self, pred, aff_gt, seg_gt, nhood=None, unrestrict_neg=True,
                  name="malis_nll", print_repr=True):
-        super().__init__([pred, aff_gt, seg_gt], name, print_repr)
+        # aff_gt may be None — ground-truth affinities are derived from
+        # seg_gt via seg_to_affgraph inside the loss (reference behaviour)
+        parents = [pred, seg_gt] if aff_gt is None else [pred, aff_gt,
+                                                         seg_gt]
+        self._has_aff_gt = aff_gt is not None
+        super().__init__(parents, name, print_repr)
         from elektronn2_tpu.malis import default_nhood
         self.nhood = (np.asarray(nhood, dtype=np.int32) if nhood is not None
                       else default_nhood(3))
         self.unrestrict_neg = bool(unrestrict_neg)
         self.shape = _loss_map_shape(pred.shape)
 
-    def _compute(self, ctx, pred, aff_gt, seg_gt):
+    def _compute(self, ctx, *pv):
         from elektronn2_tpu.malis import malis_weighted_nll
+        if self._has_aff_gt:
+            pred, aff_gt, seg_gt = pv
+        else:
+            (pred, seg_gt), aff_gt = pv, None
         return malis_weighted_nll(pred, aff_gt, seg_gt, self.nhood,
                                   self.unrestrict_neg)

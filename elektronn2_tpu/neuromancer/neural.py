@@ -107,6 +107,7 @@ class Perceptron(Node, _BNMixin):
         else:
             f_in = ps["f"]
             self.shape = ps.updateshape("f", self.n_f)
+        self._f_ax = None if self.flatten else ps.tag2index("f")
         k = _maxout_factor(activation_func)
         if k > 1:
             self.shape = self.shape.updateshape("f", self.n_f // k)
@@ -128,11 +129,14 @@ class Perceptron(Node, _BNMixin):
             x = x.reshape(x.shape[0], -1)
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
-        if x.ndim == 2:
+        if x.ndim == 2 or (self._f_ax is not None
+                           and self._f_ax == x.ndim - 1):
             y = jnp.dot(x, w.astype(x.dtype),
                         preferred_element_type=x.dtype) + b
         else:
-            y = ops_dot(x, w) + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+            ax = 1 if self._f_ax is None else self._f_ax
+            y = ops_dot(x, w, axis=ax) \
+                + b.reshape((1,) * ax + (-1,) + (1,) * (x.ndim - ax - 1))
         if self.batch_normalisation:
             y = self._apply_bn(y, ctx)
         from elektronn2_tpu.ops.conv import apply_activation

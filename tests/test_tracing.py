@@ -1,0 +1,224 @@
+"""Skeleton / tracing tests (SURVEY.md stage 4): skeleton graphs, NML
+parsing, direction targets, SkelLoss gradients, recurrent tracing training,
+Tracer rollout."""
+
+import io
+import zipfile
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from elektronn2_tpu.data.skeleton import (
+    SkeletonMFK, Trace, skel_loss_callback, register_skeleton,
+    clear_skeleton_registry, sample_tracing_batch,
+)
+from elektronn2_tpu.data.tracing_utils import Tracer, ShotgunRegistry, CubeShape
+
+
+def line_skeleton(n=10, step=2.0):
+    pos = np.stack([np.zeros(n), np.zeros(n),
+                    np.arange(n) * step], axis=1) + 5.0
+    edges = [(i, i + 1) for i in range(n - 1)]
+    return SkeletonMFK(pos, edges)
+
+
+def test_skeleton_basics():
+    sk = line_skeleton()
+    assert len(sk.positions) == 10
+    idx, dist = sk.get_closest_node([5.0, 5.0, 9.0])
+    assert idx == 2 and abs(dist) < 1e-9
+    d = sk.distance_to_skeleton([[5.0, 6.0, 9.0]])
+    np.testing.assert_allclose(d, [1.0])
+
+
+def test_skeleton_walk_and_direction():
+    sk = line_skeleton()
+    rng = np.random.RandomState(0)
+    path = sk.walk(0, 5, rng)
+    assert len(path) == 6
+    # direction target from a point near node 2 points along +y (the line)
+    v = sk.direction_target([5.0, 5.0, 8.0], lookahead=2)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_skeleton_local_frame_orthonormal():
+    sk = line_skeleton()
+    F = sk.local_frame(3)
+    np.testing.assert_allclose(F @ F.T, np.eye(3), atol=1e-9)
+
+
+def test_nml_roundtrip(tmp_path):
+    nml = b"""<?xml version="1.0"?>
+    <things>
+      <thing id="1">
+        <nodes>
+          <node id="1" x="10" y="20" z="5" radius="1.5"/>
+          <node id="2" x="12" y="21" z="6" radius="1.0"/>
+        </nodes>
+        <edges><edge source="1" target="2"/></edges>
+      </thing>
+    </things>"""
+    p = tmp_path / "test.nml"
+    p.write_bytes(nml)
+    sk = SkeletonMFK.load(str(p))
+    assert len(sk.positions) == 2
+    np.testing.assert_allclose(sk.positions[0], [5, 10, 20])  # (z, x, y)
+    assert len(sk.edges) == 1
+
+    # k.zip variant
+    kz = tmp_path / "test.k.zip"
+    with zipfile.ZipFile(kz, "w") as zf:
+        zf.writestr("annotation.nml", nml)
+    sk2 = SkeletonMFK.load(str(kz))
+    np.testing.assert_allclose(sk2.positions, sk.positions)
+
+    # npz variant
+    sk.save(str(tmp_path / "sk.npz"))
+    sk3 = SkeletonMFK.load(str(tmp_path / "sk.npz"))
+    np.testing.assert_allclose(sk3.positions, sk.positions)
+
+
+def test_trace_statistics():
+    t = Trace([[0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 1, 3]])
+    assert len(t) == 4
+    assert t.tortuosity() >= 1.0
+    d = t.avg_dir()
+    assert abs(np.linalg.norm(d) - 1.0) < 1e-9
+
+
+def test_skel_loss_value_and_gradient():
+    clear_skeleton_registry()
+    sk = line_skeleton(n=20, step=1.0)   # line at z,x=5,5 along y from 5..24
+    sid = register_skeleton(sk)
+    # positions at the line; steps moving off it by 2 in x
+    pos = np.array([[sid, 5.0, 5.0, 10.0]], np.float32)
+    pred = jnp.asarray(np.array([[0.0, 2.0, 0.0]], np.float32))
+
+    def loss_fn(p):
+        return jnp.sum(skel_loss_callback(p, jnp.asarray(pos)))
+
+    val = float(loss_fn(pred))
+    assert abs(val - 4.0) < 1e-5          # dist² = 2²
+    g = jax.grad(loss_fn)(pred)
+    np.testing.assert_allclose(np.asarray(g)[0], [0.0, 4.0, 0.0], atol=1e-5)
+
+
+def test_skel_loss_node_in_graph():
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset(seed=2)
+    clear_skeleton_registry()
+    sk = line_skeleton(n=20, step=1.0)
+    sid = register_skeleton(sk)
+    feat = nm.Input([2, 8], "b,f", name="feat")
+    skel = nm.GenericInput(name="skel")
+    pred = nm.Perceptron(feat, 3, activation_func="lin", name="step")
+    sl = nm.SkelLoss(pred, skel, name="skel_loss")
+    loss = nm.AggregateLoss(sl)
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=feat, loss_node=loss, prediction_node=pred,
+                      extra_inputs=[skel])
+    m.set_opt("Adam", lr=1e-2)
+    x = np.random.RandomState(0).randn(2, 8).astype(np.float32)
+    skel_feed = np.array([[sid, 5, 5, 10], [sid, 5, 5, 12]], np.float32)
+    losses = []
+    for _ in range(30):
+        l, _ = m.trainingstep(x, None, extra=[skel_feed])
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_tracing_batch_and_trainer(rng):
+    """AgentData tracing batches feed a GRU ScanN model that learns to
+    predict the direction (stage-4 milestone)."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data.cnndata import AgentData
+
+    vol = rng.rand(1, 32, 32, 32).astype(np.float32)
+    lab = (vol[0] > 0.5).astype(np.int16)
+    ad = AgentData(input_data=[vol], target_data=[lab])
+    ad.set_geometry((5, 5, 5))
+    sk = line_skeleton(n=15, step=1.5)
+    ad.skeletons = [sk]
+    T, B = 4, 2
+    seq_d, seq_t = sample_tracing_batch(ad, B, T, rng)
+    assert seq_d.shape == (T, B, 1, 5, 5, 5)
+    assert seq_t.shape == (T, B, 3)
+
+    nm.model_manager.reset(seed=5)
+    seq = nm.Input([T, B, 1, 5, 5, 5], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, 5, 5, 5], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 16, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=16, name="h0")
+    gru = nm.GRU(enc, h0, n_f=16, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    # readout applied to the stacked (s, b, f) scan output per step
+    out = nm.Perceptron(scan, 3, activation_func="lin", name="readout")
+    tgt = nm.Input([T, B, 3], "s,b,f", name="tgt")
+    loss = nm.AggregateLoss(nm.SquaredLoss(out, tgt))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=seq, target_node=tgt, loss_node=loss,
+                      prediction_node=out)
+    m.set_opt("Adam", lr=3e-3)
+    losses = []
+    for _ in range(20):
+        d, t = sample_tracing_batch(ad, B, T, rng)
+        l, _ = m.trainingstep(d, t)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_tracer_rollout(rng):
+    """A hard-wired 'model' stepping +y traces a straight path."""
+
+    class FakeModel:
+        class _N:
+            pass
+
+        def __init__(self):
+            self.input_node = self._N()
+            from elektronn2_tpu.neuromancer.graphutils import TaggedShape
+            self.input_node.shape = TaggedShape((1, 1, 5, 5, 5),
+                                                "b,f,z,x,y")
+
+        def predict(self, patch):
+            return np.array([[0.0, 0.0, 2.0]], np.float32)
+
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    tracer = Tracer(FakeModel(), vol, max_steps=10)
+    tr = tracer.trace([12.0, 12.0, 5.0])
+    assert len(tr) > 3
+    # moved along +y only
+    np.testing.assert_allclose(tr.coords[-1][:2], [12.0, 12.0])
+    assert tr.coords[-1][2] > 5.0
+
+
+def test_shotgun_registry(rng):
+    class FakeModel:
+        class _N:
+            pass
+
+        def __init__(self):
+            self.input_node = self._N()
+            from elektronn2_tpu.neuromancer.graphutils import TaggedShape
+            self.input_node.shape = TaggedShape((1, 1, 5, 5, 5),
+                                                "b,f,z,x,y")
+
+        def predict(self, patch):
+            return np.array([[0.0, 0.0, 2.0]], np.float32)
+
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    tracer = Tracer(FakeModel(), vol, max_steps=5)
+    reg = ShotgunRegistry([[12, 12, 6], [12, 12, 6.5], [12, 5, 6]],
+                          radius=3.0)
+    traces = reg.run(tracer)
+    assert len(traces) == 2  # second seed deduped against the first trace
+
+
+def test_cube_shape():
+    c = CubeShape((20, 20, 20), (3, 3, 3))
+    assert c.inside([10, 10, 10])
+    assert not c.inside([1, 10, 10])
+    np.testing.assert_allclose(c.clip([0, 10, 25]), [3, 10, 16])
