@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 
 try:
-    from elektronn2_tpu.malis import _malis_cpp  # C++ extension (stage 5)
+    from elektronn2_tpu.malis import native as _malis_cpp
+    _malis_cpp.get_lib()        # builds with g++ on first use (cached .so)
     HAVE_NATIVE = True
-except ImportError:
+except Exception:               # no compiler → numpy fallback (ref policy)
     _malis_cpp = None
     HAVE_NATIVE = False
 

@@ -35,6 +35,81 @@ def _dense_geometry(pred_shape):
     return g, n_off, dense_sp
 
 
+def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
+    """Device-resident dense MFP sweep: volume in, dense map out — all HBM.
+
+    ``vol``: (f, Z, X, Y) jnp array already on device. Tiles are cut with
+    ``lax.dynamic_slice`` and stitched into a device output buffer; nothing
+    crosses the host boundary (the production serving path: in deployment
+    the volume is staged into HBM once and swept there; host↔device traffic
+    is the non-goal the reference's MFP design also optimised against).
+    Returns a device array (f_out, *out_spatial).
+    """
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.ops.mfp import fragments2dense
+
+    inp, pred = model.input_node, model.prediction_node
+    nsp = len(inp.shape.spatial_axes)
+    tile_in = list(inp.shape.spatial_shape)
+    g, n_off, dense_sp = _dense_geometry(pred.shape)
+    fov = list(pred.shape.fov)
+    if pad_raw:
+        pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
+        vol = jnp.pad(vol, pads, mode="reflect")
+    V = list(vol.shape[1:])
+    pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
+    if any(pad_r):
+        vol = jnp.pad(vol, [(0, 0)] + [(0, p) for p in pad_r],
+                      mode="reflect")
+        V = list(vol.shape[1:])
+    out_total = [(V[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
+    span = [dense_sp[d] * g[d] for d in range(nsp)]
+    n_tiles = [max(1, -(-out_total[d] // dense_sp[d])) for d in range(nsp)]
+    f_out = pred.shape["f"]
+
+    origins = []
+    for idx in itertools.product(*[range(n) for n in n_tiles]):
+        o = []
+        for d in range(nsp):
+            i0 = min(idx[d] * span[d], V[d] - tile_in[d])
+            o.append((i0 // g[d]) * g[d])
+        origins.append(tuple(o))
+    origins_arr = np.asarray(origins, np.int32)
+
+    feed_name = inp.name
+    params, state = model.params, model.state
+    cdtype = getattr(model, "_compute_dtype", None)
+
+    def tile_fn(vol, origin):
+        start = jnp.concatenate([jnp.zeros(1, jnp.int32), origin])
+        tile = jax.lax.dynamic_slice(vol, start,
+                                     (vol.shape[0], *tile_in))
+        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+        ctx = TraceCtx(params, {feed_name: tile[None]}, None, train=False,
+                       state_in=state, node_index=model._node_index,
+                       compute_dtype=cdtype)
+        y = ctx.get(pred)
+        return fragments2dense(y, pred.shape.mfp_offsets)[0]
+
+    @jax.jit
+    def sweep(vol, origins):
+        out = jnp.zeros((f_out, *out_total), jnp.float32)
+
+        def body(i, out):
+            o = origins[i]
+            dense = tile_fn(vol, o)
+            o_out = o // jnp.asarray(g, jnp.int32)
+            return jax.lax.dynamic_update_slice(
+                out, dense, (jnp.int32(0), *tuple(o_out[d]
+                                                  for d in range(nsp))))
+
+        return jax.lax.fori_loop(0, len(origins), body, out)
+
+    out = sweep(vol, jnp.asarray(origins_arr))
+    return out
+
+
 def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
                   tile_batch=1, verbose=False):
     """Predict a dense map over an arbitrarily large volume.

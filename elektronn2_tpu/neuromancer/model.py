@@ -98,9 +98,20 @@ class Model:
         return self
 
     # --------------------------------------------------------------- plumbing
+    def set_compute_dtype(self, dtype):
+        """Mixed precision: 'bfloat16' runs conv/dot operands in bf16 with
+        f32 accumulation (MXU-native); None restores full f32. Invalidates
+        compiled functions."""
+        self._compute_dtype = dtype
+        self._step_fn = None
+        self._loss_fn = None
+        self._predict_fns = {}
+        return self
+
     def _apply(self, out_nodes, params, state, feed, rng, train):
         ctx = TraceCtx(params, feed, rng, train=train, state_in=state,
-                       node_index=self._node_index)
+                       node_index=self._node_index,
+                       compute_dtype=getattr(self, "_compute_dtype", None))
         outs = [ctx.get(n) for n in out_nodes]
         new_state = dict(state)
         new_state.update(ctx.state_out)
@@ -323,6 +334,12 @@ class Model:
         return predict_dense(self, raw_img, pad_raw=pad_raw,
                              as_uint8=as_uint8, tile_batch=tile_batch,
                              verbose=verbose)
+
+    def predict_dense_device(self, vol, pad_raw=False):
+        """Device-resident dense sweep: (f, Z, X, Y) jnp array in HBM in,
+        dense map out, no host round-trips (production serving path)."""
+        from elektronn2_tpu.neuromancer.inference import predict_dense_device
+        return predict_dense_device(self, vol, pad_raw=pad_raw)
 
     # ------------------------------------------------------------------ stats
     @property

@@ -254,7 +254,16 @@ class Conv(Node, _BNMixin):
     def _compute(self, ctx, x):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
-        y = ops_conv(x, w) + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+        if ctx.compute_dtype is not None:
+            # mixed precision: bf16 operands on the MXU (internal f32
+            # accumulation), cast back for the elementwise tail — the
+            # explicit astype keeps the conv dtype-uniform so its gradient
+            # transpose is well-typed
+            y = ops_conv(x.astype(ctx.compute_dtype),
+                         w.astype(ctx.compute_dtype)).astype(jnp.float32)
+            y = y + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+        else:
+            y = ops_conv(x, w) + b.reshape((1, -1) + (1,) * (x.ndim - 2))
         if any(p > 1 for p in self.pool_shape):
             if self.mfp:
                 y, _ = fragmentpool(y, self.pool_shape, self._parent_offsets,

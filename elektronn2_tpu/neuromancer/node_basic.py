@@ -36,7 +36,7 @@ class TraceCtx:
     """
 
     def __init__(self, params, feed, rng=None, train=False, state_in=None,
-                 node_index=None):
+                 node_index=None, compute_dtype=None):
         self.params = params or {}
         self.feed = feed or {}
         self.rng = rng
@@ -45,6 +45,9 @@ class TraceCtx:
         self.state_out = {}
         self.values = {}
         self._node_index = node_index or {}
+        #: mixed precision: compute-heavy nodes cast activations/weights to
+        #: this dtype (bfloat16 on TPU), accumulate in float32
+        self.compute_dtype = compute_dtype
 
     def get(self, node):
         """Memoised evaluation of ``node`` (and, recursively, its parents)."""

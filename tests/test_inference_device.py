@@ -1,0 +1,77 @@
+"""Device-resident dense inference + mixed precision tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import elektronn2_tpu.neuromancer as nm
+from elektronn2_tpu.neuromancer import model_manager
+
+
+@pytest.fixture(autouse=True)
+def fresh_graph():
+    model_manager.reset(seed=9)
+    yield
+
+
+def mfp_model():
+    from elektronn2_tpu.utils import cnncalculator
+    calc = cnncalculator([3, 3], [2, 2], desired_patch_size=21, mfp=True,
+                         ndim=1)
+    n = calc.input
+    inp = nm.Input([1, 1, n, n], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    c2 = nm.Conv(c1, 2, 3, 2, mfp=True, name="c2")
+    probs = nm.Softmax(c2)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    return m
+
+
+def test_device_sweep_matches_host(rng):
+    m = mfp_model()
+    raw = rng.randn(1, 33, 33).astype(np.float32)
+    host = m.predict_dense(raw)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+    host_p = m.predict_dense(raw, pad_raw=True)
+    dev_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
+                                              pad_raw=True))
+    np.testing.assert_allclose(dev_p, host_p, atol=1e-6)
+
+
+def test_mixed_precision_close_to_f32(rng):
+    m = mfp_model()
+    raw = rng.randn(1, 33, 33).astype(np.float32)
+    full = m.predict_dense(raw)
+    m.set_compute_dtype("bfloat16")
+    half = m.predict_dense(raw)
+    # probabilities: bf16 operand rounding ⇒ small absolute deviation
+    assert np.abs(full - half).max() < 0.05
+    m.set_compute_dtype(None)
+    again = m.predict_dense(raw)
+    np.testing.assert_allclose(again, full, atol=1e-6)
+
+
+def test_mixed_precision_training_converges(rng):
+    inp = nm.Input([2, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 8, 3, 2, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,x,y", dtype="int32",
+                   name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_compute_dtype("bfloat16")
+    m.set_opt("Adam", lr=2e-3)
+    x = rng.randn(2, 1, 16, 16).astype(np.float32)
+    osz = probs.shape.spatial_shape[0]
+    lo = (16 - osz) // 2
+    y = (x[:, 0, lo:lo + osz, lo:lo + osz] > 0).astype(np.int32)
+    losses = [float(m.trainingstep(x, y)[0]) for _ in range(80)]
+    assert losses[-1] < 0.8 * losses[0]
+    # master params stay f32
+    assert m.params["c1"]["w"].dtype == jnp.float32
