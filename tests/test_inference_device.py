@@ -41,6 +41,41 @@ def test_device_sweep_matches_host(rng):
     np.testing.assert_allclose(dev_p, host_p, atol=1e-6)
 
 
+def test_dilated_dense_strided_model(rng):
+    """Non-MFP model: dilated device path gives genuinely dense output whose
+    strided subsample equals the host (tiled) path."""
+    from elektronn2_tpu.utils import cnncalculator
+    calc = cnncalculator([3, 3], [2, 2], desired_patch_size=26, mfp=False,
+                         ndim=1)
+    n = calc.input
+    inp = nm.Input([1, 1, n, n], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    c2 = nm.Conv(c1, 2, 3, 2, name="c2")
+    probs = nm.Softmax(c2)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = rng.randn(1, 33, 33).astype(np.float32)
+    host = m.predict_dense(raw)               # repeat-upsampled strided map
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert dev.shape == host.shape == (2, 24, 24)
+    np.testing.assert_allclose(dev[:, ::4, ::4], host[:, ::4, ::4],
+                               atol=1e-5)
+
+
+def test_dilated_fallback_on_unsupported_graph(rng):
+    """Graphs the dilated path can't handle fall back to tiling silently."""
+    inp = nm.Input([1, 1, 21, 21], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    bn = nm.BatchNorm(c1)                      # unsupported in dilated path
+    probs = nm.Softmax(nm.Conv(bn, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = rng.randn(1, 27, 27).astype(np.float32)
+    host = m.predict_dense(raw)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
 def test_mixed_precision_close_to_f32(rng):
     m = mfp_model()
     raw = rng.randn(1, 33, 33).astype(np.float32)
