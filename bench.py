@@ -30,9 +30,8 @@ def main():
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model(mfp=True, patch=[23, 103, 103])
-    model.set_compute_dtype("bfloat16")
 
-    vol_shape = (40, 320, 320)
+    vol_shape = (64, 512, 512)   # ~16.8 Mvox EM slab (fits HBM with room)
     rng = np.random.RandomState(0)
     vol = jax.device_put(rng.rand(1, *vol_shape).astype(np.float32))
     jnp.sum(vol).block_until_ready()
