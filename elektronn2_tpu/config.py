@@ -50,6 +50,7 @@ EXPERIMENT_KEYS = (
     "data_class", "data_init_kwargs", "data_batch_args", "preview_data",
     "preview_data_path", "preview_kwargs", "optimiser", "optimiser_params",
     "schedules", "model_load_path", "n_workers", "dr",
+    "trainer_class", "trainer_kwargs", "data_instance",
 )
 
 

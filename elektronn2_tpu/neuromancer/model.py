@@ -98,6 +98,16 @@ class Model:
         return self
 
     # --------------------------------------------------------------- plumbing
+    def set_remat(self, enabled=True):
+        """Rematerialisation: recompute each node's activations in the
+        backward pass instead of storing them (``jax.checkpoint``) — trades
+        FLOPs for HBM, enabling larger training patches per chip. Applies
+        per non-trivial node at the next (re)compile."""
+        self._remat = bool(enabled)
+        self._step_fn = None
+        self._loss_fn = None
+        return self
+
     def set_compute_dtype(self, dtype):
         """Mixed precision: 'bfloat16' runs conv/dot operands in bf16 with
         f32 accumulation (MXU-native); None restores full f32. Invalidates
@@ -112,6 +122,7 @@ class Model:
         ctx = TraceCtx(params, feed, rng, train=train, state_in=state,
                        node_index=self._node_index,
                        compute_dtype=getattr(self, "_compute_dtype", None))
+        ctx.remat = bool(getattr(self, "_remat", False)) and train
         outs = [ctx.get(n) for n in out_nodes]
         new_state = dict(state)
         new_state.update(ctx.state_out)

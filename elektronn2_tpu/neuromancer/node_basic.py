@@ -48,6 +48,8 @@ class TraceCtx:
         #: mixed precision: compute-heavy nodes cast activations/weights to
         #: this dtype (bfloat16 on TPU), accumulate in float32
         self.compute_dtype = compute_dtype
+        #: rematerialise node outputs in the backward pass (jax.checkpoint)
+        self.remat = False
 
     def get(self, node):
         """Memoised evaluation of ``node`` (and, recursively, its parents)."""
@@ -58,7 +60,13 @@ class TraceCtx:
                 v = node._compute_lazy(self)
             else:
                 parent_vals = [self.get(p) for p in node.parents]
-                v = node._compute(self, *parent_vals)
+                if self.remat and node.params:
+                    # rematerialise parameterised nodes in the backward pass
+                    import jax
+                    v = jax.checkpoint(
+                        lambda *pv: node._compute(self, *pv))(*parent_vals)
+                else:
+                    v = node._compute(self, *parent_vals)
             self.values[node.name] = v
         return v
 

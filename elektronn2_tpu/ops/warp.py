@@ -10,9 +10,12 @@ per-batch keys.
 
 Implementation notes (TPU): the resampling core is a trilinear gather.
 XLA lowers ``jnp.take`` on flattened indices to a native gather — fully
-fused with the weight arithmetic, off the host path. A further speedup
-(planned, see ops/warp_pallas.py) decomposes the affine map into shear
-passes, turning the gather into axis-wise batched matmuls on the MXU.
+fused with the weight arithmetic, off the host path. A hand-written Pallas
+gather was evaluated and rejected for now: Mosaic (this jaxlib) does not
+lower dynamic vector gathers from VMEM, leaving only a serial per-row loop
+that cannot beat XLA's gather. The planned faster path is the classic
+3-pass shear decomposition of the affine map (each pass is axis-separable
+resampling = banded matmuls on the MXU) — round-2 work.
 
 Parity contract: for identical (M, position) these functions match the host
 reference ``transformations.py`` within float tolerance (tests/test_warp_dev.py).

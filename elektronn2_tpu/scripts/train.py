@@ -37,7 +37,14 @@ def main(argv=None):
         override["save_path"] = args.save_path
     exp = ExperimentConfig.from_file(args.config, override=override)
     logger.info(f"devices: {jax.devices()}")
-    trainer = Trainer(exp)
+    cfg = exp.as_dict()
+    trainer_cls = Trainer
+    if cfg.get("trainer_class"):
+        import elektronn2_tpu.training as tmod
+        trainer_cls = getattr(tmod, cfg.pop("trainer_class"))
+    tkwargs = dict(cfg.pop("trainer_kwargs", {}) or {})
+    data = cfg.pop("data_instance", None)
+    trainer = trainer_cls(None, data=data, **cfg, **tkwargs)
     trainer.run()
 
 

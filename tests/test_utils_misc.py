@@ -1,0 +1,159 @@
+"""Tests for the utility tail: locking, legacy import, plotting (Agg),
+d3viz, traindata, profile CLI, console completions."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+def test_file_lock(tmp_path):
+    from elektronn2_tpu.utils.locking import FileLock, FileLockException
+    target = str(tmp_path / "file.bin")
+    with FileLock(target, timeout=1):
+        assert os.path.exists(target + ".lock")
+        with pytest.raises(FileLockException):
+            FileLock(target, timeout=0.2).acquire()
+    assert not os.path.exists(target + ".lock")
+
+
+def test_file_lock_concurrent(tmp_path):
+    from elektronn2_tpu.utils.locking import FileLock
+    target = str(tmp_path / "c.bin")
+    order = []
+
+    def worker(i):
+        with FileLock(target, timeout=5):
+            order.append(("in", i))
+            time.sleep(0.05)
+            order.append(("out", i))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # critical sections never interleave
+    for k in range(0, 6, 2):
+        assert order[k][0] == "in" and order[k + 1][0] == "out"
+        assert order[k][1] == order[k + 1][1]
+
+
+def test_legacy_param_import(tmp_path, rng):
+    import pickle
+    import jax
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.utils.legacy import load_legacy_params, import_params
+
+    nm.model_manager.reset(seed=0)
+    inp = nm.Input([1, 1, 9, 9], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, name="c1")
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=c1)
+
+    legacy_w = rng.randn(4, 1, 3, 3).astype(np.float32)
+    with open(tmp_path / "old.pkl", "wb") as f:
+        pickle.dump({"c1": {"w": legacy_w, "b": np.zeros(4, np.float32)}}, f)
+    arrays = load_legacy_params(str(tmp_path / "old.pkl"))
+    import_params(m, arrays)
+    np.testing.assert_array_equal(np.asarray(m.params["c1"]["w"]), legacy_w)
+
+
+def test_plotting_outputs(tmp_path, rng):
+    from elektronn2_tpu.utils.plotting import (scroll_plot, embedfilters,
+                                               plot_hist, sma,
+                                               save_preview_images)
+    vol = rng.rand(6, 16, 16).astype(np.float32)
+    p = scroll_plot(vol, str(tmp_path / "scroll.png"), n_slices=3)
+    assert os.path.exists(p)
+    canvas = embedfilters(rng.randn(4, 2, 3, 3).astype(np.float32),
+                          str(tmp_path / "filters.png"))
+    assert canvas.shape == (4 * 4, 2 * 4)
+    plot_hist(rng.randn(100), str(tmp_path / "hist.png"))
+    assert len(sma(np.arange(100), 10)) == 91
+    save_preview_images(rng.rand(2, 4, 8, 8).astype(np.float32),
+                        str(tmp_path / "prev"))
+    assert os.path.exists(tmp_path / "prev-c0.png")
+
+
+def test_d3viz(tmp_path):
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.utils.d3viz import visualise_model
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 9, 9], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, name="c1")
+    probs = nm.Softmax(c1)
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    path = visualise_model(m, str(tmp_path / "graph.html"))
+    html = open(path).read()
+    assert "raw" in html and "Softmax" in html and "prediction" in html
+
+
+def test_traindata_classes():
+    from elektronn2_tpu.data.traindata import MNISTData, PianoData
+    d = MNISTData()
+    x, y = d.getbatch(32)
+    assert x.shape == (32, 784) and y.shape == (32,)
+    xv, yv = d.getbatch(16, source="valid")
+    assert len(xv) == 16
+    p = PianoData()
+    x, y = p.getbatch(8)
+    assert x.shape[0] == 8 and y.shape == (8, 88)
+
+
+def test_mlp_example_trains(tmp_path):
+    from elektronn2_tpu.scripts.train import main
+    main(["examples/mlp_mnist.py", "--cpu", "--n-steps", "30",
+          "--save-path", str(tmp_path)])
+    assert any(f.endswith(".mdl") for f in os.listdir(tmp_path))
+
+
+def test_profile_cli(tmp_path, rng):
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "m.mdl")
+    m.save(mdl)
+    from elektronn2_tpu.scripts.profile import main
+    out = str(tmp_path / "prof.csv")
+    main([mdl, "--sizes", "16,24", "--out", out, "--cpu"])
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 sizes
+
+
+def test_console_completer():
+    from elektronn2_tpu.utils.ptk_completions import ConsoleCompleter
+    c = ConsoleCompleter()
+    assert c.complete("p", 0) in ("pause", "preview")
+    assert c.complete("lr", 0) == "lr"
+    assert c.complete("zz", 0) is None
+
+
+def test_h5_and_pickle_io(tmp_path, rng):
+    from elektronn2_tpu.utils.basic import (h5save, h5load, picklesave,
+                                            pickleload, AccumulationArray,
+                                            DynamicKDT)
+    a = rng.rand(4, 5).astype(np.float32)
+    h5save({"x": a}, str(tmp_path / "t.h5"))
+    np.testing.assert_array_equal(h5load(str(tmp_path / "t.h5"), "x"), a)
+    np.testing.assert_array_equal(h5load(str(tmp_path / "t.h5")), a)
+    picklesave({"a": 1}, str(tmp_path / "t.pkl"))
+    assert pickleload(str(tmp_path / "t.pkl")) == {"a": 1}
+
+    acc = AccumulationArray(right_shape=(2,), n_init=2)
+    for i in range(5):
+        acc.append([i, i])
+    assert len(acc) == 5
+    np.testing.assert_array_equal(acc.data[:, 0], np.arange(5))
+
+    kdt = DynamicKDT([[0, 0, 0], [1, 1, 1]])
+    kdt.append([5, 5, 5])
+    d, pts, idx = kdt.get_knn([4.9, 5, 5])
+    assert idx == 2
