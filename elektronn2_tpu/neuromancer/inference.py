@@ -35,7 +35,7 @@ def _dense_geometry(pred_shape):
     return g, n_off, dense_sp
 
 
-def dilated_dense_forward(model, vol, batch=False):
+def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
     """Dense prediction via the à-trous (dilated convolution) identity.
 
     MFP (fragment pooling + restitch) computes the network at every pooling
@@ -49,6 +49,13 @@ def dilated_dense_forward(model, vol, batch=False):
     Supports graphs of Conv/Pool/Softmax/Concat/elementwise nodes. Raises
     ``ValueError`` for unsupported node types (caller falls back to tiling).
     ``vol``: (f, Z, X, Y) or, with ``batch=True``, (b, f, Z, X, Y).
+
+    With ``halo_axis`` set (inside ``shard_map`` over a z-sharded volume),
+    every conv/pool first fetches its ``dilation·(k-1)`` halo slabs from the
+    next rank via ``lax.ppermute`` — spatial context parallelism for the
+    dense sweep (see ``predict_dense_sharded``). Each rank's output keeps
+    z_local rows; the global trailing ``fov_z - 1`` rows are invalid and
+    are trimmed by the caller.
     """
     import jax
     import jax.numpy as jnp
@@ -67,7 +74,14 @@ def dilated_dense_forward(model, vol, batch=False):
     x = vol if batch else vol[None]
     values = {}    # node -> (array, dilation tuple)
 
+    def halo(y, n_rows):
+        if halo_axis is None or n_rows == 0 or nsp != 3:
+            return y
+        from elektronn2_tpu.parallel.halo import halo_gather
+        return halo_gather(y, n_rows, halo_axis)
+
     def dilated_pool(y, pool, dil, mode="max"):
+        y = halo(y, dil[0] * (pool[0] - 1) if nsp == 3 else 0)
         window = (1, 1) + tuple(pool)
         wdil = (1, 1) + tuple(dil)
         init = -np.inf if mode == "max" else 0
@@ -84,6 +98,8 @@ def dilated_dense_forward(model, vol, batch=False):
             xin, dil = evaluate(node.parents[0])
             w = params[node.name]["w"]
             b = params[node.name]["b"]
+            if nsp == 3:
+                xin = halo(xin, dil[0] * (w.shape[2] - 1))
             if cdtype is not None:
                 y = ops_conv(xin.astype(cdtype), w.astype(cdtype),
                              dilation=dil).astype(jnp.float32)
@@ -129,6 +145,48 @@ def dilated_dense_forward(model, vol, batch=False):
 
     y, dil = evaluate(pred)
     return y if batch else y[0]
+
+
+def predict_dense_sharded(model, vol, mesh, axis_name="space",
+                          pad_raw=False):
+    """Spatially-sharded dense sweep: the z axis of the volume is split
+    across a mesh axis; each conv/pool halo-exchanges over ICI
+    (``lax.ppermute``) — the conv analog of ring attention (SURVEY.md §3.7),
+    scaling dense inference to volumes larger than one chip's HBM.
+
+    ``vol``: (f, Z, X, Y); Z (after optional fov padding) must be divisible
+    by the mesh axis size. Output matches the unsharded dilated sweep
+    exactly (tests). 3D models only.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    fov = list(model.prediction_node.shape.fov)
+    if pad_raw:
+        pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
+        vol = jnp.pad(vol, pads, mode="reflect")
+    Z = vol.shape[1]
+    pad_z = (n - Z % n) % n
+    if pad_z:
+        vol = jnp.pad(vol, [(0, 0), (0, pad_z), (0, 0), (0, 0)],
+                      mode="reflect")
+
+    shard_fn = jax.shard_map(
+        lambda v: dilated_dense_forward(model, v, batch=True,
+                                        halo_axis=axis_name),
+        mesh=mesh,
+        in_specs=P(None, None, axis_name, None, None),
+        out_specs=P(None, None, axis_name, None, None),
+        check_vma=False)
+
+    @jax.jit
+    def run(vol):
+        y = shard_fn(vol[None])[0]
+        return y[:, :Z - fov[0] + 1]   # trim invalid tail (+ z padding)
+
+    return run(vol)
 
 
 def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):

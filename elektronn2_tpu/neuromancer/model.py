@@ -352,6 +352,13 @@ class Model:
         from elektronn2_tpu.neuromancer.inference import predict_dense_device
         return predict_dense_device(self, vol, pad_raw=pad_raw)
 
+    def predict_dense_sharded(self, vol, mesh, axis_name="space",
+                              pad_raw=False):
+        """Spatial-CP dense sweep over a device mesh (halo exchange)."""
+        from elektronn2_tpu.neuromancer.inference import predict_dense_sharded
+        return predict_dense_sharded(self, vol, mesh, axis_name=axis_name,
+                                     pad_raw=pad_raw)
+
     # ------------------------------------------------------------------ stats
     @property
     def param_count(self):

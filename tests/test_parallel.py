@@ -106,6 +106,28 @@ def test_halo_cp_stack_equals_unsharded(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_dilated_dense_equals_unsharded(rng):
+    """Spatial-CP dense MFP sweep over 4 ranks == single-device sweep
+    (the BASELINE.json 'pod scale-out' inference config)."""
+    inp = nm.Input([1, 1, 11, 21, 21], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), mfp=True, name="c1")
+    c2 = nm.Conv(c1, 2, (3, 3, 3), (1, 2, 2), mfp=True, name="c2")
+    probs = nm.Softmax(c2)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    vol = jnp.asarray(rng.rand(1, 32, 40, 40).astype(np.float32))
+    un = np.asarray(m.predict_dense_device(vol))
+    mesh = make_mesh({"space": 4}, n_devices=4)
+    sh = np.asarray(m.predict_dense_sharded(vol, mesh))
+    assert sh.shape == un.shape
+    np.testing.assert_allclose(sh, un, atol=1e-6)
+    # pad_raw variant: full-coverage output, z not divisible by ranks
+    vol2 = jnp.asarray(rng.rand(1, 30, 40, 40).astype(np.float32))
+    un2 = np.asarray(m.predict_dense_device(vol2, pad_raw=True))
+    sh2 = np.asarray(m.predict_dense_sharded(vol2, mesh, pad_raw=True))
+    np.testing.assert_allclose(sh2, un2, atol=1e-6)
+
+
 def test_halo_cp_rejects_bad_shapes(rng):
     mesh = make_mesh({"space": 4}, n_devices=4)
     layers = [{"w": jnp.asarray(rng.randn(2, 1, 3, 3, 3).astype(np.float32))}]
