@@ -267,17 +267,38 @@ class BatchCreatorImage:
 
 
 class GridData(BatchCreatorImage):
-    """Image data plus sparse grid annotations (e.g. synapse locations).
+    """Image data plus sparse point annotations (e.g. synapse locations).
 
     Reference: ``cnndata.py::GridData`` — extends BatchCreatorImage with
-    vector/grid targets. The grid values are rasterised into an extra
-    target channel before batching.
+    sparse grid/vector targets. Point annotations are rasterised into an
+    extra label id (or a separate channel) at load time: every voxel within
+    ``point_radius`` of an annotated point gets ``point_label``.
+
+    ``grid_points``: per-cube list of (N, 3) arrays of (z, x, y) positions.
     """
 
-    def __init__(self, *args, grid_points=None, grid_values=None, **kwargs):
+    def __init__(self, *args, grid_points=None, point_radius=2,
+                 point_label=None, **kwargs):
         super().__init__(*args, **kwargs)
-        self.grid_points = grid_points
-        self.grid_values = grid_values
+        self.grid_points = grid_points or []
+        self.point_radius = float(point_radius)
+        if grid_points:
+            r = int(np.ceil(self.point_radius))
+            for cube_l, pts in zip(self.train_l + self.valid_l,
+                                   self.grid_points):
+                lab = (point_label if point_label is not None
+                       else int(cube_l.max()) + 1)
+                sh = cube_l.shape[-3:]
+                for p in np.asarray(pts, np.float64).reshape(-1, 3):
+                    lo = np.maximum(np.floor(p - r).astype(int), 0)
+                    hi = np.minimum(np.ceil(p + r).astype(int) + 1, sh)
+                    zz, xx, yy = np.meshgrid(*[np.arange(a, b) for a, b
+                                               in zip(lo, hi)],
+                                             indexing="ij")
+                    m = ((zz - p[0]) ** 2 + (xx - p[1]) ** 2
+                         + (yy - p[2]) ** 2) <= self.point_radius ** 2
+                    cube_l[..., lo[0]:hi[0], lo[1]:hi[1],
+                           lo[2]:hi[2]][m] = lab
 
 
 class AgentData(BatchCreatorImage):

@@ -330,3 +330,17 @@ def test_knossos_backed_warp(rng, tmp_path):
     out = warp_slice(FWrap(ka), (8, 8, 8))
     want = warp_slice(vol[None].astype(np.float32) / 255.0, (8, 8, 8))
     np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_griddata_rasterizes_points(rng):
+    from elektronn2_tpu.data import GridData
+    raws = [rng.rand(1, 24, 24, 24).astype(np.float32)]
+    labs = [np.zeros((24, 24, 24), np.int16)]
+    gd = GridData(input_data=raws, target_data=labs,
+                  grid_points=[np.array([[12, 12, 12], [5, 5, 5]])],
+                  point_radius=2)
+    gd.set_geometry((9, 9, 9), (9, 9, 9))
+    assert gd.train_l[0][12, 12, 12] == 1
+    assert gd.train_l[0][0, 0, 0] == 0
+    d, t = gd.getbatch(2, warp=False)
+    assert d.shape == (2, 1, 9, 9, 9) and t.shape == (2, 9, 9, 9)
