@@ -122,7 +122,8 @@ class BatchCreatorImage:
                 _, _, _ = _interleave_geometry(ps.mfp_offsets)  # validate
                 self.frag_offsets = np.asarray(ps.mfp_offsets)
             self.target_strides = list(ps.strides)
-        if len(self.patch_size) == 2:
+        self._is_2d = len(self.patch_size) == 2
+        if self._is_2d:
             self.patch_size = [1] + self.patch_size
             if self.target_size is not None:
                 self.target_size = [1] + self.target_size
@@ -140,6 +141,11 @@ class BatchCreatorImage:
         self.target_strides = list(target_strides or [1] * len(patch_size))
         self.frag_offsets = (np.asarray(frag_offsets)
                              if frag_offsets is not None else None)
+        self._is_2d = len(self.patch_size) == 2
+        if self._is_2d:
+            self.patch_size = [1] + self.patch_size
+            self.target_size = [1] + self.target_size
+            self.target_strides = [1] + self.target_strides
         return self
 
     # --------------------------------------------------------------- batches
@@ -153,8 +159,13 @@ class BatchCreatorImage:
         return self.valid_d[i], self.valid_l[i]
 
     def _sample_position(self, vol_shape, margin):
-        lo = np.asarray(margin, np.float64)
-        hi = np.asarray(vol_shape, np.float64) - margin
+        vol_shape = np.asarray(vol_shape, np.float64)
+        lo = np.asarray(margin, np.float64).copy()
+        hi = vol_shape - margin
+        # singleton dims (2D data promoted to 3D): position pinned to 0
+        single = vol_shape <= 1
+        lo[single] = 0.0
+        hi[single] = np.nextafter(0.0, 1.0)
         if np.any(hi <= lo):
             raise WarpingOOBError(f"volume {vol_shape} too small for "
                                   f"margin {margin}")
@@ -215,6 +226,9 @@ class BatchCreatorImage:
         tdix = self.target_discrete_ix
         if tdix is None and target.dtype.kind in "iu":
             target = target.astype(np.int32)
+        if getattr(self, "_is_2d", False):
+            data = data[:, :, 0]          # drop the synthetic z axis
+            target = target[:, 0] if target.ndim == 4 else target[..., 0, :, :]
         return data, target
 
     def _try_sample(self, source, warp, warp_args, flip):

@@ -175,12 +175,18 @@ def map_coordinates_linear(src, coords):
     c0 = np.floor(coords).astype(np.int64)
     frac = (coords - c0).astype(src.dtype if src.dtype.kind == "f"
                                 else np.float32)
-    c0 = np.clip(c0, 0, np.array(sp).reshape(3, 1) - 2)
+    # clamp per dim; singleton dims (2D data promoted to 3D) collapse to 0
+    c0 = np.clip(c0, 0, np.maximum(np.array(sp).reshape(3, 1) - 2, 0))
+    c1 = np.minimum(c0 + 1, np.array(sp).reshape(3, 1) - 1)
     z0, x0, y0 = c0
+    z1, x1, y1 = c1
     fz, fx, fy = np.clip(frac, 0.0, 1.0)
 
     def g(dz, dx, dy):
-        return src[:, z0 + dz, x0 + dx, y0 + dy].astype(np.float32)
+        zz = z1 if dz else z0
+        xx = x1 if dx else x0
+        yy = y1 if dy else y0
+        return src[:, zz, xx, yy].astype(np.float32)
 
     out = (g(0, 0, 0) * (1 - fz) * (1 - fx) * (1 - fy)
            + g(0, 0, 1) * (1 - fz) * (1 - fx) * fy
@@ -264,9 +270,10 @@ def warp_coords(patch_size, M=None, position=None, elastic=None,
 
 
 def source_bbox(coords, margin=1):
-    """Bounding box (lo, hi exclusive) of the coords, + interpolation margin."""
+    """Bounding box (lo, hi exclusive) of the coords, + interpolation margin
+    (scalar or per-dim; singleton source dims need margin 0)."""
     lo = np.floor(coords.min(axis=1)).astype(np.int64)
-    hi = np.ceil(coords.max(axis=1)).astype(np.int64) + margin + 1
+    hi = np.ceil(coords.max(axis=1)).astype(np.int64) + np.asarray(margin) + 1
     return lo, hi
 
 
@@ -297,7 +304,7 @@ def warp_slice(img, patch_size, M=None, position=None, target=None,
         elastic = make_elastic_field(rng, patch_size, **elastic_params)
 
     coords, _ = warp_coords(patch_size, M, position, elastic)
-    lo, hi = source_bbox(coords)
+    lo, hi = source_bbox(coords, margin=(img_shape > 1).astype(np.int64))
     if np.any(lo < 0) or np.any(hi > img_shape):
         raise WarpingOOBError(
             f"warped patch bbox [{lo}, {hi}) exceeds source volume "
@@ -320,7 +327,7 @@ def warp_slice(img, patch_size, M=None, position=None, target=None,
                               grid_strides=target_strides,
                               grid_offset=target_offset)
     t_shape = np.array(target.shape[-3:], dtype=np.int64)
-    t_lo, t_hi = source_bbox(t_coords)
+    t_lo, t_hi = source_bbox(t_coords, margin=(t_shape > 1).astype(np.int64))
     if np.any(t_lo < 0) or np.any(t_hi > t_shape):
         raise WarpingOOBError(
             f"warped target bbox [{t_lo}, {t_hi}) exceeds target volume "

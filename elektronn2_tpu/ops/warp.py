@@ -42,15 +42,19 @@ def trilinear_gather(src, coords):
     sp = src.shape[1:]
     c0 = jnp.floor(coords).astype(jnp.int32)
     frac = coords - c0
-    c0 = jnp.clip(c0, 0, jnp.asarray(sp, jnp.int32).reshape(3, 1) - 2)
+    sp_arr = jnp.asarray(sp, jnp.int32).reshape(3, 1)
+    c0 = jnp.clip(c0, 0, jnp.maximum(sp_arr - 2, 0))
+    c1 = jnp.minimum(c0 + 1, sp_arr - 1)
     frac = jnp.clip(frac, 0.0, 1.0)
     z0, x0, y0 = c0[0], c0[1], c0[2]
+    z1, x1, y1 = c1[0], c1[1], c1[2]
     fz, fx, fy = frac[0], frac[1], frac[2]
     flat = src.reshape(src.shape[0], -1)
     sx, sy = sp[1] * sp[2], sp[2]
 
     def g(dz, dx, dy):
-        idx = (z0 + dz) * sx + (x0 + dx) * sy + (y0 + dy)
+        idx = ((z1 if dz else z0) * sx + (x1 if dx else x0) * sy
+               + (y1 if dy else y0))
         return jnp.take(flat, idx, axis=1)
 
     w000 = (1 - fz) * (1 - fx) * (1 - fy)

@@ -344,3 +344,33 @@ def test_griddata_rasterizes_points(rng):
     assert gd.train_l[0][0, 0, 0] == 0
     d, t = gd.getbatch(2, warp=False)
     assert d.shape == (2, 1, 9, 9, 9) and t.shape == (2, 9, 9, 9)
+
+
+def test_batch_creator_2d_images(rng):
+    """2D image-to-image training through the same pipeline (reference
+    supported 2D nets; promoted internally to singleton-z 3D)."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data import BatchCreatorImage
+    nm.model_manager.reset()
+    inp = nm.Input([2, 1, 20, 20], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    model = nm.model_manager.getmodel()
+    model.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                          prediction_node=probs)
+    imgs = [rng.rand(48, 48).astype(np.float32) for _ in range(2)]
+    labs = [(im > 0.5).astype(np.int16) for im in imgs]
+    bc = BatchCreatorImage(input_data=imgs, target_data=labs)
+    bc.link_model_geometry(model)
+    d, t = bc.getbatch(batch_size=2, warp=False)
+    assert d.shape == (2, 1, 20, 20)
+    assert t.shape == (2, 18, 18)
+    d2, t2 = bc.getbatch(batch_size=2, warp=True)  # in-plane warps only
+    assert d2.shape == (2, 1, 20, 20) and np.isfinite(d2).all()
+    model.set_opt("Adam", lr=1e-3)
+    l, _ = model.trainingstep(d, t)
+    assert np.isfinite(float(l))
