@@ -26,3 +26,10 @@ try:
                 "KnossosArray", "KnossosArrayMulti"]
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    # HBM-resident augmentation pipeline (usable as a data_class in configs)
+    from elektronn2_tpu.ops.warp import DeviceBatchAugmenter  # noqa: F401
+    __all__ += ["DeviceBatchAugmenter"]
+except ImportError:  # pragma: no cover
+    pass

@@ -189,6 +189,70 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     return run(vol)
 
 
+def sweep_knossos(model, karr, region=None, step=None, pad_raw=True,
+                  out=None, verbose=False):
+    """Dense-predict a whole KNOSSOS dataset (or a region of it).
+
+    Reference workflow: ``KnossosArray`` tiles feeding ``predict_dense``
+    (SURVEY.md §4.B). Regions of ``step`` voxels (default ~8 Mvox slabs,
+    grown by the model fov for seamless stitching) are staged from the
+    lazily-loaded dataset, swept ON DEVICE via the dilated path, and
+    written into ``out`` (a (f_out, *region_shape) array, allocated if
+    None — pass a memory-mapped array for datasets larger than RAM).
+    """
+    import jax.numpy as jnp
+
+    if region is None:
+        region = tuple((0, s) for s in karr.shape[-3:])
+    region = [(int(a), int(b)) for a, b in region]
+    rshape = [b - a for a, b in region]
+    fov = list(model.prediction_node.shape.fov)
+    f_out = model.prediction_node.shape["f"]
+    if step is None:
+        step = [min(r, s) for r, s in zip(rshape, (64, 384, 384))]
+    if out is None:
+        out = np.zeros([f_out] + rshape, np.float32)
+
+    halo_lo = [(f - 1) // 2 for f in fov]
+    halo_hi = [f - 1 - h for f, h in zip(fov, halo_lo)]
+    done = 0
+    for z0 in range(0, rshape[0], step[0]):
+        for x0 in range(0, rshape[1], step[1]):
+            for y0 in range(0, rshape[2], step[2]):
+                o = (z0, x0, y0)
+                # stage slab + halo, clamped to dataset bounds (missing
+                # halo at the edges is reflect-padded below)
+                lo_cut = [max(0, -(region[d][0] + o[d] - halo_lo[d]))
+                          for d in range(3)]
+                sub = [slice(max(0, region[d][0] + o[d] - halo_lo[d]),
+                             min(region[d][0] + o[d] + step[d] + halo_hi[d],
+                                 karr.shape[-3:][d])) for d in range(3)]
+                slab = np.asarray(karr[tuple(sub)] if karr.ndim == 3
+                                  else karr[(slice(None),) + tuple(sub)])
+                if slab.ndim == 3:
+                    slab = slab[None]
+                if slab.dtype == np.uint8:
+                    slab = slab.astype(np.float32) / 255.0
+                # reflect-pad any missing halo at dataset edges
+                pads = [(0, 0)]
+                want = [step[d] + fov[d] - 1 for d in range(3)]
+                for d in range(3):
+                    have = slab.shape[1 + d]
+                    pads.append((lo_cut[d], max(0, want[d] - have
+                                                - lo_cut[d])))
+                if any(p != (0, 0) for p in pads):
+                    slab = np.pad(slab, pads, mode="reflect")
+                dense = np.asarray(model.predict_dense_device(
+                    jnp.asarray(slab)))
+                n = [min(step[d], rshape[d] - o[d]) for d in range(3)]
+                out[:, o[0]:o[0] + n[0], o[1]:o[1] + n[1],
+                    o[2]:o[2] + n[2]] = dense[:, :n[0], :n[1], :n[2]]
+                done += 1
+                if verbose:
+                    logger.info(f"sweep_knossos: slab {done}")
+    return out
+
+
 def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     """Device-resident dense MFP sweep: volume in, dense map out — all HBM.
 

@@ -359,6 +359,13 @@ class Model:
         return predict_dense_sharded(self, vol, mesh, axis_name=axis_name,
                                      pad_raw=pad_raw)
 
+    def sweep_knossos(self, karr, region=None, step=None, out=None,
+                      verbose=False):
+        """Dense-predict a whole KNOSSOS dataset, slab by staged slab."""
+        from elektronn2_tpu.neuromancer.inference import sweep_knossos
+        return sweep_knossos(self, karr, region=region, step=step, out=out,
+                             verbose=verbose)
+
     # ------------------------------------------------------------------ stats
     @property
     def param_count(self):

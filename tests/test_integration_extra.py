@@ -1,0 +1,106 @@
+"""Remaining-surface integration tests: simple_cnn, rc config, KNOSSOS
+whole-dataset sweep, bmap affinity graphs."""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import elektronn2_tpu.neuromancer as nm
+from elektronn2_tpu.neuromancer import model_manager
+
+
+@pytest.fixture(autouse=True)
+def fresh_graph():
+    model_manager.reset(seed=21)
+    yield
+
+
+def test_simple_cnn_builds_and_trains(rng):
+    model = nm.simple_cnn(batch_size=1, n_ch=1, n_lab=2,
+                          desired_input=[18, 18], filters=[3, 3],
+                          pools=[2, 1], nof_filters=[4, 4], ndim=2)
+    assert model.prediction_node is not None
+    x = rng.rand(*model.input_node.shape).astype(np.float32)
+    y = (rng.rand(model.target_node.shape["b"],
+                  *model.target_node.shape.spatial_shape) > 0.5
+         ).astype(np.int32)
+    model.set_opt("Adam", lr=2e-3)
+    losses = [float(model.trainingstep(x, y)[0]) for _ in range(10)]
+    assert np.isfinite(losses).all()
+
+
+def test_rc_file_config(tmp_path, monkeypatch):
+    rc = tmp_path / "rc"
+    rc.write_text("save_path = '/tmp/custom_save'\nplot_on = False\n")
+    import elektronn2_tpu.config as cfg
+    monkeypatch.setattr(cfg, "RC_PATHS", (str(rc),))
+    c = cfg.Config()
+    assert c.save_path == "/tmp/custom_save"
+    assert c.plot_on is False
+
+
+def test_experiment_config_exec(tmp_path):
+    f = tmp_path / "exp.py"
+    f.write_text("batch_size = 4\nn_steps = 77\n"
+                 "def create_model():\n    return 'sentinel'\n")
+    from elektronn2_tpu.config import ExperimentConfig
+    exp = ExperimentConfig.from_file(str(f))
+    d = exp.as_dict()
+    assert d["batch_size"] == 4 and d["n_steps"] == 77
+    assert d["create_model"]() == "sentinel"
+    assert exp.save_name == "exp"
+
+
+def test_knossos_whole_dataset_sweep(rng, tmp_path):
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    path = write_knossos(tmp_path, vol, cube_edge=8)
+    ka = KnossosArray(path, cube_edge=8)
+    out = m.sweep_knossos(ka, step=[12, 16, 16])
+    ref = np.asarray(m.predict_dense_device(
+        jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # region-restricted sweep
+    out2 = m.sweep_knossos(ka, region=[(4, 20), (8, 24), (0, 32)],
+                           step=[8, 16, 16])
+    np.testing.assert_allclose(out2, ref[:, 4:20, 8:24, :], atol=1e-6)
+
+
+def test_bmap_to_affgraph():
+    from elektronn2_tpu.malis import bmap_to_affgraph, mknhood3d
+    bmap = np.zeros((3, 3, 3), np.int32)
+    bmap[1] = 1     # boundary plane
+    aff = np.asarray(bmap_to_affgraph(bmap, mknhood3d(1)))
+    assert aff.shape == (3, 3, 3, 3)
+    assert aff[0, 1].max() == 0          # no z-connection through boundary
+    assert aff[1, 0, 1:].max() == 1      # in-plane connections off boundary
+
+
+def test_timeit_and_cache():
+    from elektronn2_tpu.utils.basic import timeit, cache
+    calls = []
+
+    @cache
+    def f(x):
+        calls.append(x)
+        return x * 2
+
+    assert f(3) == 6 and f(3) == 6
+    assert calls == [3]
+
+    @timeit
+    def g(x):
+        return x + 1
+
+    assert g(1) == 2
