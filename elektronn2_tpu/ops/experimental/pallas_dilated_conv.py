@@ -11,9 +11,12 @@ ceiling improvement.
 STATUS (round 1): numerically CORRECT (verified vs lax.conv_general_dilated,
 maxdiff ~1e-5/f32, tests run it in interpret mode and at TY=128 on TPU), but
 the Mosaic remote-compile toolchain in this sandbox HANGS at production tile
-sizes (TY=512), so the production dense path stays on XLA
-(neuromancer/inference.py::dilated_dense_forward). Kept as the starting
-point for round-2 kernel work.
+sizes (TY=512). Measured at TY=128 on the flagship layer shape: 3.9 TFLOP/s
+vs XLA's 3.6 — both bound by the same MXU underfill at Cout=40, so the
+production dense path stays on XLA
+(neuromancer/inference.py::dilated_dense_forward). Round-2 direction:
+fuse the WHOLE layer stack per tile (VMEM-resident intermediates) rather
+than beating XLA on a single conv.
 
 Layout contract: activations (Z, X, Cin, Y) — sliced dims leading, tiled
 (8, 128) dims trailing; Cin padded to 8; DMA'd y-slices 128-aligned.

@@ -374,3 +374,56 @@ def test_batch_creator_2d_images(rng):
     model.set_opt("Adam", lr=1e-3)
     l, _ = model.trainingstep(d, t)
     assert np.isfinite(float(l))
+
+
+def test_mfp_fragment_target_alignment(rng):
+    """Load-bearing MFP-training contract: fragment k's target equals the
+    labels at (patch_start + base_offset + frag_offset + j*stride) — i.e.
+    the voxels fragment k's outputs actually predict."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data import BatchCreatorImage
+    nm.model_manager.reset()
+    # conv3 + mfp-pool2 in x/y: fov 4 (even), offsets {0,1}^2, stride 2
+    inp = nm.Input([1, 1, 1, 13, 13], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 2, (1, 3, 3), (1, 2, 2), mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([probs.shape["b"], *probs.shape.spatial_shape],
+                   "b,z,x,y", dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+
+    size = 32
+    raw = rng.rand(1, 1, size, size).astype(np.float32)
+    lab = np.arange(size * size).reshape(1, size, size).astype(np.int32)
+    bc = BatchCreatorImage(input_data=[raw], target_data=[lab])
+    bc.link_model_geometry(m)
+    d, t = bc.getbatch(1, warp=False)
+    assert t.shape == (4, 1, 5, 5)   # 4 fragments × b=1
+
+    # locate the (1,13,13) patch in the raw volume
+    found = None
+    for x0 in range(size - 13 + 1):
+        for y0 in range(size - 13 + 1):
+            if np.allclose(raw[0, 0, x0:x0 + 13, y0:y0 + 13], d[0, 0, 0],
+                           atol=1e-6):
+                found = (x0, y0)
+                break
+        if found:
+            break
+    assert found is not None
+    x0, y0 = found
+
+    frag_offsets = m.prediction_node.shape.mfp_offsets   # (4, 3)
+    strides = m.prediction_node.shape.strides            # (1, 2, 2)
+    # patch centre-aligned target grid: t[k, 0, i, j] should equal
+    # lab[x0 + cx + off_x + i*sx, y0 + cy + off_y + j*sy] where (cx, cy)
+    # centre the 5-point stride-2 grid in the 13-wide patch: (13-1)/2 - 2*2
+    c = (13 - 1) // 2 - 2 * 2
+    for k, off in enumerate(frag_offsets):
+        want = lab[0,
+                   x0 + c + off[1]:x0 + c + off[1] + 10:2,
+                   y0 + c + off[2]:y0 + c + off[2] + 10:2]
+        np.testing.assert_array_equal(t[k, 0], want)
