@@ -58,10 +58,20 @@ def main(argv=None):
         t_pred = time_fn(lambda: model.predict(raw))
         mvox = np.prod(model.prediction_node.shape.spatial_shape) \
             * model.prediction_node.shape["b"] / t_pred / 1e6
-        rows.append({"size": size, "predict_s": t_pred,
-                     "pred_Mvox_s": mvox})
+        row = {"size": size, "predict_s": t_pred, "pred_Mvox_s": mvox}
+        # trainingstep timing (reference profiles both)
+        if model.target_node is not None and model.loss_node is not None:
+            t_ts = model.target_node.shape
+            tgt = np.random.randint(0, 2, tuple(t_ts)).astype(np.int32)
+            if model.optimiser is None:
+                model.set_opt("SGD", lr=0.0, mom=0.0)
+            t_train = time_fn(lambda: model.trainingstep(raw, tgt)[0])
+            row["trainingstep_s"] = t_train
+        rows.append(row)
         logger.info(f"size {size}: predict {t_pred * 1e3:.1f} ms "
-                    f"({mvox:.1f} Mvox/s)")
+                    f"({mvox:.1f} Mvox/s)"
+                    + (f", train {row['trainingstep_s'] * 1e3:.1f} ms"
+                       if "trainingstep_s" in row else ""))
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

@@ -2,19 +2,25 @@
 
 Reference: ``elektronn2/training/parallelisation.py::BackgroundProc,
 SharedQ, SharedMem`` — fork()ed worker processes pushing batches through
-shared ctypes memory. That design existed because Theano held the GIL during
-augmentation; it is on the SURVEY.md do-not-mirror list.
+shared ctypes memory.
 
-TPU-first redesign: a thread pool keeps ``getbatch`` running ahead of the
-consumer. Numpy interpolation/BLAS release the GIL, h5 reads are IO-bound,
-and the heavy augmentation moves on-device (ops/warp.py) — so threads +
-queue reach the same goal with zero serialisation cost and graceful
-shutdown. The public surface (``get()``, ``reset()``, ``shutdown()``)
-matches the reference.
+Two backends with one surface (``get()``, ``reset()``, ``shutdown()``):
+
+* ``mode='process'`` (default): fork()ed workers, batches returned through a
+  multiprocessing queue — the reference's design. Forking also isolates the
+  main process's device-client threads: on some transports (the axon TPU
+  tunnel in this sandbox) device readbacks can wedge when arbitrary Python
+  threads run in the same process, so process isolation is the *safe*
+  default, exactly as it was for Theano's GIL.
+* ``mode='thread'``: an in-process thread pool — zero-copy, right choice
+  when the producer itself touches JAX (e.g. DeviceBatchAugmenter) or when
+  the dataset must not be forked.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
 import time
@@ -26,8 +32,38 @@ class TimeoutError(RuntimeError):
     pass
 
 
+def _proc_worker(target, args, kwargs, q, stop):
+    """Child process loop: produce → enqueue until told to stop."""
+    # children only run host numpy code; reseed any numpy RNG the target
+    # object carries so forked workers don't produce identical batches
+    try:
+        import numpy as np
+        seed = (os.getpid() * 2654435761) % 2 ** 31
+        np.random.seed(seed)
+        self_obj = getattr(target, "__self__", None)
+        if self_obj is not None and hasattr(self_obj, "rng"):
+            self_obj.rng = np.random.RandomState(seed)
+    except Exception:
+        pass
+    while not stop.is_set():
+        try:
+            item = target(*args, **kwargs)
+        except Exception as e:
+            try:
+                q.put(("__error__", repr(e)), timeout=1.0)
+            except Exception:
+                pass
+            return
+        while not stop.is_set():
+            try:
+                q.put(("__item__", item), timeout=0.2)
+                break
+            except queue.Full:
+                continue
+
+
 class BackgroundProc:
-    """Run ``target(*args, **kwargs)`` repeatedly in background threads,
+    """Run ``target(*args, **kwargs)`` repeatedly in the background,
     buffering results in a bounded queue.
 
     Usage (mirrors the reference):
@@ -35,27 +71,42 @@ class BackgroundProc:
                             target_args=(batch_size,),
                             target_kwargs=batch_kwargs)
         batch = bg.get()
-        ...
         bg.shutdown()
     """
 
     def __init__(self, target, n_proc=2, target_args=(), target_kwargs=None,
-                 queue_size=4, profile=False):
+                 queue_size=4, profile=False, mode="process"):
         self.target = target
         self.target_args = tuple(target_args)
         self.target_kwargs = dict(target_kwargs or {})
-        self.q = queue.Queue(maxsize=max(1, int(queue_size)))
-        self._stop = threading.Event()
-        self._exc = None
+        self.mode = mode
         self.profile = profile
-        self._produced = 0
-        self._threads = [threading.Thread(target=self._work, daemon=True,
-                                          name=f"bgproc-{i}")
-                         for i in range(max(1, int(n_proc)))]
-        for t in self._threads:
-            t.start()
+        self._exc = None
+        n_proc = max(1, int(n_proc))
+        queue_size = max(1, int(queue_size))
+        if mode == "process":
+            ctx = mp.get_context("fork")
+            self.q = ctx.Queue(maxsize=queue_size)
+            self._stop = ctx.Event()
+            self._workers = [
+                ctx.Process(target=_proc_worker,
+                            args=(target, self.target_args,
+                                  self.target_kwargs, self.q, self._stop),
+                            daemon=True)
+                for _ in range(n_proc)]
+        elif mode == "thread":
+            self.q = queue.Queue(maxsize=queue_size)
+            self._stop = threading.Event()
+            self._workers = [
+                threading.Thread(target=self._thread_work, daemon=True,
+                                 name=f"bgproc-{i}")
+                for i in range(n_proc)]
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        for w in self._workers:
+            w.start()
 
-    def _work(self):
+    def _thread_work(self):
         while not self._stop.is_set():
             try:
                 t0 = time.perf_counter()
@@ -63,30 +114,36 @@ class BackgroundProc:
                 if self.profile:
                     logger.debug(f"bgproc item in "
                                  f"{time.perf_counter() - t0:.3f}s")
-            except Exception as e:  # propagate to consumer
+            except Exception as e:
                 self._exc = e
                 self._stop.set()
                 break
             while not self._stop.is_set():
                 try:
-                    self.q.put(item, timeout=0.2)
-                    self._produced += 1
+                    self.q.put(("__item__", item), timeout=0.2)
                     break
                 except queue.Full:
                     continue
 
-    def get(self, timeout=60.0):
+    def get(self, timeout=120.0):
         """Fetch the next ready batch (blocking)."""
         deadline = time.monotonic() + timeout
         while True:
             if self._exc is not None:
                 raise RuntimeError("background worker failed") from self._exc
             try:
-                return self.q.get(timeout=0.2)
+                kind, payload = self.q.get(timeout=0.2)
             except queue.Empty:
+                if self.mode == "process" and not any(
+                        w.is_alive() for w in self._workers):
+                    raise RuntimeError("all background workers died")
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"no batch produced within {timeout}s")
+                continue
+            if kind == "__error__":
+                raise RuntimeError(f"background worker failed: {payload}")
+            return payload
 
     def reset(self):
         """Drop buffered batches (e.g. after data parameters changed)."""
@@ -98,8 +155,13 @@ class BackgroundProc:
 
     def shutdown(self):
         self._stop.set()
-        for t in self._threads:
-            t.join(timeout=2.0)
+        self.reset()
+        for w in self._workers:
+            w.join(timeout=2.0)
+        if self.mode == "process":
+            for w in self._workers:
+                if w.is_alive():
+                    w.terminate()
 
     def __enter__(self):
         return self
@@ -115,5 +177,5 @@ class BackgroundProc:
 
 
 #: reference alias — the queue abstraction and the proc pool were separate
-#: classes there; the thread rebuild needs only one.
+#: classes there; one class serves both here.
 SharedQ = BackgroundProc

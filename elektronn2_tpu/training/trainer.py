@@ -148,15 +148,31 @@ class Trainer:
         t_start = time.time()
         self.console = ConsoleControl(self)
         use_bg = data is not None and self.n_workers > 0
-        if use_bg:
+        if use_bg and type(data).__name__ == "DeviceBatchAugmenter":
+            # device-side producer: batches are made on the accelerator in
+            # the main process; background host workers add nothing
+            use_bg = False
+        logger.info(f"training {model.name}: {self.n_steps} steps, "
+                    f"batch {self.batch_size}, "
+                    f"{model.param_count} params")
+        if use_bg and self.step < self.n_steps:
+            # run the FIRST step synchronously before starting worker
+            # threads: the compile + first device readback must happen with
+            # no competing Python threads (the axon transport can wedge a
+            # future when its handshake is interleaved with busy threads)
+            batch = data.getbatch(self.batch_size, **self.data_batch_args)
+            loss, aux = model.trainingstep(batch[0], batch[1]
+                                           if len(batch) > 1 else None)
+            self.step += 1
+            self.history.update_timeline(self.step, float(loss))
+            logger.info(f"step {self.step}/{self.n_steps} (warmup) "
+                        f"loss={float(loss):.4f}")
             self._bg = BackgroundProc(
                 data.getbatch, n_proc=self.n_workers,
                 target_args=(self.batch_size,),
                 target_kwargs=dict(self.data_batch_args),
-                queue_size=max(2, self.n_workers * 2))
-        logger.info(f"training {model.name}: {self.n_steps} steps, "
-                    f"batch {self.batch_size}, "
-                    f"{model.param_count} params")
+                queue_size=max(2, self.n_workers * 2),
+                mode=self.cfg.get("worker_mode", "process"))
         last_loss, last_err = np.nan, np.nan
         t_step = time.time()
         try:

@@ -19,27 +19,29 @@ def fresh_graph():
     yield
 
 
-def test_background_proc_produces_and_shuts_down():
-    calls = []
-
+@pytest.mark.parametrize("mode", ["thread", "process"])
+def test_background_proc_produces_and_shuts_down(mode):
     def produce(n):
-        calls.append(1)
-        return np.full(n, len(calls))
+        return np.random.rand(n)
 
-    with BackgroundProc(produce, n_proc=2, target_args=(4,)) as bg:
-        items = [bg.get(timeout=10) for _ in range(5)]
+    with BackgroundProc(produce, n_proc=2, target_args=(4,),
+                        mode=mode) as bg:
+        items = [bg.get(timeout=20) for _ in range(5)]
     assert all(it.shape == (4,) for it in items)
-    assert len(calls) >= 5
+    # forked workers must not produce identical batches (reseeded RNG)
+    assert not np.allclose(items[0], items[1])
 
 
-def test_background_proc_propagates_errors():
-    def boom():
-        raise ValueError("worker exploded")
-
-    bg = BackgroundProc(boom, n_proc=1)
+@pytest.mark.parametrize("mode", ["thread", "process"])
+def test_background_proc_propagates_errors(mode):
+    bg = BackgroundProc(_boom, n_proc=1, mode=mode)
     with pytest.raises(RuntimeError):
-        bg.get(timeout=5)
+        bg.get(timeout=10)
     bg.shutdown()
+
+
+def _boom():
+    raise ValueError("worker exploded")
 
 
 def test_schedule_modes():
