@@ -128,12 +128,14 @@ class Model:
         new_state.update(ctx.state_out)
         return outs, new_state
 
-    def _feed(self, data, target=None, extra=None):
+    def _feed(self, data, target=None, extra=None, overrides=None):
         feed = {self.input_node.name: data}
         if target is not None and self.target_node is not None:
             feed[self.target_node.name] = target
         for node, val in zip(self.extra_inputs, extra or []):
             feed[node.name] = val
+        if overrides:
+            feed.update(overrides)
         return feed
 
     def _next_rng(self):
@@ -257,15 +259,19 @@ class Model:
         return {k: jax.device_put(jnp.asarray(v), self._feed_sharding)
                 for k, v in feed.items()}
 
-    def trainingstep(self, data, target=None, extra=None):
+    def trainingstep(self, data, target=None, extra=None,
+                     feed_overrides=None):
         """One fused fwd+bwd+update step. Returns (loss, aux_dict).
 
         aux_dict holds 'error' (if an error node is designated), per-debug
-        outputs, and 'gradnorm'. Reference: ``Model.trainingstep``.
+        outputs, and 'gradnorm'. ``feed_overrides`` injects values for
+        non-input nodes that accept feeding (e.g. InitialState_like for
+        truncated-BPTT state carry). Reference: ``Model.trainingstep``.
         """
         if self._step_fn is None:
             self._build_step()
-        feed = self._shard_batch(self._feed(data, target, extra))
+        feed = self._shard_batch(self._feed(data, target, extra,
+                                            feed_overrides))
         hyper = self.optimiser.current_hyper()
         loss_v, aux, gnorm, self.params, self.opt_state, self.state = \
             self._step_fn(self.params, self.opt_state, self.state, feed,

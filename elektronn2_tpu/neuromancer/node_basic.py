@@ -368,6 +368,10 @@ class InitialState_like(Node):
         self.register_param("state0", val, trainable=True)
 
     def _compute_lazy(self, ctx):
+        if self.name in ctx.feed:
+            # externally-carried state (truncated BPTT across batches):
+            # a fed value overrides the learnable initial state
+            return jnp.asarray(ctx.feed[self.name])
         state0 = ctx.param(self, "state0")
         return jnp.broadcast_to(state0, tuple(self.shape))
 

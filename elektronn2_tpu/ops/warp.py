@@ -94,14 +94,18 @@ def transform_grid(grid, M, position):
 
 def warp_patch(src, M, position, patch_size, target=None,
                target_patch_size=None, target_strides=None,
-               target_offset=None):
+               target_offset=None, elastic=None):
     """Cut one warped patch (+ aligned nearest-interp target) on device.
 
     Device analog of ``data.transformations.warp_slice`` (border-clamp
     instead of OOB error — position validity is the host sampler's job).
+    ``elastic``: optional (3, *patch) displacement field added in source
+    space (see ``random_elastic_fields``).
     """
     grid = make_grid(patch_size)
     coords = transform_grid(grid, M, position)
+    if elastic is not None:
+        coords = coords + elastic.reshape(3, -1)
     out = trilinear_gather(src, coords).reshape((src.shape[0],)
                                                 + tuple(patch_size))
     if target is None:
@@ -162,6 +166,20 @@ def random_warp_matrices(key, batch_size, amount=1.0, lock_z=True,
     return M
 
 
+def random_elastic_fields(key, batch_size, patch_size, grid=4, sigma=3.0):
+    """Batched low-frequency elastic displacement fields, (B, 3, *patch).
+
+    Device analog of ``data.transformations.make_elastic_field``: coarse
+    Gaussian displacements upsampled trilinearly to the patch grid
+    (``jax.image.resize``).
+    """
+    coarse = jax.random.normal(key, (batch_size, 3, grid, grid, grid)) * sigma
+    return jax.image.resize(coarse,
+                            (batch_size, 3) + tuple(int(p)
+                                                    for p in patch_size),
+                            method="trilinear")
+
+
 def grey_augment(key, x, channels=None):
     """Batched on-device brightness/contrast/gamma distortion.
 
@@ -196,7 +214,7 @@ class DeviceBatchAugmenter:
 
     def __init__(self, raws, labels, patch_size, target_size=None,
                  target_strides=None, warp_amount=1.0, grey_channels=None,
-                 seed=0):
+                 elastic_sigma=0.0, elastic_grid=4, seed=0):
         f = raws[0].shape[0]
         sp = np.max([r.shape[1:] for r in raws], axis=0)
         self.n_cubes = len(raws)
@@ -215,25 +233,35 @@ class DeviceBatchAugmenter:
                                if target_strides is not None else None)
         self.warp_amount = float(warp_amount)
         self.grey_channels = grey_channels
+        self.elastic_sigma = float(elastic_sigma)
+        self.elastic_grid = int(elastic_grid)
         self.key = jax.random.PRNGKey(seed)
         self._fn = jax.jit(self._batch_fn)
         self._host_rng = np.random.RandomState(seed)
 
     def _batch_fn(self, key, cube_idx, positions, warp_on):
-        kw, kg = jax.random.split(key)
+        kw, kg, ke = jax.random.split(key, 3)
         B = cube_idx.shape[0]
         Ms = random_warp_matrices(kw, B, amount=self.warp_amount)
         eye = jnp.eye(4)[None]
         Ms = jnp.where(warp_on.reshape(B, 1, 1), Ms, eye)
+        if self.elastic_sigma > 0:
+            fields = random_elastic_fields(ke, B, self.patch_size,
+                                           self.elastic_grid,
+                                           self.elastic_sigma)
+            fields = fields * warp_on.reshape(B, 1, 1, 1, 1)
+        else:
+            fields = jnp.zeros((B, 3) + self.patch_size)
 
-        def one(i, M, pos):
+        def one(i, M, pos, field):
             src = self.raws[i]
             lab = self.labels[i]
             return warp_patch(src, M, pos, self.patch_size, target=lab,
                               target_patch_size=self.target_size,
-                              target_strides=self.target_strides)
+                              target_strides=self.target_strides,
+                              elastic=field)
 
-        data, tgt = jax.vmap(one)(cube_idx, Ms, positions)
+        data, tgt = jax.vmap(one)(cube_idx, Ms, positions, fields)
         if self.grey_channels:
             data = grey_augment(kg, data, self.grey_channels)
         return data, tgt

@@ -185,7 +185,8 @@ class Trainer:
                          else data.getbatch(self.batch_size,
                                             **self.data_batch_args))
                 d, t = batch[0], batch[1] if len(batch) > 1 else None
-                loss, aux = model.trainingstep(d, t)
+                loss, aux = model.trainingstep(d, t, **self._step_kwargs())
+                self._post_step(aux)
                 self.step += 1
                 self.history.update_timeline(self.step, loss)
                 for sched in self.schedules.values():
@@ -230,6 +231,13 @@ class Trainer:
                         f"saved to {path}")
         return self.history
 
+    def _step_kwargs(self):
+        """Extra kwargs for model.trainingstep (hook for subclasses)."""
+        return {}
+
+    def _post_step(self, aux):
+        """Per-step hook after trainingstep (subclasses: state carry)."""
+
     def save_history(self):
         prefix = os.path.join(self.save_path, self.save_name)
         self.history.save(prefix)
@@ -243,15 +251,43 @@ class TracingTrainer(Trainer):
     """Trainer for the recurrent skeleton-tracing workload.
 
     Reference: ``trainer.py::TracingTrainer`` — drives ``AgentData``
-    tracing batches through a ScanN/GRU model; hidden state is carried via
-    the scan (truncated unroll within a batch, fresh state across batches,
-    matching the reference's truncated-BPTT behaviour).
+    tracing batches through a ScanN/GRU model. With ``carry_state=True``
+    the scan's final hidden state is fed back as the next batch's initial
+    state (a concrete array → gradients truncate at batch boundaries:
+    truncated BPTT, the reference's state-carry behaviour).
     """
 
     def __init__(self, exp_config=None, model=None, data=None,
-                 n_scan_steps=8, **kwargs):
+                 n_scan_steps=8, carry_state=False, **kwargs):
         super().__init__(exp_config, model, data, **kwargs)
         self.n_scan_steps = int(n_scan_steps)
+        self.carry_state = bool(carry_state)
+        self._carry = {}
+        self._carry_map = {}
+        if self.carry_state:
+            from elektronn2_tpu.neuromancer.various import ScanN
+            for node in self.model.nodes.values():
+                if (isinstance(node, ScanN) and len(node.in_memory) == 1
+                        and node.out_memory == [node.step_result]
+                        and not node.last_only):
+                    self._carry_map[node.name] = node.in_memory[0].name
+                    if node not in self.model.debug_outputs:
+                        self.model.debug_outputs.append(node)
+            if self._carry_map:
+                self.model._step_fn = None   # rebuild with scan outputs
+            else:
+                logger.warning("carry_state=True but no carryable ScanN "
+                               "node found")
+
+    def _step_kwargs(self):
+        return ({"feed_overrides": dict(self._carry)} if self._carry
+                else {})
+
+    def _post_step(self, aux):
+        for scan_name, state_name in self._carry_map.items():
+            ys = aux.get(scan_name)
+            if ys is not None:
+                self._carry[state_name] = ys[-1]   # concrete → truncation
 
     def debug_getbatch(self):
         return self.data.get_tracing_batch(self.batch_size,

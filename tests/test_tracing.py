@@ -222,3 +222,46 @@ def test_cube_shape():
     assert c.inside([10, 10, 10])
     assert not c.inside([1, 10, 10])
     np.testing.assert_allclose(c.clip([0, 10, 25]), [3, 10, 16])
+
+
+def test_tracing_trainer_state_carry(rng):
+    """TracingTrainer(carry_state=True): the scan's final hidden state is
+    fed as the next batch's initial state (truncated BPTT)."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data.cnndata import AgentData
+    from elektronn2_tpu.training.trainer import TracingTrainer
+
+    vol = rng.rand(1, 32, 32, 32).astype(np.float32)
+    ad = AgentData(input_data=[vol], target_data=[(vol[0] > 0.5).astype(np.int16)])
+    ad.set_geometry((5, 5, 5))
+    ad.skeletons = [line_skeleton(n=15, step=1.5)]
+
+    T, B = 3, 2
+    nm.model_manager.reset(seed=6)
+    seq = nm.Input([T, B, 1, 5, 5, 5], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, 5, 5, 5], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    out = nm.Perceptron(scan, 3, activation_func="lin", name="readout")
+    tgt = nm.Input([T, B, 3], "s,b,f", name="target")
+    loss = nm.AggregateLoss(nm.SquaredLoss(out, tgt))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=seq, target_node=tgt, loss_node=loss,
+                      prediction_node=out)
+    m.set_opt("Adam", lr=1e-3)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        tr = TracingTrainer(model=m, data=ad, n_scan_steps=T,
+                            carry_state=True, n_steps=4, n_workers=0,
+                            history_freq=0, save_freq=0, batch_size=B,
+                            save_path=td)
+        assert tr._carry_map == {"scan": "h0"}
+        tr.run()
+        # carry is populated and has the hidden-state shape
+        assert "h0" in tr._carry
+        assert tuple(tr._carry["h0"].shape) == (B, 8)
+        assert np.abs(np.asarray(tr._carry["h0"])).max() > 0

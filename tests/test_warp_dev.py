@@ -131,3 +131,34 @@ def test_device_augmenter_trains_model(rng):
         l, _ = m.trainingstep(d, t)
         losses.append(float(l))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_device_elastic_parity(rng):
+    """Same elastic field → device == host."""
+    from elektronn2_tpu.data.transformations import make_elastic_field
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    field = make_elastic_field(rng, (6, 6, 6), grid=3, sigma=1.5)
+    host = warp_slice(vol, (6, 6, 6), elastic=field,
+                      position=np.array([12.0, 12.0, 12.0]))
+    dev = np.asarray(warp_patch(jnp.asarray(vol), jnp.eye(4),
+                                jnp.asarray([12.0, 12.0, 12.0], jnp.float32),
+                                (6, 6, 6),
+                                elastic=jnp.asarray(field, jnp.float32)))
+    np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_device_random_elastic_fields():
+    from elektronn2_tpu.ops.warp import random_elastic_fields
+    f = np.asarray(random_elastic_fields(jax.random.PRNGKey(0), 2,
+                                         (6, 7, 8), grid=3, sigma=2.0))
+    assert f.shape == (2, 3, 6, 7, 8)
+    assert f.std() > 0.1
+
+
+def test_device_augmenter_with_elastic(rng):
+    raws = [rng.rand(1, 24, 24, 24).astype(np.float32)]
+    labs = [(raws[0][0] > 0.5).astype(np.int32)]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(8, 8, 8),
+                               target_size=(4, 4, 4), elastic_sigma=1.0)
+    d, t = aug.getbatch(batch_size=2, warp=1.0)
+    assert d.shape == (2, 1, 8, 8, 8) and np.isfinite(np.asarray(d)).all()
