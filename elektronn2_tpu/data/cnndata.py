@@ -148,6 +148,22 @@ class BatchCreatorImage:
             self.target_strides = [1] + self.target_strides
         return self
 
+    def compute_class_weights(self, n_classes=None, clip=(0.25, 4.0)):
+        """Inverse-frequency class weights over the training labels
+        (normalised to mean 1, clipped) — feed to ``MultinoulliNLL``.
+        Reference configs hand-tuned these; the helper derives them.
+        """
+        labels = np.concatenate([l.ravel() for l in self.train_l])
+        labels = labels[labels >= 0]
+        if n_classes is None:
+            n_classes = int(labels.max()) + 1
+        counts = np.bincount(labels.astype(np.int64),
+                             minlength=n_classes).astype(np.float64)
+        counts = np.maximum(counts, 1.0)
+        w = counts.sum() / (n_classes * counts)
+        w = np.clip(w, *clip)
+        return (w / w.mean()).astype(np.float32)
+
     # --------------------------------------------------------------- batches
     def _pick_cube(self, source):
         if source == "train":

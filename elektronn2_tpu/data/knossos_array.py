@@ -180,6 +180,42 @@ class KnossosArray:
                 f"cube={self.cube_edge} cached={len(self._cache)}>")
 
 
+def save_knossos(volume, path, exp_name="prediction", cube_edge=128,
+                 mag=1):
+    """Write a (z, x, y) uint8 volume as a KNOSSOS cube tree (+ conf).
+
+    Completes the deployment loop: segmentations predicted with
+    ``sweep_knossos`` go back into KNOSSOS for viewing/annotation.
+    """
+    volume = np.asarray(volume)
+    if volume.dtype != np.uint8:
+        raise ValueError("KNOSSOS raw cubes are uint8; convert first "
+                         "(e.g. np.clip(p*255, 0, 255).astype(np.uint8))")
+    Z, X, Y = volume.shape
+    e = int(cube_edge)
+    root = os.path.join(path, f"mag{mag}")
+    for cz in range(-(-Z // e)):
+        for cx in range(-(-X // e)):
+            for cy in range(-(-Y // e)):
+                cube = np.zeros((e, e, e), np.uint8)
+                part = volume[cz * e:min(Z, (cz + 1) * e),
+                              cx * e:min(X, (cx + 1) * e),
+                              cy * e:min(Y, (cy + 1) * e)]
+                cube[:part.shape[0], :part.shape[1], :part.shape[2]] = part
+                d = os.path.join(root, f"x{cx:04d}", f"y{cy:04d}",
+                                 f"z{cz:04d}")
+                os.makedirs(d, exist_ok=True)
+                cube.transpose(0, 2, 1).tofile(os.path.join(
+                    d, f"{exp_name}_mag{mag}_x{cx:04d}_y{cy:04d}"
+                       f"_z{cz:04d}.raw"))
+    with open(os.path.join(path, "knossos.conf"), "w") as f:
+        f.write(f'experiment name "{exp_name}";\nboundary x {X};\n'
+                f'boundary y {Y};\nboundary z {Z};\nedge length {e};\n'
+                f'magnification {mag};\n')
+    logger.info(f"wrote KNOSSOS dataset {exp_name!r} ({Z}x{X}x{Y}) to {path}")
+    return path
+
+
 class KnossosArrayMulti:
     """Stack of KnossosArrays presented as a (f, z, x, y) volume.
 

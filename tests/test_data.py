@@ -427,3 +427,26 @@ def test_mfp_fragment_target_alignment(rng):
                    x0 + c + off[1]:x0 + c + off[1] + 10:2,
                    y0 + c + off[2]:y0 + c + off[2] + 10:2]
         np.testing.assert_array_equal(t[k, 0], want)
+
+
+def test_compute_class_weights(rng):
+    from elektronn2_tpu.data import BatchCreatorImage
+    raws = [rng.rand(1, 16, 16, 16).astype(np.float32)]
+    lab = np.zeros((16, 16, 16), np.int16)
+    lab[:2] = 1                      # rare class
+    bc = BatchCreatorImage(input_data=raws, target_data=[lab])
+    w = bc.compute_class_weights()
+    assert w.shape == (2,)
+    assert w[1] > w[0]               # rare class upweighted
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-5)
+
+
+def test_save_knossos_roundtrip(rng, tmp_path):
+    from elektronn2_tpu.data import KnossosArray
+    from elektronn2_tpu.data.knossos_array import save_knossos
+    vol = (rng.rand(10, 20, 12) * 255).astype(np.uint8)
+    path = str(tmp_path / "outds")
+    save_knossos(vol, path, exp_name="outds", cube_edge=8)
+    ka = KnossosArray(path, cube_edge=8)
+    assert ka.shape == (10, 20, 12)
+    np.testing.assert_array_equal(ka[:, :, :], vol)
