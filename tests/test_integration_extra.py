@@ -104,3 +104,42 @@ def test_timeit_and_cache():
         return x + 1
 
     assert g(1) == 2
+
+
+def test_parity_harness_plumbing(rng, tmp_path):
+    """Generate a golden file with OUR outputs and check the harness
+    round-trips to PASS (mechanism test; real goldens come from the
+    reference stack)."""
+    import json
+    import h5py
+    import sys
+    sys.path.insert(0, "scripts")
+
+    filters = [[1, 3, 3], [3, 3, 3]]
+    pools = [[1, 2, 2], [1, 1, 1]]
+    w0 = rng.randn(4, 1, 1, 3, 3).astype(np.float32)
+    b0 = np.zeros(4, np.float32)
+    w1 = rng.randn(2, 4, 3, 3, 3).astype(np.float32)
+    b1 = np.zeros(2, np.float32)
+
+    model_manager.reset()
+    raw = rng.rand(1, 9, 20, 20).astype(np.float32)
+    inp = nm.Input([1, 1, 9, 14, 14], "b,f,z,x,y", name="raw")
+    c0 = nm.Conv(inp, 4, filters[0], pools[0], w=w0, b=b0, name="c0")
+    c1 = nm.Conv(c0, 2, filters[1], pools[1], w=w1, b=b1, name="c1")
+    probs = nm.Softmax(c1)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    golden_probs = m.predict_dense(raw)
+
+    g = str(tmp_path / "golden.h5")
+    with h5py.File(g, "w") as f:
+        f["raw"] = raw
+        f["probs"] = golden_probs
+        f["w0"], f["b0"] = w0, b0
+        f["w1"], f["b1"] = w1, b1
+        f.attrs["spec"] = json.dumps({
+            "filters": filters, "pools": pools, "mfp": False,
+            "activation": ["relu", "relu"], "n_lab": 2})
+    import parity_vs_reference
+    assert parity_vs_reference.main([g, "--cpu", "--tol", "1e-5"]) == 0
