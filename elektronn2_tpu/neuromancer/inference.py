@@ -281,12 +281,9 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             vol_p = jnp.pad(vol, pads, mode="reflect")
         else:
             vol_p = vol
-        fn = model._dilated_fns.get("dense") if hasattr(
-            model, "_dilated_fns") else None
+        fn = model._dilated_fns.get("dense")
         if fn is None:
             fn = jax.jit(lambda v: dilated_dense_forward(model, v))
-            if not hasattr(model, "_dilated_fns"):
-                model._dilated_fns = {}
             model._dilated_fns["dense"] = fn
         # NOTE: for models with non-MFP (decimating) pools this is a strict
         # improvement over the host path: genuinely dense stride-1 output

@@ -66,6 +66,9 @@ class Model:
         self._step_raw = None
         self._mesh = None
         self._data_axis = "data"
+        self._dilated_fns = {}
+        self._compute_dtype = None
+        self._remat = False
         self._predict_fns = {}
         self._loss_fn = None
         self._rng_key = jax.random.PRNGKey(0)
@@ -116,6 +119,7 @@ class Model:
         self._step_fn = None
         self._loss_fn = None
         self._predict_fns = {}
+        self._dilated_fns = {}
         return self
 
     def _apply(self, out_nodes, params, state, feed, rng, train):
@@ -235,6 +239,7 @@ class Model:
         else:
             self._jit_sharded_step()
         self._predict_fns = {}
+        self._dilated_fns = {}
         self._loss_fn = None
         return self
 

@@ -110,3 +110,14 @@ def test_mixed_precision_training_converges(rng):
     assert losses[-1] < 0.8 * losses[0]
     # master params stay f32
     assert m.params["c1"]["w"].dtype == jnp.float32
+
+
+def test_dilated_cache_invalidated_on_dtype_change(rng):
+    """set_compute_dtype must recompile the dilated device path."""
+    m = mfp_model()
+    raw = jnp.asarray(rng.randn(1, 33, 33).astype(np.float32))
+    full = np.asarray(m.predict_dense_device(raw))
+    m.set_compute_dtype("bfloat16")
+    half = np.asarray(m.predict_dense_device(raw))
+    assert not np.array_equal(full, half)   # stale cache would be identical
+    assert np.abs(full - half).max() < 0.05
