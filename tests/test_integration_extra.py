@@ -143,3 +143,77 @@ def test_parity_harness_plumbing(rng, tmp_path):
             "activation": ["relu", "relu"], "n_lab": 2})
     import parity_vs_reference
     assert parity_vs_reference.main([g, "--cpu", "--tol", "1e-5"]) == 0
+
+
+def test_scan_model_save_load_roundtrip(rng, tmp_path):
+    """Recurrent (ScanN/GRU) models serialise: node-spec replay must
+    reconstruct scan wiring (node-list ctor args) bit-exactly."""
+    T, B, F, H = 4, 2, 3, 5
+    seq = nm.Input([T, B, F], "s,b,f", name="seq")
+    x_t = nm.Input([B, F], "b,f", name="x_t")
+    h0 = nm.InitialState_like(x_t, override_f=H, name="h0")
+    gru = nm.GRU(x_t, h0, n_f=H, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    out = nm.Perceptron(scan, 2, activation_func="lin", name="readout")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=seq, prediction_node=out)
+    vseq = rng.randn(T, B, F).astype(np.float32)
+    p1 = np.asarray(m.predict(vseq))
+    f = str(tmp_path / "scan.mdl")
+    m.save(f)
+    m2 = nm.modelload(f)
+    assert isinstance(m2.nodes["scan"], nm.ScanN)
+    np.testing.assert_array_equal(p1, np.asarray(m2.predict(vseq)))
+
+
+def test_train_plain_then_infer_mfp(rng, tmp_path):
+    """THE reference deployment workflow: train without MFP, rebuild the
+    model with MFP active for dense inference; outputs at the strided
+    positions must match the plain model's predictions."""
+    from elektronn2_tpu.utils import cnncalculator
+
+    # plain training model
+    calc_p = cnncalculator([3, 3], [2, 1], desired_patch_size=16, mfp=False,
+                           ndim=2)
+    n_p = calc_p.input
+    inp = nm.Input([1, 1, *n_p], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    c2 = nm.Conv(c1, 4, 3, 1, name="c2")
+    probs = nm.Softmax(nm.Conv(c2, 2, 1, 1, activation_func="lin",
+                               name="cls"), name="probs")
+    tgt = nm.Input([1, *probs.shape.spatial_shape], "b,x,y", dtype="int32",
+                   name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=2e-3)
+    for _ in range(5):
+        x = rng.rand(1, 1, *n_p).astype(np.float32)
+        y = (rng.rand(1, *probs.shape.spatial_shape) > 0.5).astype(np.int32)
+        m.trainingstep(x, y)
+
+    # rebuild with MFP active at an MFP-valid patch size
+    calc_m = cnncalculator([3, 3], [2, 1], desired_patch_size=17, mfp=True,
+                           ndim=2)
+    m_inf = nm.rebuild_model(m, override_mfp_to_active=True,
+                             imposed_patch_size=list(calc_m.input))
+    # weights carried over
+    np.testing.assert_array_equal(np.asarray(m.params["c1"]["w"]),
+                                  np.asarray(m_inf.params["c1"]["w"]))
+    vol = rng.rand(1, 30, 30).astype(np.float32)
+    dense = m_inf.predict_dense(vol)
+
+    # oracle: plain model applied at every stride-2 shift
+    S = 2
+    npn = n_p[0]
+    for sx in range(S):
+        for sy in range(S):
+            tile = vol[:, sx:sx + npn, sy:sy + npn]
+            if tile.shape != (1, npn, npn):
+                continue
+            ref = np.asarray(m.predict(tile[None]))[0]
+            got = dense[:, sx::S, sy::S][:, :ref.shape[1], :ref.shape[2]]
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
