@@ -243,6 +243,7 @@ class Trainer:
         self.history.save(prefix)
         try:
             self.history.plot(prefix)
+            self.history.html_report(prefix, title=self.save_name)
         except Exception as e:  # pragma: no cover
             logger.warning(f"history plot failed: {e}")
 

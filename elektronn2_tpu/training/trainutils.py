@@ -79,6 +79,41 @@ class HistoryTracker:
                    for k, v in self.debug_outputs.items()}},
                path_prefix + ".history.h5")
 
+    def html_report(self, path_prefix, title="training report"):
+        """Self-contained HTML report embedding the curve images + a stats
+        table. Reference: HistoryTracker's html report output."""
+        import base64
+
+        def embed(p):
+            try:
+                with open(p, "rb") as f:
+                    b64 = base64.b64encode(f.read()).decode()
+                return f'<img src="data:image/png;base64,{b64}"/>'
+            except OSError:
+                return "<i>(no image)</i>"
+
+        tl = self.timeline.data
+        hist = self.history.data
+        rows = ""
+        if len(tl):
+            rows += (f"<tr><td>steps</td><td>{int(tl[-1, 1])}</td></tr>"
+                     f"<tr><td>last loss</td><td>{tl[-1, 2]:.5f}</td></tr>"
+                     f"<tr><td>smoothed loss</td><td>{tl[-1, 3]:.5f}</td></tr>"
+                     f"<tr><td>wall time</td>"
+                     f"<td>{pretty_string_time(tl[-1, 0])}</td></tr>")
+        if len(hist):
+            h = hist[-1]
+            rows += (f"<tr><td>train err</td><td>{h[3]:.4f}</td></tr>"
+                     f"<tr><td>valid loss</td><td>{h[4]:.4f}</td></tr>"
+                     f"<tr><td>valid err</td><td>{h[5]:.4f}</td></tr>")
+        doc = (f"<html><head><title>{title}</title></head><body>"
+               f"<h2>{title}</h2><table border=1 cellpadding=4>{rows}"
+               f"</table><br/>{embed(path_prefix + '.history.png')}"
+               f"</body></html>")
+        with open(path_prefix + ".report.html", "w") as f:
+            f.write(doc)
+        return path_prefix + ".report.html"
+
     def plot(self, path_prefix):
         """Write loss/error curve PNGs (matplotlib Agg)."""
         try:

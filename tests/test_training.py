@@ -154,3 +154,14 @@ def test_trainer_resume_from_snapshot(tmp_path):
     assert tr2.step == 5  # resumed step counter
     tr2.run()
     assert tr2.step == 8
+
+
+def test_history_html_report(tmp_path):
+    h = HistoryTracker()
+    for i in range(10):
+        h.update_timeline(i, 1.0 / (i + 1))
+    h.update_history(5, 0.5, 0.2, 0.6, 0.25)
+    h.plot(str(tmp_path / "r"))
+    p = h.html_report(str(tmp_path / "r"))
+    html = open(p).read()
+    assert "smoothed loss" in html and "data:image/png" in html
