@@ -10,7 +10,7 @@ from elektronn2_tpu.neuromancer.graphutils import TaggedShape, floatX, as_floatX
 from elektronn2_tpu.neuromancer.graphmanager import GraphManager, model_manager
 from elektronn2_tpu.neuromancer.node_basic import (
     Node, Input, Input_like, FromTensor, Concat, ApplyFunc, ValueNode,
-    MultMerge, InitialState_like, GenericInput, split,
+    MultMerge, InitialState_like, GenericInput, split, Reshape, Transpose,
 )
 from elektronn2_tpu.neuromancer.neural import (
     Perceptron, Dot, Conv, UpConv, Crop, Pad, Pool, Dropout, LRN,
@@ -32,6 +32,7 @@ __all__ = [
     "TaggedShape", "floatX", "as_floatX", "GraphManager", "model_manager",
     "Node", "Input", "Input_like", "FromTensor", "Concat", "ApplyFunc",
     "ValueNode", "MultMerge", "InitialState_like", "GenericInput", "split",
+    "Reshape", "Transpose",
     "Perceptron", "Dot", "Conv", "UpConv", "Crop", "Pad", "Pool", "Dropout",
     "LRN", "FragmentsToDense", "FaithlessMerge", "GRU", "LSTM", "BatchNorm",
     "Softmax", "MultinoulliNLL", "BinaryNLL", "GaussianNLL", "SquaredLoss",

@@ -334,6 +334,19 @@ class Model:
             self._predict_fns[key] = jax.jit(f)
         return self._predict_fns[key]
 
+    def get_activations(self, data, nodes, target=None, extra=None,
+                        train=False):
+        """Evaluate arbitrary graph nodes on a batch (debugging/inspection).
+
+        ``nodes``: node objects or names. Returns {name: array}. Eval mode
+        by default (no dropout; BN running stats).
+        """
+        nodes = [self.nodes[n] if isinstance(n, str) else n for n in nodes]
+        feed = self._feed(data, target, extra)
+        outs, _ = self._apply(nodes, self.params, self.state, feed,
+                              self._next_rng() if train else None, train)
+        return {n.name: o for n, o in zip(nodes, outs)}
+
     def predict(self, raw, extra=None):
         """Forward pass to the prediction node (eval mode, no stitching)."""
         node = self.prediction_node

@@ -394,6 +394,42 @@ class Split(Node):
         return x[tuple(idx)]
 
 
+@register_node_class
+class Reshape(Node):
+    """Reshape to a new tagged shape (same element count).
+
+    Convenience node (the reference used flatten flags / ApplyFunc for
+    this; a first-class node keeps specs serialisable).
+    """
+
+    def __init__(self, parent, shape, tags, name="reshape", print_repr=True):
+        super().__init__(parent, name, print_repr)
+        self.shape = TaggedShape(shape, tags)
+        if int(np.prod(tuple(self.shape))) != int(np.prod(
+                tuple(parent.shape))):
+            raise ValueError(f"cannot reshape {tuple(parent.shape)} "
+                             f"to {tuple(self.shape)}")
+
+    def _compute(self, ctx, x):
+        return x.reshape(tuple(self.shape))
+
+
+@register_node_class
+class Transpose(Node):
+    """Permute axes (tags follow the permutation)."""
+
+    def __init__(self, parent, perm, name="transpose", print_repr=True):
+        super().__init__(parent, name, print_repr)
+        self.perm = [parent.shape.tag2index(p) if isinstance(p, str) else
+                     int(p) for p in perm]
+        shape = [parent.shape.shape[i] for i in self.perm]
+        tags = [parent.shape.tags[i] for i in self.perm]
+        self.shape = TaggedShape(shape, tags)
+
+    def _compute(self, ctx, x):
+        return x.transpose(self.perm)
+
+
 def split(node, axis="f", index=None, n_out=None, strip_singleton_dims=False,
           name="split"):
     """Split a node along a tagged axis into several nodes.

@@ -446,3 +446,25 @@ def test_weight_decay_shrinks_params():
     zeros = {"n": {"w": jnp.zeros(3)}}
     params, _ = opt.update(params, zeros, state, opt.current_hyper())
     np.testing.assert_allclose(np.asarray(params["n"]["w"]), 0.95, rtol=1e-5)
+
+
+def test_reshape_transpose_nodes(rng):
+    a = nm.Input([2, 3, 4], "b,f,x", name="a")
+    r = nm.Reshape(a, [2, 12], "b,f")
+    t = nm.Transpose(a, ["x", "b", "f"])
+    v = rng.randn(2, 3, 4).astype(np.float32)
+    np.testing.assert_array_equal(eval_node(r, {"a": v}), v.reshape(2, 12))
+    np.testing.assert_array_equal(eval_node(t, {"a": v}),
+                                  v.transpose(2, 0, 1))
+    assert t.shape.tags == ("x", "b", "f")
+    with pytest.raises(ValueError):
+        nm.Reshape(a, [2, 13], "b,f")
+
+
+def test_get_activations(rng):
+    model = build_seg_model()
+    x = rng.randn(2, 1, 16, 16).astype(np.float32)
+    acts = model.get_activations(x, ["c1", "probs"])
+    assert acts["c1"].shape[1] == 6
+    np.testing.assert_allclose(np.asarray(acts["probs"]).sum(1), 1.0,
+                               rtol=1e-5)
