@@ -27,9 +27,13 @@ def _tree_zeros(params):
 
 
 class Optimiser:
-    """Base class. Subclasses define ``defaults`` and ``_update_leaf``."""
+    """Base class. Subclasses define ``defaults`` and ``_update_leaf``.
 
-    defaults = {"lr": 1e-3, "wd": 0.0}
+    Common hyperparams: ``lr``, ``wd`` (decoupled weight decay), ``clip``
+    (global-gradient-norm clip; 0 disables).
+    """
+
+    defaults = {"lr": 1e-3, "wd": 0.0, "clip": 0.0}
 
     def __init__(self, **hyperparams):
         self.hyperparams = dict(self.defaults)
@@ -67,8 +71,17 @@ class Optimiser:
     def update(self, params, grads, state, hyper, lr_mults=None,
                wd_mults=None):
         """One optimisation step. ``lr_mults``/``wd_mults`` are static
-        pytrees congruent with params (or None)."""
+        pytrees congruent with params (or None). When hyper['clip'] > 0,
+        gradients are rescaled to that global norm first (live-tunable like
+        every other hyperparam)."""
         step = state["step"] + 1
+        clip = hyper.get("clip")
+        if clip is not None:
+            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in
+                                 jax.tree_util.tree_leaves(grads)) + 1e-12)
+            scale = jnp.where(clip > 0,
+                              jnp.minimum(1.0, clip / gnorm), 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         ones = jax.tree_util.tree_map(lambda p: 1.0, params)
         lr_mults = lr_mults if lr_mults is not None else ones
         wd_mults = wd_mults if wd_mults is not None else ones
@@ -105,7 +118,8 @@ class Optimiser:
 class SGD(Optimiser):
     """SGD with (Nesterov) momentum. Reference: ``optimiser.py::SGD``."""
 
-    defaults = {"lr": 1e-3, "mom": 0.9, "wd": 0.0, "nesterov": False}
+    defaults = {"lr": 1e-3, "mom": 0.9, "wd": 0.0, "clip": 0.0,
+                "nesterov": False}
 
     def __init__(self, **hyperparams):
         self.nesterov = bool(hyperparams.pop("nesterov", False))
@@ -132,7 +146,7 @@ class Adam(Optimiser):
     """Adam with bias correction. Reference: ``optimiser.py::Adam``."""
 
     defaults = {"lr": 1e-3, "beta1": 0.9, "beta2": 0.999, "eps": 1e-8,
-                "wd": 0.0}
+                "wd": 0.0, "clip": 0.0}
 
     def _init_slots(self, params):
         return (_tree_zeros(params), _tree_zeros(params))
@@ -153,7 +167,7 @@ class Adam(Optimiser):
 class AdaGrad(Optimiser):
     """AdaGrad. Reference: ``optimiser.py::AdaGrad``."""
 
-    defaults = {"lr": 1e-2, "eps": 1e-8, "wd": 0.0}
+    defaults = {"lr": 1e-2, "eps": 1e-8, "wd": 0.0, "clip": 0.0}
 
     def _init_slots(self, params):
         return (_tree_zeros(params),)
@@ -168,7 +182,7 @@ class AdaGrad(Optimiser):
 class AdaDelta(Optimiser):
     """AdaDelta. Reference: ``optimiser.py::AdaDelta``."""
 
-    defaults = {"lr": 1.0, "rho": 0.95, "eps": 1e-6, "wd": 0.0}
+    defaults = {"lr": 1.0, "rho": 0.95, "eps": 1e-6, "wd": 0.0, "clip": 0.0}
 
     def _init_slots(self, params):
         return (_tree_zeros(params), _tree_zeros(params))

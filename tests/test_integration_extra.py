@@ -217,3 +217,34 @@ def test_train_plain_then_infer_mfp(rng, tmp_path):
             ref = np.asarray(m.predict(tile[None]))[0]
             got = dense[:, sx::S, sy::S][:, :ref.shape[1], :ref.shape[2]]
             np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_unet_dense_prediction_no_seams(rng):
+    """U-Net (UpConv + FaithlessMerge) dense prediction: tiled sweep output
+    equals direct per-tile prediction at matching offsets (no tile seams)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("unet3d",
+                                                  "examples/unet3d.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    m = mod.create_model()
+
+    V = (20, 48, 48)
+    vol = rng.rand(1, *V).astype(np.float32)
+    dense = m.predict_dense(vol)
+    patch = mod.PATCH
+    # direct predictions at several origins must appear in the dense map
+    # at the corresponding offsets
+    for origin in [(0, 0, 0), (2, 8, 8), (4, 16, 4)]:
+        tile = vol[:, origin[0]:origin[0] + patch[0],
+                   origin[1]:origin[1] + patch[1],
+                   origin[2]:origin[2] + patch[2]]
+        ref = np.asarray(m.predict(tile[None]))[0]
+        got = dense[:,
+                    origin[0]:origin[0] + ref.shape[1],
+                    origin[1]:origin[1] + ref.shape[2],
+                    origin[2]:origin[2] + ref.shape[3]]
+        n = [min(a, b) for a, b in zip(got.shape, ref.shape)]
+        np.testing.assert_allclose(
+            got[:n[0], :n[1], :n[2], :n[3]],
+            ref[:n[0], :n[1], :n[2], :n[3]], rtol=1e-4, atol=1e-5)

@@ -468,3 +468,21 @@ def test_get_activations(rng):
     assert acts["c1"].shape[1] == 6
     np.testing.assert_allclose(np.asarray(acts["probs"]).sum(1), 1.0,
                                rtol=1e-5)
+
+
+def test_gradient_clipping():
+    from elektronn2_tpu.neuromancer.optimiser import SGD
+    opt = SGD(lr=1.0, mom=0.0, clip=1.0)
+    params = {"n": {"w": jnp.zeros(4)}}
+    state = opt.init_state(params)
+    big_grads = {"n": {"w": jnp.full(4, 100.0)}}
+    new_p, _ = opt.update(params, big_grads, state, opt.current_hyper())
+    # clipped to global norm 1 → |step| = lr * 100/200 = 0.5 per element
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(new_p["n"]["w"])),
+                               1.0, rtol=1e-5)
+    # clip=0 disables
+    opt2 = SGD(lr=1.0, mom=0.0, clip=0.0)
+    new_p2, _ = opt2.update(params, big_grads, opt2.init_state(params),
+                            opt2.current_hyper())
+    np.testing.assert_allclose(np.asarray(new_p2["n"]["w"]), -100.0,
+                               rtol=1e-6)
