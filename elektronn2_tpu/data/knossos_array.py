@@ -191,6 +191,8 @@ def save_knossos(volume, path, exp_name="prediction", cube_edge=128,
     if volume.dtype != np.uint8:
         raise ValueError("KNOSSOS raw cubes are uint8; convert first "
                          "(e.g. np.clip(p*255, 0, 255).astype(np.uint8))")
+    if volume.ndim == 2:     # 2D map → single-slice volume
+        volume = volume[None]
     Z, X, Y = volume.shape
     e = int(cube_edge)
     root = os.path.join(path, f"mag{mag}")

@@ -142,6 +142,11 @@ class Model:
             feed.update(overrides)
         return feed
 
+    def seed(self, n):
+        """Reset the model's PRNG stream (dropout/sampling reproducibility)."""
+        self._rng_key = jax.random.PRNGKey(int(n))
+        return self
+
     def _next_rng(self):
         self._rng_key, sub = jax.random.split(self._rng_key)
         return sub

@@ -1,0 +1,76 @@
+"""``elektronn2-predict`` — dense prediction over volumes from the CLI.
+
+Deployment companion to ``elektronn2-train`` (the reference's users scripted
+``model.predict_dense`` by hand; this wraps the same call): reads a saved
+model and an HDF5 volume or a KNOSSOS dataset, writes the dense prediction
+as HDF5 (and optionally as a KNOSSOS dataset of uint8 maps).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="elektronn2-predict",
+        description="Dense (MFP/dilated) prediction over a volume")
+    ap.add_argument("model", help="saved .mdl file")
+    ap.add_argument("input", help="INPUT.h5[:dataset] or a KNOSSOS dir")
+    ap.add_argument("-o", "--out", default="prediction.h5")
+    ap.add_argument("--knossos-out", default=None,
+                    help="also write a KNOSSOS dataset of uint8 maps")
+    ap.add_argument("--mfp", action="store_true",
+                    help="rebuild the model with MFP active")
+    ap.add_argument("--patch", default=None,
+                    help="comma-separated inference patch size override")
+    ap.add_argument("--no-pad", action="store_true",
+                    help="valid-only output (no reflect padding)")
+    ap.add_argument("--uint8", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import os
+    import numpy as np
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from elektronn2_tpu.log import logger
+    from elektronn2_tpu.neuromancer.model import modelload, rebuild_model
+    from elektronn2_tpu.utils.basic import h5save, h5load
+
+    model = modelload(args.model)
+    if args.mfp or args.patch:
+        patch = ([int(x) for x in args.patch.split(",")]
+                 if args.patch else None)
+        model = rebuild_model(model, override_mfp_to_active=args.mfp,
+                              imposed_patch_size=patch)
+        logger.info(f"rebuilt for inference: patch="
+                    f"{model.input_node.shape.spatial_shape}")
+
+    if os.path.isdir(args.input):
+        from elektronn2_tpu.data import KnossosArray
+        ka = KnossosArray(args.input)
+        out = model.sweep_knossos(ka, verbose=True)
+    else:
+        path, _, key = args.input.partition(":")
+        raw = h5load(path, key or None)
+        raw = np.asarray(raw)
+        out = model.predict_dense(raw, pad_raw=not args.no_pad,
+                                  as_uint8=args.uint8, verbose=True)
+
+    h5save({"prediction": out}, args.out)
+    logger.info(f"wrote {args.out} {out.shape} {out.dtype}")
+    if args.knossos_out:
+        from elektronn2_tpu.data.knossos_array import save_knossos
+        u8 = (out if out.dtype == np.uint8
+              else np.clip(out * 255.0, 0, 255).astype(np.uint8))
+        for c in range(u8.shape[0]):
+            save_knossos(u8[c], os.path.join(args.knossos_out, f"c{c}"),
+                         exp_name=f"pred_c{c}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -20,6 +20,9 @@ def main(argv=None):
                     help="force CPU backend (debugging)")
     ap.add_argument("--n-steps", type=int, default=None)
     ap.add_argument("--save-path", default=None)
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler device trace of steps "
+                         "~5-15 into LOGDIR (TensorBoard/Perfetto)")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,6 +48,25 @@ def main(argv=None):
     tkwargs = dict(cfg.pop("trainer_kwargs", {}) or {})
     data = cfg.pop("data_instance", None)
     trainer = trainer_cls(None, data=data, **cfg, **tkwargs)
+    if args.profile:
+        from elektronn2_tpu.utils import profiling
+
+        orig_step = trainer.model.trainingstep
+        state = {"n": 0, "active": False}
+
+        def traced_step(*a, **kw):
+            state["n"] += 1
+            if state["n"] == 5 and not state["active"]:
+                jax.profiler.start_trace(args.profile)
+                state["active"] = True
+            out = orig_step(*a, **kw)
+            if state["n"] == 15 and state["active"]:
+                jax.profiler.stop_trace()
+                state["active"] = False
+                logger.info(f"device trace written to {args.profile}")
+            return out
+
+        trainer.model.trainingstep = traced_step
     trainer.run()
 
 

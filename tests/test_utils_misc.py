@@ -157,3 +157,30 @@ def test_h5_and_pickle_io(tmp_path, rng):
     kdt.append([5, 5, 5])
     d, pts, idx = kdt.get_knn([4.9, 5, 5])
     assert idx == 2
+
+
+def test_predict_cli(tmp_path, rng):
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.utils.basic import h5save, h5load
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 15, 15], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "m.mdl")
+    m.save(mdl)
+    vol = rng.rand(1, 30, 30).astype(np.float32)
+    h5save({"raw": vol}, str(tmp_path / "in.h5"))
+    from elektronn2_tpu.scripts.predict import main
+    out = str(tmp_path / "out.h5")
+    assert main([mdl, str(tmp_path / "in.h5") + ":raw", "-o", out,
+                 "--cpu"]) == 0
+    pred = h5load(out, "prediction")
+    assert pred.shape == (2, 30, 30)
+    # knossos output path
+    kdir = str(tmp_path / "kout")
+    assert main([mdl, str(tmp_path / "in.h5") + ":raw",
+                 "-o", str(tmp_path / "out2.h5"),
+                 "--knossos-out", kdir, "--cpu"]) == 0
+    assert os.path.exists(os.path.join(kdir, "c0", "knossos.conf"))
