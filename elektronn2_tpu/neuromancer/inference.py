@@ -71,6 +71,21 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
     cdtype = getattr(model, "_compute_dtype", None)
     params = model.params
 
+    def _bn_affine(node, y, model):
+        """Eval-mode BatchNorm is a per-channel affine (running stats) —
+        position-independent, hence identical in the dilated domain."""
+        import jax.numpy as jnp
+        st = model.state.get(node.name)
+        if st is None:
+            raise ValueError("dilated dense path: BatchNorm without "
+                             "trained running statistics")
+        shape = (1, -1) + (1,) * nsp
+        gamma = params[node.name]["bn_gamma"].reshape(shape)
+        beta = params[node.name]["bn_beta"].reshape(shape)
+        mean = st["mean"].reshape(shape)
+        var = st["var"].reshape(shape)
+        return gamma * (y - mean) * jax.lax.rsqrt(var + 1e-5) + beta
+
     x = vol if batch else vol[None]
     values = {}    # node -> (array, dilation tuple)
 
@@ -109,12 +124,11 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
             if any(p > 1 for p in node.pool_shape):
                 y = dilated_pool(y, node.pool_shape, dil)
                 dil = tuple(d * p for d, p in zip(dil, node.pool_shape))
+            if node.batch_normalisation:
+                y = _bn_affine(node, y, model)
             alpha = (params[node.name].get("alpha")
                      if "alpha" in node.params else None)
             y = apply_activation(y, node.activation_func, alpha=alpha)
-            if node.batch_normalisation:
-                raise ValueError("dilated dense path: BatchNorm in Conv "
-                                 "unsupported")
             out = (y, dil)
         elif isinstance(node, neural.Pool):
             xin, dil = evaluate(node.parents[0])
@@ -124,6 +138,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
         elif isinstance(node, loss_mod.Softmax):
             xin, dil = evaluate(node.parents[0])
             out = (jax.nn.softmax(xin, axis=1), dil)
+        elif isinstance(node, neural.BatchNorm):
+            xin, dil = evaluate(node.parents[0])
+            out = (_bn_affine(node, xin, model), dil)
         elif isinstance(node, neural.FragmentsToDense):
             out = evaluate(node.parents[0])  # already dense here
         elif type(node).__name__ in ("Concat",):

@@ -215,6 +215,16 @@ class DeviceBatchAugmenter:
     def __init__(self, raws, labels, patch_size, target_size=None,
                  target_strides=None, warp_amount=1.0, grey_channels=None,
                  elastic_sigma=0.0, elastic_grid=4, seed=0):
+        # 2D data: promote to singleton-z 3D (squeezed back in getbatch)
+        self._is_2d = len(patch_size) == 2
+        if self._is_2d:
+            raws = [r[:, None] if r.ndim == 3 else r for r in raws]
+            labels = [l[None] if l.ndim == 2 else l for l in labels]
+            patch_size = (1,) + tuple(patch_size)
+            if target_size is not None:
+                target_size = (1,) + tuple(target_size)
+            if target_strides is not None:
+                target_strides = (1,) + tuple(target_strides)
         f = raws[0].shape[0]
         sp = np.max([r.shape[1:] for r in raws], axis=0)
         self.n_cubes = len(raws)
@@ -278,7 +288,12 @@ class DeviceBatchAugmenter:
             pos[b] = rng.uniform(lo, sh - lo)
         warp_on = rng.rand(batch_size) < (1.0 if warp is True else
                                           float(warp or 0.0))
+        if self._is_2d:
+            pos[:, 0] = 0.0
         self.key, sub = jax.random.split(self.key)
         data, tgt = self._fn(sub, jnp.asarray(idx), jnp.asarray(pos),
                              jnp.asarray(warp_on))
+        if self._is_2d:
+            data = data[:, :, 0]
+            tgt = tgt[:, 0] if tgt.ndim == 4 else tgt[..., 0, :, :]
         return data, tgt

@@ -121,3 +121,34 @@ def test_dilated_cache_invalidated_on_dtype_change(rng):
     half = np.asarray(m.predict_dense_device(raw))
     assert not np.array_equal(full, half)   # stale cache would be identical
     assert np.abs(full - half).max() < 0.05
+
+
+def test_dilated_path_supports_trained_batchnorm(rng):
+    """BN with running stats is a per-channel affine in eval mode — the
+    dilated path must apply it and match the tiled path exactly."""
+    from elektronn2_tpu.utils import cnncalculator
+    calc = cnncalculator([3, 3], [2, 1], desired_patch_size=17, mfp=True,
+                         ndim=2)
+    n = calc.input
+    inp = nm.Input([2, 1, *n], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, batch_normalisation=True,
+                 name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([probs.shape["b"], *probs.shape.spatial_shape],
+                   "b,x,y", dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=1e-3)
+    for _ in range(3):   # populate BN running stats
+        x = rng.rand(2, 1, *n).astype(np.float32)
+        y = (rng.rand(probs.shape["b"],
+                      *probs.shape.spatial_shape) > 0.5).astype(np.int32)
+        m.trainingstep(x, y)
+    assert "c1" in m.state
+    raw = rng.rand(1, 30, 30).astype(np.float32)
+    host = m.predict_dense(raw)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)

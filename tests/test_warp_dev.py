@@ -162,3 +162,14 @@ def test_device_augmenter_with_elastic(rng):
                                target_size=(4, 4, 4), elastic_sigma=1.0)
     d, t = aug.getbatch(batch_size=2, warp=1.0)
     assert d.shape == (2, 1, 8, 8, 8) and np.isfinite(np.asarray(d)).all()
+
+
+def test_device_augmenter_2d(rng):
+    imgs = [rng.rand(1, 40, 40).astype(np.float32)]
+    labs = [(imgs[0][0] > 0.5).astype(np.int32)]
+    aug = DeviceBatchAugmenter(imgs, labs, patch_size=(12, 12),
+                               target_size=(8, 8), grey_channels=[0])
+    d, t = aug.getbatch(batch_size=3, warp=0.5)
+    assert d.shape == (3, 1, 12, 12)
+    assert t.shape == (3, 8, 8)
+    assert np.isfinite(np.asarray(d)).all()
