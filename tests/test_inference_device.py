@@ -152,3 +152,42 @@ def test_dilated_path_supports_trained_batchnorm(rng):
     host = m.predict_dense(raw)
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_fuzz_random_stacks_dense_paths_agree(seed):
+    """Property test: random conv/pool/mfp stacks — the tiled host sweep,
+    the dilated device sweep, and direct prediction must agree."""
+    r = np.random.RandomState(seed)
+    n_layers = r.randint(1, 4)
+    filters, pools = [], []
+    for _ in range(n_layers):
+        filters.append(int(r.randint(2, 4)))
+        pools.append(int(r.choice([1, 2])))
+    from elektronn2_tpu.utils import cnncalculator
+    calc = cnncalculator(filters, pools,
+                         desired_patch_size=int(r.randint(12, 24)),
+                         mfp=True, ndim=1)
+    n = calc.input
+    inp = nm.Input([1, 1, n, n], "b,f,x,y", name="raw")
+    h = inp
+    for i, (f, p) in enumerate(zip(filters, pools)):
+        h = nm.Conv(h, int(r.randint(2, 5)), f, p, mfp=True,
+                    activation_func=str(r.choice(["relu", "tanh", "elu"])),
+                    name=f"c{i}")
+    probs = nm.Softmax(nm.Conv(h, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+
+    V = n + int(r.randint(3, 9))
+    raw = r.rand(1, V, V).astype(np.float32)
+    host = m.predict_dense(raw)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    np.testing.assert_allclose(dev, host, atol=2e-5)
+    # direct prediction at origin must appear at dense offset 0
+    tile = raw[:, :n, :n]
+    from elektronn2_tpu.ops.mfp import fragments2dense
+    direct = np.asarray(fragments2dense(
+        m.predict(tile[None]), probs.shape.mfp_offsets))[0]
+    np.testing.assert_allclose(
+        host[:, :direct.shape[1], :direct.shape[2]], direct, atol=2e-5)
