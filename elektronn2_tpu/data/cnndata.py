@@ -71,6 +71,7 @@ class BatchCreatorImage:
             if r.ndim == 3:
                 raws[i] = r[None]  # add feature axis
 
+        self._all_labels = labels     # original cube order (refs, not copies)
         self.train_d = [r for i, r in enumerate(raws) if i not in valid_cubes]
         self.train_l = [t for i, t in enumerate(labels)
                         if i not in valid_cubes]
@@ -253,9 +254,10 @@ class BatchCreatorImage:
             and source == "train"
         M = None
         if do_warp:
-            params = get_random_warp_params(
-                self.rng, amount=warp_args.pop("amount", 1.0)
-                if "amount" in warp_args else 1.0, **warp_args)
+            # NOTE: no .pop — warp_args is shared across samples/retries
+            amount = warp_args.get("amount", 1.0)
+            rest = {k: v for k, v in warp_args.items() if k != "amount"}
+            params = get_random_warp_params(self.rng, amount=amount, **rest)
             if not flip:
                 params["flip_x"] = params["flip_y"] = params["flip_z"] = False
             # z-anisotropy: rotations/scales act in scaled space
@@ -314,8 +316,9 @@ class GridData(BatchCreatorImage):
         self.point_radius = float(point_radius)
         if grid_points:
             r = int(np.ceil(self.point_radius))
-            for cube_l, pts in zip(self.train_l + self.valid_l,
-                                   self.grid_points):
+            # pair with cubes in the ORIGINAL order the user supplied
+            # (train/valid splitting reorders train_l/valid_l)
+            for cube_l, pts in zip(self._all_labels, self.grid_points):
                 lab = (point_label if point_label is not None
                        else int(cube_l.max()) + 1)
                 sh = cube_l.shape[-3:]

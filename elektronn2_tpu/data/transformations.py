@@ -234,6 +234,29 @@ def make_elastic_field(rng, patch_size, grid=4, sigma=3.0):
     return field
 
 
+def target_grid_indices(patch_size, target_patch_size, target_strides=None,
+                        target_offset=None):
+    """Indices (per dim) of the target grid's positions within the image
+    patch grid (rounded; used to sample the per-patch elastic field)."""
+    strides = (np.ones(3) if target_strides is None
+               else np.asarray(target_strides, np.float64))
+    offset = (np.zeros(3) if target_offset is None
+              else np.asarray(target_offset, np.float64))
+    idx = []
+    for d, (p, t) in enumerate(zip(patch_size, target_patch_size)):
+        pos = ((np.arange(t) - (t - 1) / 2.0) * strides[d] + offset[d]
+               + (p - 1) / 2.0)
+        idx.append(np.clip(np.rint(pos).astype(np.int64), 0, p - 1))
+    return idx
+
+
+def _sample_field_at_target(field, patch_size, target_patch_size,
+                            target_strides, target_offset):
+    iz, ix, iy = target_grid_indices(patch_size, target_patch_size,
+                                     target_strides, target_offset)
+    return field[:, iz][:, :, ix][:, :, :, iy]
+
+
 # ------------------------------------------------------------------ warp core
 
 def warp_coords(patch_size, M=None, position=None, elastic=None,
@@ -323,7 +346,15 @@ def warp_slice(img, patch_size, M=None, position=None, target=None,
         target_patch_size = patch_size
     target_patch_size = tuple(int(t) for t in target_patch_size)
     # target grid: centred on (possibly offset) patch centre, same transform
-    t_coords, _ = warp_coords(target_patch_size, M, position, None,
+    # AND the same elastic deformation — labels must follow the image.
+    # The field is defined per image-patch voxel; sample it (nearest) at the
+    # target grid's positions within the patch.
+    t_elastic = None
+    if elastic is not None:
+        t_elastic = _sample_field_at_target(elastic, patch_size,
+                                            target_patch_size,
+                                            target_strides, target_offset)
+    t_coords, _ = warp_coords(target_patch_size, M, position, t_elastic,
                               grid_strides=target_strides,
                               grid_offset=target_offset)
     t_shape = np.array(target.shape[-3:], dtype=np.int64)

@@ -217,18 +217,23 @@ def _malis_pass_np(aff, seg, nhood, count_pos):
     return out
 
 
-def malis_weights(affinity_pred, seg_gt, nhood=None, unrestrict_neg=True):
+def malis_weights(affinity_pred, seg_gt, nhood=None, unrestrict_neg=True,
+                  aff_gt=None):
     """Per-edge positive and negative MALIS pair weights (host numpy).
 
     Reference: ``malisop.py::malis_weights``. Positive pass runs on
     ``min(pred, gt_aff)`` (constrained — only intra-object paths); negative
     pass on raw predictions if ``unrestrict_neg`` else ``max(pred, gt_aff)``.
+    ``aff_gt`` overrides the segmentation-derived ground-truth affinities
+    (e.g. with masked/ignore edges).
     """
     affinity_pred = np.asarray(affinity_pred, dtype=np.float32)
     seg_gt = np.asarray(seg_gt, dtype=np.int32)
     if nhood is None:
         nhood = default_nhood(seg_gt.ndim)
-    aff_gt = np.asarray(seg_to_affgraph(seg_gt, nhood), dtype=np.float32)
+    aff_gt = (np.asarray(aff_gt, dtype=np.float32) if aff_gt is not None
+              else np.asarray(seg_to_affgraph(seg_gt, nhood),
+                              dtype=np.float32))
     if _malis_cpp is not None:
         pos = _malis_cpp.malis_pass(np.minimum(affinity_pred, aff_gt),
                                     seg_gt, nhood, True)
@@ -253,13 +258,15 @@ def malis_weighted_nll(pred, aff_gt, seg_gt, nhood, unrestrict_neg=True):
     log terms). Returns a (b, *sp)-summed-over-E per-voxel loss map.
     """
     nhood = np.asarray(nhood, dtype=np.int32)
+    has_aff_gt = aff_gt is not None
 
-    def host_weights(pred_np, seg_np):
+    def host_weights(pred_np, seg_np, aff_gt_np=None):
         pos = np.empty_like(pred_np)
         neg = np.empty_like(pred_np)
         for b in range(pred_np.shape[0]):
-            p, n = malis_weights(pred_np[b], seg_np[b], nhood,
-                                 unrestrict_neg)
+            p, n = malis_weights(
+                pred_np[b], seg_np[b], nhood, unrestrict_neg,
+                aff_gt=None if aff_gt_np is None else aff_gt_np[b])
             # normalise so loss scale is batch-size independent
             tot = max(p.sum() + n.sum(), 1.0)
             pos[b], neg[b] = p / tot, n / tot
@@ -269,10 +276,12 @@ def malis_weighted_nll(pred, aff_gt, seg_gt, nhood, unrestrict_neg=True):
     # weights are data-dependent but treated as constants for the gradient
     # (reference semantics) — stop_gradient on the callback INPUT so the
     # callback is never differentiated
+    cb_args = [jax.lax.stop_gradient(pred.astype(jnp.float32)), seg_gt]
+    if has_aff_gt:
+        cb_args.append(jax.lax.stop_gradient(aff_gt.astype(jnp.float32)))
     pos_w, neg_w = jax.pure_callback(
-        host_weights, (shape, shape),
-        jax.lax.stop_gradient(pred.astype(jnp.float32)),
-        seg_gt, vmap_method="sequential")
+        host_weights, (shape, shape), *cb_args,
+        vmap_method="sequential")
     eps = 1e-10
     nll = -(pos_w * jnp.log(jnp.maximum(pred, eps))
             + neg_w * jnp.log(jnp.maximum(1.0 - pred, eps)))

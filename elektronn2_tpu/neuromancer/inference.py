@@ -101,8 +101,11 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
         wdil = (1, 1) + tuple(dil)
         init = -np.inf if mode == "max" else 0
         op = lax.max if mode == "max" else lax.add
-        return lax.reduce_window(y, init, op, window, (1,) * y.ndim,
-                                 "VALID", window_dilation=wdil)
+        out = lax.reduce_window(y, init, op, window, (1,) * y.ndim,
+                                "VALID", window_dilation=wdil)
+        if mode in ("avg", "mean"):
+            out = out / np.prod(pool)
+        return out
 
     def evaluate(node):
         if node.name in values:
@@ -206,8 +209,8 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     return run(vol)
 
 
-def sweep_knossos(model, karr, region=None, step=None, pad_raw=True,
-                  out=None, verbose=False):
+def sweep_knossos(model, karr, region=None, step=None, out=None,
+                  verbose=False):
     """Dense-predict a whole KNOSSOS dataset (or a region of it).
 
     Reference workflow: ``KnossosArray`` tiles feeding ``predict_dense``
@@ -310,6 +313,7 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     except ValueError:
         pass  # unsupported graph → overlap-tiled fallback below
 
+    V_orig = list(vol.shape[1:])
     if pad_raw:
         pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
         vol = jnp.pad(vol, pads, mode="reflect")
@@ -366,7 +370,10 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     for d in range(nsp):
         if g[d] > 1:   # align with predict_dense: repeat-upsample strided out
             out = jnp.repeat(out, g[d], axis=1 + d)
-    return out
+    # crop the alignment padding back off (parity with predict_dense)
+    keep = [V_orig[d] if pad_raw else V_orig[d] - fov[d] + 1
+            for d in range(nsp)]
+    return out[(slice(None),) + tuple(slice(0, k) for k in keep)]
 
 
 def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,

@@ -458,6 +458,8 @@ class Model:
         if self.optimiser is not None:
             meta = {"cls": type(self.optimiser).__name__,
                     "hyper": self.optimiser.hyperparams,
+                    "nesterov": bool(getattr(self.optimiser, "nesterov",
+                                             False)),
                     "step_count": self._step_count}
             payload["__opt__"] = np.frombuffer(
                 json.dumps(meta).encode(), np.uint8)
@@ -532,6 +534,8 @@ def modelload(fname, override_mfp_to_active=False, imposed_patch_size=None,
     model.state = state
     if opt_meta is not None:
         model.set_opt(opt_meta["cls"], **opt_meta["hyper"])
+        if opt_meta.get("nesterov"):
+            model.optimiser.nesterov = True
         model._step_count = opt_meta.get("step_count", 0)
         if opt_leaves:
             init = model.opt_state
@@ -539,6 +543,10 @@ def modelload(fname, override_mfp_to_active=False, imposed_patch_size=None,
             restored = [jnp.asarray(opt_leaves.get(i, l))
                         for i, l in enumerate(leaves)]
             model.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+    if override_mfp_to_active or imposed_patch_size is not None:
+        model = rebuild_model(model,
+                              override_mfp_to_active=override_mfp_to_active,
+                              imposed_patch_size=imposed_patch_size)
     logger.info(f"loaded model from {fname}: {model!r}")
     return model
 

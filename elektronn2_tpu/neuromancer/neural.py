@@ -137,11 +137,13 @@ class Perceptron(Node, _BNMixin):
             ax = 1 if self._f_ax is None else self._f_ax
             y = ops_dot(x, w, axis=ax) \
                 + b.reshape((1,) * ax + (-1,) + (1,) * (x.ndim - ax - 1))
+        f_ax = (1 if self.flatten else self._f_ax)
         if self.batch_normalisation:
-            y = self._apply_bn(y, ctx)
+            y = self._apply_bn(y, ctx, f_axis=f_ax)
         from elektronn2_tpu.ops.conv import apply_activation
         alpha = ctx.param(self, "alpha") if "alpha" in self.params else None
-        y = apply_activation(y, self.activation_func, alpha=alpha)
+        y = apply_activation(y, self.activation_func, alpha=alpha,
+                             axis=f_ax)
         y = _apply_dropout(y, self.dropout_rate, ctx, self)
         return y
 
@@ -414,10 +416,9 @@ class Crop(Node):
                              f"{ps.spatial_shape}")
         fov = list(ps.fov)
         for d, (lo, hi) in enumerate(crop):
-            if lo == hi:
-                fov[d] += 2 * lo * ps.strides[d]
-            else:
-                fov[d] += (lo + hi) * ps.strides[d]  # asymmetric: approximate
+            # symmetric crops keep the centred-fov model exact; asymmetric
+            # ones shift the centre by (hi-lo)/2 voxels (approximation)
+            fov[d] += (lo + hi) * ps.strides[d]
         shape = list(ps.shape)
         for ax, s in zip(ps.spatial_axes, sp):
             shape[ax] = s

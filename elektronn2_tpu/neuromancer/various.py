@@ -19,6 +19,8 @@ from elektronn2_tpu.neuromancer.node_basic import Node, TraceCtx
 class GaussianRV(Node):
     """Reparameterised Gaussian sample: mu + sig * eps (train mode);
     returns mu in eval mode. Reference: ``various.py::GaussianRV``.
+    ``n_samples`` is accepted for reference API parity; this implementation
+    always draws one sample per element (n_samples > 1 unimplemented).
     """
 
     def __init__(self, mu, sig, n_samples=1, name="gaussian_rv",

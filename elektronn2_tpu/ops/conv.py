@@ -145,18 +145,23 @@ def softmax(x, axis=1):
     return jax.nn.softmax(x, axis=axis)
 
 
-def apply_activation(x, activation_func, alpha=None):
+def apply_activation(x, activation_func, alpha=None, axis=1):
     """Apply an activation by reference name; see ops.activations.
 
     ``maxout:k`` reduces features by k; ``prelu`` uses learnable ``alpha``.
+    ``axis``: the feature axis (for maxout grouping / prelu broadcasting).
     """
     from elektronn2_tpu.ops.activations import get_activation
+    if axis < 0:
+        axis += x.ndim
     if isinstance(activation_func, str) and activation_func.startswith("maxout"):
         k = int(activation_func.split(":")[1]) if ":" in activation_func else 2
-        return maxout(x, k)
+        return maxout(x, k, axis=axis)
     if activation_func == "prelu":
         if alpha is None:
             raise ValueError("prelu requires alpha parameter")
-        a = alpha.reshape((1, -1) + (1,) * (x.ndim - 2)).astype(x.dtype)
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        a = alpha.reshape(shape).astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
     return get_activation(activation_func)(x)

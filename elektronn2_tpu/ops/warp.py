@@ -119,6 +119,15 @@ def warp_patch(src, M, position, patch_size, target=None,
         tgrid = tgrid + jnp.asarray(target_offset,
                                     jnp.float32).reshape(3, 1)
     t_coords = transform_grid(tgrid, M, position)
+    if elastic is not None:
+        # labels must follow the image's deformation: sample the per-patch
+        # field at the target grid's (static) positions within the patch
+        from elektronn2_tpu.data.transformations import target_grid_indices
+        iz, ix, iy = target_grid_indices(patch_size, tps, target_strides,
+                                         target_offset)
+        f = elastic.reshape((3,) + tuple(patch_size))
+        t_field = f[:, iz][:, :, ix][:, :, :, iy]
+        t_coords = t_coords + t_field.reshape(3, -1)
     t_out = nearest_gather(target, t_coords)
     t_out = t_out.reshape(tps if target.ndim == 3
                           else (target.shape[0],) + tps)
@@ -214,7 +223,8 @@ class DeviceBatchAugmenter:
 
     def __init__(self, raws, labels, patch_size, target_size=None,
                  target_strides=None, warp_amount=1.0, grey_channels=None,
-                 elastic_sigma=0.0, elastic_grid=4, seed=0):
+                 elastic_sigma=0.0, elastic_grid=4, valid_cubes=None,
+                 seed=0):
         # 2D data: promote to singleton-z 3D (squeezed back in getbatch)
         self._is_2d = len(patch_size) == 2
         if self._is_2d:
@@ -228,8 +238,16 @@ class DeviceBatchAugmenter:
         f = raws[0].shape[0]
         sp = np.max([r.shape[1:] for r in raws], axis=0)
         self.n_cubes = len(raws)
+        self.valid_cubes = sorted(set(valid_cubes or []))
+        self.train_cubes = [i for i in range(self.n_cubes)
+                            if i not in self.valid_cubes]
+        if not self.train_cubes:
+            raise ValueError("no training cubes left after valid split")
+        # labels keep their dtype family (float regression targets allowed)
+        l_dtype = (np.float32 if np.asarray(labels[0]).dtype.kind == "f"
+                   else np.int32)
         stack_r = np.zeros((self.n_cubes, f, *sp), np.float32)
-        stack_l = np.zeros((self.n_cubes, *sp), np.int32)
+        stack_l = np.zeros((self.n_cubes, *sp), l_dtype)
         for i, (r, l) in enumerate(zip(raws, labels)):
             sl = tuple(slice(0, s) for s in r.shape[1:])
             stack_r[(i, slice(None)) + sl] = r
@@ -249,7 +267,7 @@ class DeviceBatchAugmenter:
         self._fn = jax.jit(self._batch_fn)
         self._host_rng = np.random.RandomState(seed)
 
-    def _batch_fn(self, key, cube_idx, positions, warp_on):
+    def _batch_fn(self, key, cube_idx, positions, warp_on, grey_on):
         kw, kg, ke = jax.random.split(key, 3)
         B = cube_idx.shape[0]
         Ms = random_warp_matrices(kw, B, amount=self.warp_amount)
@@ -273,13 +291,25 @@ class DeviceBatchAugmenter:
 
         data, tgt = jax.vmap(one)(cube_idx, Ms, positions, fields)
         if self.grey_channels:
-            data = grey_augment(kg, data, self.grey_channels)
+            aug = grey_augment(kg, data, self.grey_channels)
+            data = jnp.where(grey_on, aug, data)
         return data, tgt
 
     def getbatch(self, batch_size=1, warp=0.5, source="train", **_ignored):
-        """Host-side driver: sample cubes/positions, run the jitted batch fn."""
+        """Host-side driver: sample cubes/positions, run the jitted batch fn.
+
+        ``source='valid'`` samples the held-out cubes (``valid_cubes``) with
+        augmentation disabled.
+        """
         rng = self._host_rng
-        idx = rng.randint(0, self.n_cubes, size=batch_size)
+        if source == "valid":
+            if not self.valid_cubes:
+                raise ValueError("no validation cubes configured")
+            pool = self.valid_cubes
+            warp = 0.0
+        else:
+            pool = self.train_cubes
+        idx = np.asarray(pool)[rng.randint(0, len(pool), size=batch_size)]
         margin = np.linalg.norm(self.patch_size) / 2 + 2
         pos = np.empty((batch_size, 3), np.float32)
         for b, i in enumerate(idx):
@@ -292,7 +322,8 @@ class DeviceBatchAugmenter:
             pos[:, 0] = 0.0
         self.key, sub = jax.random.split(self.key)
         data, tgt = self._fn(sub, jnp.asarray(idx), jnp.asarray(pos),
-                             jnp.asarray(warp_on))
+                             jnp.asarray(warp_on),
+                             jnp.asarray(source == "train"))
         if self._is_2d:
             data = data[:, :, 0]
             tgt = tgt[:, 0] if tgt.ndim == 4 else tgt[..., 0, :, :]

@@ -34,6 +34,11 @@ def halo_gather(x_loc, halo, axis_name):
     """
     if halo == 0:
         return x_loc
+    if halo > x_loc.shape[2]:
+        raise ValueError(
+            f"halo ({halo} rows) exceeds the local z-shard "
+            f"({x_loc.shape[2]} rows): use fewer ranks on the 'space' axis "
+            "or a larger volume (multi-hop halo exchange unimplemented)")
     n = jax.lax.axis_size(axis_name)
     head = x_loc[:, :, :halo]
     # ring shift: rank r receives rank r+1's head

@@ -1,0 +1,194 @@
+"""Regression tests for code-review findings (round-1 review pass)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import elektronn2_tpu.neuromancer as nm
+from elektronn2_tpu.neuromancer import model_manager
+
+
+@pytest.fixture(autouse=True)
+def fresh_graph():
+    model_manager.reset(seed=13)
+    yield
+
+
+def test_elastic_applies_to_target_host(rng):
+    """Labels must follow the image's elastic deformation (host path)."""
+    from elektronn2_tpu.data.transformations import (
+        warp_slice, make_elastic_field, warp_coords,
+        map_coordinates_nearest)
+    vol = rng.rand(1, 30, 30, 30).astype(np.float32)
+    lab = np.arange(30 ** 3).reshape(30, 30, 30).astype(np.int32)
+    field = make_elastic_field(rng, (8, 8, 8), grid=3, sigma=2.0)
+    pos = np.array([15.0, 15.0, 15.0])
+    d, t = warp_slice(vol, (8, 8, 8), position=pos, target=lab,
+                      target_patch_size=(8, 8, 8), elastic=field)
+    coords, _ = warp_coords((8, 8, 8), None, pos, field)
+    want = map_coordinates_nearest(lab, coords).reshape(8, 8, 8)
+    np.testing.assert_array_equal(t, want)
+
+
+def test_elastic_applies_to_target_device(rng):
+    from elektronn2_tpu.data.transformations import make_elastic_field
+    from elektronn2_tpu.data.transformations import warp_slice
+    from elektronn2_tpu.ops.warp import warp_patch
+    vol = rng.rand(1, 30, 30, 30).astype(np.float32)
+    lab = rng.randint(0, 9, (30, 30, 30)).astype(np.int32)
+    field = make_elastic_field(rng, (8, 8, 8), grid=3, sigma=1.5)
+    pos = np.array([15.0, 15.0, 15.0])
+    hd, ht = warp_slice(vol, (8, 8, 8), position=pos, target=lab,
+                        target_patch_size=(8, 8, 8), elastic=field)
+    dd, dt = warp_patch(jnp.asarray(vol), jnp.eye(4),
+                        jnp.asarray(pos, jnp.float32), (8, 8, 8),
+                        target=jnp.asarray(lab),
+                        target_patch_size=(8, 8, 8),
+                        elastic=jnp.asarray(field, jnp.float32))
+    np.testing.assert_allclose(np.asarray(dd), hd, atol=1e-4)
+    assert (np.asarray(dt) == ht).mean() > 0.97
+
+
+def test_warp_args_not_mutated(rng):
+    from elektronn2_tpu.data import BatchCreatorImage
+    raws = [rng.rand(1, 32, 32, 32).astype(np.float32)]
+    labs = [(raws[0][0] > 0.5).astype(np.int16)]
+    bc = BatchCreatorImage(input_data=raws, target_data=labs)
+    bc.set_geometry((9, 9, 9), (3, 3, 3))
+    wa = {"amount": 0.2}
+    bc.getbatch(batch_size=4, warp=1.0, warp_args=wa)
+    assert wa == {"amount": 0.2}
+
+
+def test_griddata_pairing_with_nonsuffix_valid(rng):
+    from elektronn2_tpu.data import GridData
+    raws = [rng.rand(1, 16, 16, 16).astype(np.float32) for _ in range(3)]
+    labs = [np.zeros((16, 16, 16), np.int16) for _ in range(3)]
+    pts = [np.array([[2.0, 2, 2]]), np.array([[8.0, 8, 8]]),
+           np.array([[12.0, 12, 12]])]
+    gd = GridData(input_data=raws, target_data=labs, valid_cubes=[0],
+                  grid_points=pts, point_radius=1)
+    # cube 0 (valid) gets point (2,2,2); cube 1 gets (8,8,8); cube 2 (12,..)
+    assert gd.valid_l[0][2, 2, 2] == 1 and gd.valid_l[0][8, 8, 8] == 0
+    assert gd.train_l[0][8, 8, 8] == 1
+    assert gd.train_l[1][12, 12, 12] == 1
+
+
+def test_dilated_avg_pool_matches_tiled(rng):
+    inp = nm.Input([1, 1, 17, 17], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, name="c1")
+    p = nm.Pool(c1, 2, mfp=True, mode="avg", name="avgpool")
+    probs = nm.Softmax(nm.Conv(p, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = rng.rand(1, 25, 25).astype(np.float32)
+    host = m.predict_dense(raw)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_tiled_fallback_crops_alignment_padding(rng):
+    """Fallback (unsupported graph) output shape == host predict_dense."""
+    inp = nm.Input([1, 1, 21, 21], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    bn = nm.BatchNorm(c1)             # no trained stats → dilated rejects
+    probs = nm.Softmax(nm.Conv(bn, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    # volume size chosen so (V - tile) % g != 0
+    for V, pad_raw in [(29, False), (30, True)]:
+        raw = rng.rand(1, V, V).astype(np.float32)
+        host = m.predict_dense(raw, pad_raw=pad_raw)
+        dev = np.asarray(m.predict_dense_device(jnp.asarray(raw),
+                                                pad_raw=pad_raw))
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_perceptron_bn_prelu_on_sequence_layout(rng):
+    seq = nm.Input([4, 2, 6], "s,b,f", name="seq")
+    p = nm.Perceptron(seq, 8, activation_func="prelu",
+                      batch_normalisation=True, name="p")
+    m = model_manager.getmodel()
+    v = rng.randn(4, 2, 6).astype(np.float32)
+    outs, _ = m._apply([p], m.params, {}, {"seq": v}, None, True)
+    out = np.asarray(outs[0])
+    assert out.shape == (4, 2, 8)
+    assert np.isfinite(out).all()
+
+
+def test_modelload_override_mfp(rng, tmp_path):
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    f = str(tmp_path / "m.mdl")
+    m.save(f)
+    m2 = nm.modelload(f, override_mfp_to_active=True,
+                      imposed_patch_size=[17, 17])
+    assert m2.input_node.shape.spatial_shape == (17, 17)
+    assert m2.nodes["c1"].mfp is True
+    np.testing.assert_array_equal(np.asarray(m.params["c1"]["w"]),
+                                  np.asarray(m2.params["c1"]["w"]))
+
+
+def test_malis_custom_aff_gt():
+    """Custom ground-truth affinities steer the constrained positive pass:
+    capping an edge's gt affinity re-routes maximin pairs to other edges."""
+    from elektronn2_tpu.malis import malis_weights
+    seg = np.array([[[1, 1, 1]]], np.int32)     # one object, chain of 3
+    nh = np.array([[0, 0, -1]], np.int32)
+    aff = np.zeros((1, 1, 1, 3), np.float32)
+    aff[0, 0, 0] = [0, 0.5, 0.9]
+    pos_default, _ = malis_weights(aff, seg, nh)
+    # default (gt all-connected): e2 (0.9) merges first → pos=[_,2,1]
+    np.testing.assert_array_equal(pos_default[0, 0, 0], [0, 2, 1])
+    custom = np.zeros((1, 1, 1, 3), np.float32)
+    custom[0, 0, 0] = [0, 1, 0]                # cap e2's gt affinity to 0
+    pos_custom, _ = malis_weights(aff, seg, nh, aff_gt=custom)
+    # constrained aff = [_, .5, 0]: e1 merges first → pos=[_,1,2]
+    np.testing.assert_array_equal(pos_custom[0, 0, 0], [0, 1, 2])
+
+
+def test_sgd_nesterov_roundtrip(rng, tmp_path):
+    inp = nm.Input([1, 4], "b,f", name="raw")
+    p = nm.Perceptron(inp, 2, activation_func="lin", name="p")
+    tgt = nm.Input([1, 2], "b,f", name="t")
+    loss = nm.AggregateLoss(nm.SquaredLoss(p, tgt))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=p)
+    m.set_opt("SGD", lr=0.1, nesterov=True)
+    assert m.optimiser.nesterov
+    f = str(tmp_path / "m.mdl")
+    m.save(f)
+    m2 = nm.modelload(f)
+    assert m2.optimiser.nesterov is True
+
+
+def test_device_augmenter_valid_split(rng):
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    raws = [np.full((1, 16, 16, 16), float(i), np.float32)
+            for i in range(3)]
+    labs = [np.full((16, 16, 16), i, np.int16) for i in range(3)]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(6, 6, 6),
+                               target_size=(6, 6, 6), grey_channels=[0],
+                               valid_cubes=[2])
+    d, t = aug.getbatch(8, warp=0.5, source="train")
+    assert not np.any(np.asarray(t) == 2)        # valid cube never sampled
+    dv, tv = aug.getbatch(4, warp=0.5, source="valid")
+    assert np.all(np.asarray(tv) == 2)
+    # validation data is unaugmented (constant cube stays constant)
+    np.testing.assert_allclose(np.asarray(dv), 2.0, atol=1e-6)
+
+
+def test_device_augmenter_float_targets(rng):
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    raws = [rng.rand(1, 16, 16, 16).astype(np.float32)]
+    labs = [rng.rand(16, 16, 16).astype(np.float32)]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(6, 6, 6))
+    d, t = aug.getbatch(2, warp=0.0)
+    assert np.asarray(t).dtype == np.float32
+    assert 0 < np.asarray(t).max() < 1
