@@ -28,27 +28,38 @@ from elektronn2_tpu.ops.activations import get_activation
 
 
 def halo_gather(x_loc, halo, axis_name):
-    """Append ``halo`` z-slabs from the next rank (zero-padded at the end).
+    """Append ``halo`` z-slabs from the following rank(s), zero-padded past
+    the global end.
 
-    x_loc: (b, f, z_local, x, y) local shard inside shard_map.
+    x_loc: (b, f, z_local, x, y) local shard inside shard_map. When the
+    halo exceeds one shard (deep dilated stacks on many ranks), whole
+    blocks are fetched from successive neighbours (multi-hop) and the
+    surplus trimmed.
     """
     if halo == 0:
         return x_loc
-    if halo > x_loc.shape[2]:
-        raise ValueError(
-            f"halo ({halo} rows) exceeds the local z-shard "
-            f"({x_loc.shape[2]} rows): use fewer ranks on the 'space' axis "
-            "or a larger volume (multi-hop halo exchange unimplemented)")
     n = jax.lax.axis_size(axis_name)
-    head = x_loc[:, :, :halo]
-    # ring shift: rank r receives rank r+1's head
-    perm = [(i, (i - 1) % n) for i in range(n)]
-    recv = jax.lax.ppermute(head, axis_name, perm)
-    # last rank has no next neighbour: its received slab is rank 0's head —
-    # replace with zeros (the invalid tail is trimmed by the caller)
     idx = jax.lax.axis_index(axis_name)
-    recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
-    return jnp.concatenate([x_loc, recv], axis=2)
+    z_loc = x_loc.shape[2]
+    if halo <= z_loc:
+        # single hop: send only the needed head slab
+        head = x_loc[:, :, :halo]
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        recv = jax.lax.ppermute(head, axis_name, perm)
+        recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
+        return jnp.concatenate([x_loc, recv], axis=2)
+    # multi-hop: fetch whole blocks from ranks r+1 .. r+hops
+    hops = -(-halo // z_loc)
+    parts = [x_loc]
+    for h in range(1, hops + 1):
+        perm = [(i, (i - h) % n) for i in range(n)]
+        recv = jax.lax.ppermute(x_loc, axis_name, perm)
+        # ranks whose h-th neighbour wraps past the end get zeros (the
+        # global tail is invalid and trimmed by the caller anyway)
+        recv = jnp.where(idx >= n - h, jnp.zeros_like(recv), recv)
+        parts.append(recv)
+    big = jnp.concatenate(parts, axis=2)
+    return big[:, :, :z_loc + halo]
 
 
 def cp_conv_z(x_loc, w, b=None, axis_name="space", activation=None):

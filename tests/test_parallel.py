@@ -134,3 +134,21 @@ def test_halo_cp_rejects_bad_shapes(rng):
     fn = spatial_cp_stack(layers, mesh)
     with pytest.raises(ValueError):
         fn(jnp.zeros((1, 1, 15, 10, 10), jnp.float32))  # 15 % 4 != 0
+
+
+def test_sharded_dense_multihop_halo(rng):
+    """Deep dilated stack on many ranks: per-layer halo exceeds one shard
+    (z_local=2, dilated halo up to 8) → multi-hop gather must still match
+    the single-device sweep exactly."""
+    inp = nm.Input([1, 1, 11, 13, 13], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 3, (3, 3, 3), (2, 2, 2), mfp=True, name="c1")
+    c2 = nm.Conv(c1, 2, (3, 3, 3), (1, 1, 1), mfp=True, name="c2")
+    probs = nm.Softmax(c2)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    vol = jnp.asarray(rng.rand(1, 16, 20, 20).astype(np.float32))
+    un = np.asarray(m.predict_dense_device(vol))
+    mesh = make_mesh({"space": 8}, n_devices=8)   # z_local = 2
+    sh = np.asarray(m.predict_dense_sharded(vol, mesh))
+    assert sh.shape == un.shape
+    np.testing.assert_allclose(sh, un, atol=1e-6)
