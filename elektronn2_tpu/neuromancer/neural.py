@@ -24,7 +24,7 @@ from elektronn2_tpu.neuromancer.variables import init_weight, init_bias
 from elektronn2_tpu.ops import conv as ops_conv
 from elektronn2_tpu.ops.conv import pooling as ops_pooling, upconv as ops_upconv, dot as ops_dot
 from elektronn2_tpu.ops.mfp import fragmentpool, fragments2dense, mfp_offsets_product
-from elektronn2_tpu.ops.activations import get_activation
+from elektronn2_tpu.ops.activations import get_activation, validate_activation
 
 
 def _maxout_factor(activation_func):
@@ -94,7 +94,7 @@ class Perceptron(Node, _BNMixin):
                  name="dot", print_repr=True):
         super().__init__(parent, name, print_repr)
         self.n_f = int(n_f)
-        self.activation_func = activation_func
+        self.activation_func = validate_activation(activation_func)
         self.flatten = bool(flatten)
         self.batch_normalisation = bool(batch_normalisation)
         self.dropout_rate = float(dropout_rate)
@@ -188,7 +188,7 @@ class Conv(Node, _BNMixin):
         self.filter_shape = _norm_spatial(filter_shape, nsp, "filter_shape")
         self.pool_shape = _norm_spatial(pool_shape if pool_shape is not None
                                         else 1, nsp, "pool_shape")
-        self.activation_func = activation_func
+        self.activation_func = validate_activation(activation_func)
         self.mfp = bool(mfp)
         self.batch_normalisation = bool(batch_normalisation)
         self.dropout_rate = float(dropout_rate)
@@ -359,7 +359,7 @@ class UpConv(Node):
                              "restitch with FragmentsToDense first")
         self.n_f = int(n_f)
         self.pool_shape = _norm_spatial(pool_shape, nsp, "pool_shape")
-        self.activation_func = activation_func
+        self.activation_func = validate_activation(activation_func)
         sp = [s * p for s, p in zip(ps.spatial_shape, self.pool_shape)]
         strides = []
         for s, p in zip(ps.strides, self.pool_shape):

@@ -33,6 +33,20 @@ ACTIVATIONS = {
 }
 
 
+def validate_activation(name):
+    """Eager name check for layer constructors (fail fast, not at trace)."""
+    if callable(name):
+        return name
+    if isinstance(name, str) and (name.startswith("maxout")
+                                  or name == "prelu"):
+        return name
+    if name not in ACTIVATIONS:
+        raise ValueError(
+            f"unknown activation {name!r}; known: {sorted(ACTIVATIONS)} "
+            "(+ 'maxout[:k]'/'prelu')")
+    return name
+
+
 def get_activation(name):
     """Look up an activation by its reference name.
 

@@ -192,3 +192,27 @@ def test_device_augmenter_float_targets(rng):
     d, t = aug.getbatch(2, warp=0.0)
     assert np.asarray(t).dtype == np.float32
     assert 0 < np.asarray(t).max() < 1
+
+
+def test_helpful_error_messages(rng):
+    """Common user mistakes produce actionable errors."""
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    with pytest.raises(ValueError, match="cnncalculator"):
+        nm.Conv(inp, 4, 3, 3, name="badpool")     # 14 % 3 != 0
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    aux = nm.GenericInput(name="aux")
+    merged = nm.ApplyFunc(aux, lambda v: v, name="aux_passthrough")
+    with pytest.raises(KeyError, match="no value fed|aux"):
+        m.get_activations(rng.rand(1, 1, 16, 16).astype(np.float32),
+                          ["aux_passthrough"])    # aux not fed
+    with pytest.raises(ValueError, match="rank"):
+        m.predict(rng.rand(16, 16).astype(np.float32))  # rank mismatch
+    with pytest.raises(ValueError, match="unknown optimiser"):
+        m.set_opt("Adamm")
+    with pytest.raises(ValueError, match="unknown hyperparams"):
+        m.set_opt("Adam", momentum=0.9)
+    with pytest.raises(ValueError, match="activation"):
+        nm.Conv(c1, 2, 1, 1, activation_func="rellu")
