@@ -20,17 +20,23 @@ is recorded there as the denominator). North-star: ≥10×.
 
 import json
 import os
-import signal
+import threading
 import time
 
 import numpy as np
 
 WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "480"))
+_done = threading.Event()
 
 
-def _watchdog(signum, frame):
-    # the sandbox TPU tunnel can wedge (device calls block forever); emit an
-    # honest zero-value line instead of hanging the driver
+def _watchdog():
+    # The sandbox TPU tunnel can wedge (device calls block forever in C++
+    # without returning to the interpreter, so SIGALRM handlers never run);
+    # a daemon THREAD still gets scheduled (the GIL is released while
+    # blocked) — emit an honest zero-value line instead of hanging the
+    # driver, then hard-exit.
+    if _done.wait(WATCHDOG_S):
+        return
     print(json.dumps({
         "metric": "mfp_dense_inference", "value": 0.0,
         "unit": "Mvox/s/chip", "vs_baseline": 0.0,
@@ -41,8 +47,7 @@ def _watchdog(signum, frame):
 
 
 def main():
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(WATCHDOG_S)
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_model
@@ -65,7 +70,7 @@ def main():
     assert np.isfinite(checksum)
     mvox = float(np.prod(out.shape[1:])) / dt / 1e6
 
-    signal.alarm(0)
+    _done.set()
     print(json.dumps({
         "metric": "mfp_dense_inference",
         "value": round(mvox, 2),
