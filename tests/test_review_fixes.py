@@ -216,3 +216,50 @@ def test_helpful_error_messages(rng):
         m.set_opt("Adam", momentum=0.9)
     with pytest.raises(ValueError, match="activation"):
         nm.Conv(c1, 2, 1, 1, activation_func="rellu")
+
+
+def test_param_init_determinism():
+    """Same manager seed → identical parameter initialisation."""
+    model_manager.reset(seed=42)
+    inp = nm.Input([1, 1, 9, 9], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 1, name="c1")
+    w1 = np.asarray(c.params["w"]).copy()
+    model_manager.reset(seed=42)
+    inp = nm.Input([1, 1, 9, 9], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 1, name="c1")
+    np.testing.assert_array_equal(w1, np.asarray(c.params["w"]))
+    model_manager.reset(seed=43)
+    inp = nm.Input([1, 1, 9, 9], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 1, name="c1")
+    assert not np.array_equal(w1, np.asarray(c.params["w"]))
+
+
+def test_model_seed_reproducible_dropout(rng):
+    inp = nm.Input([1, 8], "b,f", name="raw")
+    d = nm.Dropout(inp, rate=0.5)
+    p = nm.Perceptron(d, 4, activation_func="lin")
+    tgt = nm.Input([1, 4], "b,f", name="t")
+    loss = nm.AggregateLoss(nm.SquaredLoss(p, tgt))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=p)
+    m.set_opt("SGD", lr=0.1, mom=0.0)
+    x = rng.randn(1, 8).astype(np.float32)
+    y = rng.randn(1, 4).astype(np.float32)
+    m.seed(7)
+    l1 = [float(m.trainingstep(x, y)[0]) for _ in range(3)]
+    w1 = np.asarray(m.params["dot"]["w"]).copy()
+    # reset params + rng → identical trajectory
+    model_manager.reset(seed=13)
+    inp = nm.Input([1, 8], "b,f", name="raw")
+    d = nm.Dropout(inp, rate=0.5)
+    p = nm.Perceptron(d, 4, activation_func="lin")
+    tgt = nm.Input([1, 4], "b,f", name="t")
+    loss = nm.AggregateLoss(nm.SquaredLoss(p, tgt))
+    m2 = model_manager.getmodel()
+    m2.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                       prediction_node=p)
+    m2.set_opt("SGD", lr=0.1, mom=0.0)
+    m2.seed(7)
+    l2 = [float(m2.trainingstep(x, y)[0]) for _ in range(3)]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
