@@ -256,6 +256,13 @@ class Conv(Node, _BNMixin):
     def _compute(self, ctx, x):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
+        halo_axis = getattr(ctx, "halo_axis", None)
+        if halo_axis is not None and len(self.filter_shape) == 3 \
+                and self.filter_shape[0] > 1:
+            # z-sharded training (parallel/spatial_train.py): fetch the
+            # filter's z halo from the next rank; output keeps z_local rows
+            from elektronn2_tpu.parallel.halo import halo_gather
+            x = halo_gather(x, self.filter_shape[0] - 1, halo_axis)
         if ctx.compute_dtype is not None:
             # mixed precision: bf16 operands on the MXU (internal f32
             # accumulation), cast back for the elementwise tail — the

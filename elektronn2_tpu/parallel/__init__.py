@@ -20,6 +20,9 @@ All collectives ride ICI within a slice; multi-host via
 from elektronn2_tpu.parallel.mesh import make_mesh, mesh_info
 from elektronn2_tpu.parallel.halo import (halo_gather, cp_conv_z,
                                           spatial_cp_stack)
+from elektronn2_tpu.parallel.spatial_train import (
+    make_spatial_dp_trainstep, pad_target_for_spatial)
 
 __all__ = ["make_mesh", "mesh_info", "halo_gather", "cp_conv_z",
-           "spatial_cp_stack"]
+           "spatial_cp_stack", "make_spatial_dp_trainstep",
+           "pad_target_for_spatial"]

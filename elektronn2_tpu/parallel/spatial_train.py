@@ -1,0 +1,141 @@
+"""Combined data-parallel × spatial-context-parallel TRAINING.
+
+Scale-out for volumes too large for one chip at training time: the batch is
+sharded over a ``data`` mesh axis AND the volume's z axis over a ``space``
+axis; every valid conv halo-exchanges with ``lax.ppermute`` (differentiable
+— its transpose is the reverse permutation, so gradients flow through the
+halos), per-voxel losses are masked to the globally-valid region, and
+gradients are ``psum``-reduced over both axes before a replicated optimiser
+update. The reference has no distributed training at all (SURVEY.md §3.7);
+this is the TPU-native "pod scale-out training" path.
+
+Contract (checked): the model is a 3D conv graph whose loss is
+``AggregateLoss`` over one per-voxel loss map; no pooling/filtering along z
+may decimate (z-pools must be 1) — x/y pooling is free. The target array
+must be padded along z to the INPUT z extent so that shards align 1:1 with
+input shards (rows in the pad are masked out of the loss).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from elektronn2_tpu.log import logger
+from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+
+
+def pad_target_for_spatial(target, input_z):
+    """Pad a (b, z_out, x, y) target along z to the input z extent (the
+    pad rows fall in the masked invalid region)."""
+    pad = input_z - target.shape[1]
+    if pad <= 0:
+        return target
+    return np.pad(np.asarray(target),
+                  [(0, 0), (0, pad)] + [(0, 0)] * (target.ndim - 2))
+
+
+def make_spatial_dp_trainstep(model, mesh, data_axis="data",
+                              space_axis="space"):
+    """Build a jitted DP×SP training-step callable.
+
+    Returns ``step(params, opt_state, state, data, target, hyper) ->
+    (loss, params, opt_state)``. ``data``: (B, f, Z, X, Y) with B divisible
+    by the data-axis size and Z by the space-axis size; ``target``:
+    (B, Z, X_out, Y_out) int (z-padded, see ``pad_target_for_spatial``).
+    """
+    from elektronn2_tpu.neuromancer.loss import AggregateLoss
+
+    if not isinstance(model.loss_node, AggregateLoss) \
+            or len(model.loss_node.parents) != 1:
+        raise ValueError("spatial training requires AggregateLoss over one "
+                         "per-voxel loss map")
+    loss_map_node = model.loss_node.parents[0]
+    pred = model.prediction_node
+    if len(model.input_node.shape.spatial_axes) != 3:
+        raise ValueError("spatial training is for 3D models")
+    for node in model.loss_node.all_parents():
+        pool = getattr(node, "pool_shape", None)
+        if pool is not None and pool[0] != 1:
+            raise ValueError(f"node {node.name}: z-pooling is unsupported "
+                             "under z-sharding")
+        if getattr(node, "mfp", False):
+            raise ValueError(f"node {node.name}: MFP training under "
+                             "z-sharding is unsupported (train plain, "
+                             "infer with predict_dense_sharded)")
+    fov_z = pred.shape.fov[0]
+    n_space = mesh.shape[space_axis]
+    n_data = mesh.shape[data_axis]
+    opt = model.optimiser
+    lr_mults, wd_mults = model._lr_mults, model._wd_mults
+    in_name = model.input_node.name
+    tgt_name = model.target_node.name
+    node_index = model._node_index
+    cdtype = model._compute_dtype
+
+    # global mean denominator is STATIC: batch × valid-out-z × out-x × out-y
+    b_total = model.input_node.shape["b"]
+    z_total = model.input_node.shape.spatial_shape[0]
+    lmap_sp = loss_map_node.shape.spatial_shape
+    count_global = float(b_total * (z_total - (fov_z - 1))
+                         * int(np.prod(lmap_sp[1:])))
+
+    def local_step(params, opt_state, state, data, target, rng, hyper):
+        z_loc = data.shape[2]
+        r_space = jax.lax.axis_index(space_axis)
+        # globally-valid output rows: z_global < Z_total - (fov_z - 1)
+        row = r_space * z_loc + jnp.arange(z_loc)
+        valid = (row < z_total - (fov_z - 1)).astype(jnp.float32)
+
+        def loss_fn(train_params):
+            # PURELY LOCAL loss (global mean via the static denominator):
+            # psum inside the differentiated function would inflate
+            # cotangents — its transpose under shard_map is another psum
+            merged = {n: {**params.get(n, {}), **train_params.get(n, {})}
+                      for n in set(params) | set(train_params)}
+            ctx = TraceCtx(merged, {in_name: data, tgt_name: target},
+                           rng, train=True, state_in=state,
+                           node_index=node_index, compute_dtype=cdtype)
+            ctx.halo_axis = space_axis
+            lmap = ctx.get(loss_map_node)      # (b_loc, z_loc, x_o, y_o)
+            mask = valid.reshape(1, -1, *([1] * (lmap.ndim - 2)))
+            return jnp.sum(lmap * mask) / count_global
+
+        train_params = model._trainable(params)
+        loss_v, grads = jax.value_and_grad(loss_fn)(train_params)
+        # per-rank partials (cross-rank halo terms route to their owning
+        # rank through the transposed ppermute) → one psum = global grad
+        grads = jax.lax.psum(grads, (data_axis, space_axis))
+        loss_v = jax.lax.psum(loss_v, (data_axis, space_axis))
+        new_train, new_opt = opt.update(train_params, grads, opt_state,
+                                        hyper, lr_mults, wd_mults)
+        new_params = {n: {**params.get(n, {}), **new_train.get(n, {})}
+                      for n in set(params) | set(new_train)}
+        return loss_v, new_params, new_opt
+
+    shard_step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  P(data_axis, None, space_axis, None, None),
+                  P(data_axis, space_axis, None, None),
+                  P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, opt_state, state, data, target, hyper, rng):
+        return shard_step(params, opt_state, state, data, target, rng,
+                          hyper)
+
+    logger.info(f"spatial DP train step: mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+                f"fov_z={fov_z}")
+    return step
+
+
+def conv_supports_halo(ctx):
+    """True when the trace is running z-sharded (set by the spatial step)."""
+    return getattr(ctx, "halo_axis", None) is not None

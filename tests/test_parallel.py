@@ -152,3 +152,76 @@ def test_sharded_dense_multihop_halo(rng):
     sh = np.asarray(m.predict_dense_sharded(vol, mesh))
     assert sh.shape == un.shape
     np.testing.assert_allclose(sh, un, atol=1e-6)
+
+
+def test_spatial_dp_training_matches_single_device(rng):
+    """Combined DP×SP train step (batch + z sharding, halo convs, psum
+    grads) produces the same loss and parameter update as an unsharded
+    reference step."""
+    from elektronn2_tpu.parallel.spatial_train import (
+        make_spatial_dp_trainstep, pad_target_for_spatial)
+    from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+
+    B, Z, X, Y = 2, 8, 14, 14
+    inp = nm.Input([B, 1, Z, X, Y], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), name="c1")
+    c2 = nm.Conv(c1, 4, (3, 3, 3), (1, 1, 1), name="c2")
+    probs = nm.Softmax(nm.Conv(c2, 2, 1, 1, activation_func="lin"),
+                       name="probs")
+    tgt = nm.Input([B, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True, name="nll")
+    loss = nm.AggregateLoss(nll, name="loss")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=0.05, mom=0.0)
+
+    mesh = make_mesh({"data": 2, "space": 4})
+    step = make_spatial_dp_trainstep(m, mesh)
+
+    data = rng.rand(B, 1, Z, X, Y).astype(np.float32)
+    z_out, x_out, y_out = probs.shape.spatial_shape
+    target = (rng.rand(B, z_out, x_out, y_out) > 0.5).astype(np.int32)
+    target_pad = pad_target_for_spatial(target, Z)
+
+    loss_sh, new_params, _ = step(m.params, m.opt_state, m.state,
+                                  jnp.asarray(data),
+                                  jnp.asarray(target_pad),
+                                  m.optimiser.current_hyper(),
+                                  jax.random.PRNGKey(0))
+
+    # unsharded reference: mean of the per-voxel map + plain SGD step
+    def ref_loss(tp):
+        merged = {n: {**m.params.get(n, {}), **tp.get(n, {})}
+                  for n in set(m.params) | set(tp)}
+        ctx = TraceCtx(merged, {"raw": data, "target": target}, None,
+                       train=True, node_index=m._node_index)
+        return jnp.mean(ctx.get(nll))
+
+    tp = m._trainable(m.params)
+    loss_ref, grads = jax.value_and_grad(ref_loss)(tp)
+    ref_new, _ = m.optimiser.update(tp, grads, m.opt_state,
+                                    m.optimiser.current_hyper(),
+                                    m._lr_mults, m._wd_mults)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_params["c1"]["w"]),
+                               np.asarray(ref_new["c1"]["w"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_dp_training_rejects_z_pool_and_mfp(rng):
+    from elektronn2_tpu.parallel.spatial_train import make_spatial_dp_trainstep
+    inp = nm.Input([2, 1, 8, 9, 9], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 2, (3, 3, 3), (2, 1, 1), name="c1")  # z-pool!
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=0.01)
+    with pytest.raises(ValueError, match="z-pooling"):
+        make_spatial_dp_trainstep(m, make_mesh({"data": 2, "space": 4}))
