@@ -21,6 +21,19 @@ import jax
 from elektronn2_tpu.log import logger
 
 
+def _check_dense_geometry(pred):
+    """Nodes whose alignment TaggedShape cannot express (padding makes the
+    centred-fov model lie) are rejected for dense sweeps."""
+    from elektronn2_tpu.neuromancer.neural import Pad
+    for node in pred.all_parents():
+        if isinstance(node, Pad):
+            raise ValueError(
+                f"dense prediction over a graph containing Pad node "
+                f"{node.name!r} is unsupported: padding breaks the "
+                "valid-mode fov/offset bookkeeping that tile alignment "
+                "relies on")
+
+
 def _dense_geometry(pred_shape):
     """(g, n_off, dense_sp) for a prediction TaggedShape: per-dim dense
     stride after stitching, fragment-offset counts, and per-tile dense size."""
@@ -35,7 +48,8 @@ def _dense_geometry(pred_shape):
     return g, n_off, dense_sp
 
 
-def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
+def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
+                          params=None, state=None):
     """Dense prediction via the à-trous (dilated convolution) identity.
 
     MFP (fragment pooling + restitch) computes the network at every pooling
@@ -69,13 +83,16 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None):
     inp = model.input_node
     nsp = len(inp.shape.spatial_axes)
     cdtype = getattr(model, "_compute_dtype", None)
-    params = model.params
+    # params/state must be passed as traced ARGUMENTS by cached jit wrappers
+    # (closing over model.params would bake stale weights in as constants)
+    params = model.params if params is None else params
+    state = model.state if state is None else state
 
     def _bn_affine(node, y, model):
         """Eval-mode BatchNorm is a per-channel affine (running stats) —
         position-independent, hence identical in the dilated domain."""
         import jax.numpy as jnp
-        st = model.state.get(node.name)
+        st = state.get(node.name)
         if st is None:
             raise ValueError("dilated dense path: BatchNorm without "
                              "trained running statistics")
@@ -182,6 +199,7 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
+    _check_dense_geometry(model.prediction_node)
     n = mesh.shape[axis_name]
     fov = list(model.prediction_node.shape.fov)
     if pad_raw:
@@ -288,6 +306,7 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     from elektronn2_tpu.ops.mfp import fragments2dense
 
     inp, pred = model.input_node, model.prediction_node
+    _check_dense_geometry(pred)
     nsp = len(inp.shape.spatial_axes)
     tile_in = list(inp.shape.spatial_shape)
     g, n_off, dense_sp = _dense_geometry(pred.shape)
@@ -303,13 +322,14 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             vol_p = vol
         fn = model._dilated_fns.get("dense")
         if fn is None:
-            fn = jax.jit(lambda v: dilated_dense_forward(model, v))
+            fn = jax.jit(lambda p, s, v: dilated_dense_forward(
+                model, v, params=p, state=s))
             model._dilated_fns["dense"] = fn
         # NOTE: for models with non-MFP (decimating) pools this is a strict
         # improvement over the host path: genuinely dense stride-1 output
         # where predict_dense nearest-repeats the strided map. Voxels at the
         # strided positions are identical.
-        return fn(vol_p)
+        return fn(model.params, model.state, vol_p)
     except ValueError:
         pass  # unsupported graph → overlap-tiled fallback below
 
@@ -392,6 +412,7 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
     inp, pred = model.input_node, model.prediction_node
     if pred is None:
         raise RuntimeError("designate a prediction_node first")
+    _check_dense_geometry(pred)
     in_ts = inp.shape
     nsp = len(in_ts.spatial_axes)
     tile_in = list(in_ts.spatial_shape)

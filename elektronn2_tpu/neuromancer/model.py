@@ -567,40 +567,88 @@ def rebuild_model(model, override_mfp_to_active=False,
     """Rebuild a model's graph from its own spec (e.g. to change patch size
     or activate MFP for inference). Reference: ``model.py::rebuild_model``.
     """
+    def _input_fields(d):
+        """(shape-list, tag-list) of an Input descriptor, normalising the
+        {'__tuple__': [...]} encoding and string tags; writes back shape as
+        a plain list so overrides round-trip through the decoder."""
+        args = d["args"]
+        shape = args[0] if args else d["kwargs"]["shape"]
+        tags = args[1] if len(args) > 1 else d["kwargs"]["tags"]
+        if isinstance(shape, dict) and "__tuple__" in shape:
+            shape = list(shape["__tuple__"])
+            if args:
+                args[0] = shape
+            else:
+                d["kwargs"]["shape"] = shape
+        if isinstance(tags, dict) and "__tuple__" in tags:
+            tags = list(tags["__tuple__"])
+        if isinstance(tags, str):
+            tags = tags.split(",") if "," in tags else list(tags)
+        return shape, tags
+
+    def _set_spatial(d, sizes):
+        shape, tags = _input_fields(d)
+        sp_idx = [i for i, t in enumerate(tags) if t in ("z", "x", "y")]
+        for i, ax in enumerate(sp_idx):
+            shape[ax] = int(sizes[i])
+
+    dd_old = model.gm.designations
+    in_name = dd_old.get("input_node")
+    tgt_name = dd_old.get("target_node")
+
+    def _build(descriptors, arrays):
+        gm = GraphManager.replay(descriptors, arrays)
+        gm.designations = dict(dd_old)
+        new = Model(gm, name=model.name)
+
+        def pick(key):
+            n = gm.designations.get(key)
+            return gm.nodes[n] if n else None
+
+        new.designate_nodes(
+            input_node=pick("input_node"), target_node=pick("target_node"),
+            loss_node=pick("loss_node"),
+            prediction_node=pick("prediction_node"),
+            prediction_ext_node=pick("prediction_ext_node"),
+            error_node=pick("error_node"))
+        return new
+
     descriptors, arrays = model.gm.get_descriptors()
     if imposed_patch_size is not None or override_mfp_to_active:
         for d in descriptors:
-            if d["cls"] == "Input" and imposed_patch_size is not None:
-                shape = d["args"][0] if d["args"] else d["kwargs"]["shape"]
-                tags = d["args"][1] if len(d["args"]) > 1 else d["kwargs"]["tags"]
-                if isinstance(tags, str):
-                    tags = tags.split(",") if "," in tags else list(tags)
-                sp_idx = [i for i, t in enumerate(tags) if t in ("z", "x", "y")]
-                for i, ax in enumerate(sp_idx):
-                    shape[ax] = int(imposed_patch_size[i])
+            # patch override applies ONLY to the designated data input —
+            # the target Input's spatial dims are the network OUTPUT size
+            # and get recomputed below
+            if (d["cls"] == "Input" and imposed_patch_size is not None
+                    and d["name"] == in_name):
+                _set_spatial(d, imposed_patch_size)
             if override_mfp_to_active and d["cls"] in ("Conv", "Pool"):
                 d["kwargs"]["mfp"] = True
-    gm = GraphManager.replay(descriptors, arrays)
-    gm.designations = dict(model.gm.designations)
-    new = Model(gm, name=model.name)
-    dd = gm.designations
-
-    def pick(key):
-        n = dd.get(key)
-        return gm.nodes[n] if n else None
-
-    new.designate_nodes(
-        input_node=pick("input_node"), target_node=pick("target_node"),
-        loss_node=pick("loss_node"), prediction_node=pick("prediction_node"),
-        prediction_ext_node=pick("prediction_ext_node"),
-        error_node=pick("error_node"))
-    # copy over params where shapes still match
+    new = _build(descriptors, arrays)
+    # second pass: resize the target Input to the new prediction geometry
+    if tgt_name is not None and new.prediction_node is not None \
+            and (imposed_patch_size is not None or override_mfp_to_active):
+        pred_ts = new.prediction_node.shape
+        tgt_node = new.nodes.get(tgt_name)
+        if tgt_node is not None and (tuple(tgt_node.shape.spatial_shape)
+                                     != tuple(pred_ts.spatial_shape)
+                                     or tgt_node.shape["b"]
+                                     != pred_ts["b"]):
+            for d in descriptors:
+                if d["name"] == tgt_name:
+                    _set_spatial(d, pred_ts.spatial_shape)
+                    shape, tags = _input_fields(d)
+                    if "b" in tags:
+                        shape[tags.index("b")] = int(pred_ts["b"])
+            new = _build(descriptors, arrays)
+    # copy over params and aux state where shapes still match
     for nname, pdict in model.params.items():
         if nname in new.params:
             for pname, v in pdict.items():
                 if (pname in new.params[nname]
                         and new.params[nname][pname].shape == v.shape):
                     new.params[nname][pname] = v
+    new.state = {k: dict(v) for k, v in model.state.items()}
     return new
 
 
@@ -629,15 +677,28 @@ def simple_cnn(batch_size, n_ch, n_lab, desired_input, filters, pools,
                         batch_normalisation=batch_normalisation,
                         name=f"conv{i}")
     out = neural.Conv(x, n_lab, 1, 1, activation_func="lin", name="class")
-    probs = loss_mod.Softmax(out, name="probs")
-    tgt_sp = list(probs.shape.spatial_shape)
-    tgt = nb.Input([probs.shape["b"]] + tgt_sp, ["b"] + tags[2:],
-                   dtype="int32", name="target")
-    nll = loss_mod.MultinoulliNLL(probs, tgt, target_is_sparse=True,
-                                  name="nll")
-    agg = loss_mod.AggregateLoss(nll, name="loss")
-    err = loss_mod.Errors(probs, tgt, target_is_sparse=True)
+    tgt_sp = list(out.shape.spatial_shape)
+    if target == "nll":
+        probs = loss_mod.Softmax(out, name="probs")
+        tgt = nb.Input([probs.shape["b"]] + tgt_sp, ["b"] + tags[2:],
+                       dtype="int32", name="target")
+        nll = loss_mod.MultinoulliNLL(probs, tgt, target_is_sparse=True,
+                                      name="nll")
+        agg = loss_mod.AggregateLoss(nll, name="loss")
+        err = loss_mod.Errors(probs, tgt, target_is_sparse=True)
+        pred = probs
+    elif target in ("regression", "affinity"):
+        pred = (loss_mod.Softmax(out, name="probs") if target == "affinity"
+                else out)
+        tgt = nb.Input([out.shape["b"], n_lab] + tgt_sp, tags,
+                       name="target")
+        sq = loss_mod.SquaredLoss(pred, tgt, name="sq")
+        agg = loss_mod.AggregateLoss(sq, name="loss")
+        err = None
+    else:
+        raise ValueError(f"unknown simple_cnn target {target!r}; "
+                         "use 'nll', 'regression' or 'affinity'")
     model = gm.getmodel("simple_cnn")
     model.designate_nodes(input_node=inp, target_node=tgt, loss_node=agg,
-                          prediction_node=probs, error_node=err)
+                          prediction_node=pred, error_node=err)
     return model

@@ -27,6 +27,16 @@ from elektronn2_tpu.ops.mfp import fragmentpool, fragments2dense, mfp_offsets_pr
 from elektronn2_tpu.ops.activations import get_activation, validate_activation
 
 
+def _validate_cell_activation(name):
+    """Recurrent cells need plain elementwise activations (no maxout/prelu
+    — those change shape / carry params)."""
+    validate_activation(name)
+    if isinstance(name, str) and (name.startswith("maxout")
+                                  or name == "prelu"):
+        raise ValueError(f"{name!r} is not usable inside GRU/LSTM cells")
+    return name
+
+
 def _maxout_factor(activation_func):
     if isinstance(activation_func, str) and activation_func.startswith("maxout"):
         return int(activation_func.split(":")[1]) if ":" in activation_func else 2
@@ -122,7 +132,8 @@ class Perceptron(Node, _BNMixin):
             self.register_param("alpha", np.full(self.n_f, 0.25, floatX),
                                 wd_mult=0.0)
         if self.batch_normalisation:
-            self._init_bn(self.shape["f"])
+            # BN runs before the activation → pre-maxout feature count
+            self._init_bn(self.n_f)
 
     def _compute(self, ctx, x):
         if self.flatten:
@@ -250,7 +261,8 @@ class Conv(Node, _BNMixin):
             self.register_param("alpha", np.full(out_f, 0.25, floatX),
                                 wd_mult=0.0)
         if self.batch_normalisation:
-            self._init_bn(out_f)
+            # BN runs before the activation → pre-maxout feature count
+            self._init_bn(self.n_f)
         self._parent_offsets = np.asarray(ps.mfp_offsets)
 
     def _compute(self, ctx, x):
@@ -597,7 +609,7 @@ class GRU(Node):
                  w=None, name="gru", print_repr=True):
         super().__init__([parent, memory_state], name, print_repr)
         self.n_f = int(n_f)
-        self.activation_func = activation_func
+        self.activation_func = _validate_cell_activation(activation_func)
         f_in = parent.shape["f"]
         if memory_state.shape["f"] != self.n_f:
             raise ValueError(f"memory_state features "
@@ -642,7 +654,7 @@ class LSTM(Node):
                  name="lstm", print_repr=True):
         super().__init__([parent, memory_state], name, print_repr)
         self.n_f = int(n_f)
-        self.activation_func = activation_func
+        self.activation_func = _validate_cell_activation(activation_func)
         f_in = parent.shape["f"]
         if memory_state.shape["f"] != 2 * self.n_f:
             raise ValueError("LSTM memory_state must carry 2*n_f features "

@@ -116,7 +116,10 @@ class ScanN(Node):
                            rng=(jax.random.fold_in(base_rng, t)
                                 if base_rng is not None else None),
                            train=ctx.train, state_in=ctx.state_in,
-                           node_index=ctx._node_index)
+                           node_index=ctx._node_index,
+                           compute_dtype=ctx.compute_dtype)
+            sub.remat = ctx.remat
+            sub.halo_axis = getattr(ctx, "halo_axis", None)
             for m, c in zip(self.in_memory, carry):
                 sub.values[m.name] = c
             for it, x in zip(self.in_iterate, slices):

@@ -263,3 +263,138 @@ def test_model_seed_reproducible_dropout(rng):
     m2.seed(7)
     l2 = [float(m2.trainingstep(x, y)[0]) for _ in range(3)]
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+def test_dilated_cache_tracks_training(rng):
+    """predict_dense_device must reflect CURRENT weights — the cached jit
+    wrapper takes params as arguments, not trace-time constants."""
+    from elektronn2_tpu.utils import cnncalculator
+    calc = cnncalculator([3], [2], desired_patch_size=13, mfp=True, ndim=1)
+    n = calc.input
+    inp = nm.Input([1, 1, n, n], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"),
+                       name="probs")
+    tgt = nm.Input([probs.shape["b"], *probs.shape.spatial_shape],
+                   "b,x,y", dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=0.5, mom=0.0)
+    raw = rng.rand(1, 20, 20).astype(np.float32)
+    before = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    x = rng.rand(4, 1, n, n).astype(np.float32)
+    y = (rng.rand(16, *probs.shape.spatial_shape) > 0.5).astype(np.int32)
+    for _ in range(3):
+        m.trainingstep(x, y)
+    after = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert not np.allclose(before, after)          # weights moved
+    host = m.predict_dense(raw)                    # host path, fresh params
+    np.testing.assert_allclose(after, host, atol=1e-5)
+
+
+def test_rebuild_model_resizes_target_input(rng):
+    """imposed_patch_size must not blindly overwrite the target Input —
+    its spatial dims are recomputed from the new prediction geometry."""
+    model = nm.simple_cnn(batch_size=1, n_ch=1, n_lab=2,
+                          desired_input=[16, 16], filters=[3, 3],
+                          pools=[2, 1], nof_filters=[4, 4], ndim=2)
+    new = nm.rebuild_model(model, imposed_patch_size=[20, 20])
+    assert new.input_node.shape.spatial_shape == (20, 20)
+    assert (tuple(new.target_node.shape.spatial_shape)
+            == tuple(new.prediction_node.shape.spatial_shape))
+    x = rng.rand(*new.input_node.shape).astype(np.float32)
+    y = (rng.rand(new.target_node.shape["b"],
+                  *new.target_node.shape.spatial_shape) > 0.5
+         ).astype(np.int32)
+    new.set_opt("SGD", lr=1e-3)
+    l, _ = new.trainingstep(x, y)
+    assert np.isfinite(float(l))
+
+
+def test_rebuild_model_tuple_encoded_input(rng):
+    """Inputs constructed with tuple shape/tags still honour the patch
+    override (the {'__tuple__': ...} encoding is normalised)."""
+    inp = nm.Input((1, 1, 12, 12), ("b", "f", "x", "y"), name="raw")
+    c1 = nm.Conv(inp, 2, 3, 1, name="c1")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=c1)
+    new = nm.rebuild_model(m, imposed_patch_size=[16, 16])
+    assert new.input_node.shape.spatial_shape == (16, 16)
+
+
+def test_rebuild_model_keeps_bn_state(rng):
+    inp = nm.Input([1, 1, 12, 12], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, batch_normalisation=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([1, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=1e-3)
+    x = rng.rand(1, 1, 12, 12).astype(np.float32)
+    y = (rng.rand(1, *probs.shape.spatial_shape) > 0.5).astype(np.int32)
+    m.trainingstep(x, y)
+    assert "c1" in m.state
+    new = nm.rebuild_model(m, imposed_patch_size=[14, 14])
+    assert "c1" in new.state          # BN running stats carried over
+
+
+def test_bn_with_maxout(rng):
+    """BN before a maxout activation is sized for pre-maxout channels."""
+    inp = nm.Input([2, 1, 10, 10], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 8, 3, 1, activation_func="maxout:2",
+                 batch_normalisation=True, name="c1")
+    assert c1.shape["f"] == 4
+    tgt = nm.Input([2, *c1.shape.spatial_shape], "b,x,y", dtype="int32",
+                   name="target")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=1e-3)
+    x = rng.rand(2, 1, 10, 10).astype(np.float32)
+    y = (rng.rand(2, 8, 8) > 0.5).astype(np.int32)
+    l, _ = m.trainingstep(x, y)
+    assert np.isfinite(float(l))
+
+
+def test_gru_rejects_bad_activation():
+    x_t = nm.Input([2, 3], "b,f", name="x_t")
+    h0 = nm.InitialState_like(x_t, override_f=4, name="h0")
+    with pytest.raises(ValueError, match="activation"):
+        nm.GRU(x_t, h0, n_f=4, activation_func="tanhh")
+    with pytest.raises(ValueError, match="GRU/LSTM"):
+        nm.GRU(x_t, h0, n_f=4, activation_func="maxout:2")
+
+
+def test_pad_rejected_in_dense_prediction(rng):
+    inp = nm.Input([1, 1, 12, 12], "b,f,x,y", name="raw")
+    pad = nm.Pad(inp, 1)
+    c1 = nm.Conv(pad, 2, 3, 1, name="c1")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=c1)
+    with pytest.raises(ValueError, match="Pad"):
+        m.predict_dense(rng.rand(1, 20, 20).astype(np.float32))
+
+
+def test_simple_cnn_regression_target(rng):
+    m = nm.simple_cnn(batch_size=1, n_ch=1, n_lab=3,
+                      desired_input=[14, 14], filters=[3], pools=[1],
+                      nof_filters=[4], ndim=2, target="regression")
+    x = rng.rand(*m.input_node.shape).astype(np.float32)
+    y = rng.rand(*m.target_node.shape).astype(np.float32)
+    m.set_opt("Adam", lr=1e-3)
+    l, _ = m.trainingstep(x, y)
+    assert np.isfinite(float(l))
+    with pytest.raises(ValueError, match="simple_cnn target"):
+        nm.simple_cnn(batch_size=1, n_ch=1, n_lab=2, desired_input=[14, 14],
+                      filters=[3], pools=[1], nof_filters=[4], ndim=2,
+                      target="bogus")
