@@ -260,8 +260,13 @@ class BatchCreatorImage:
             params = get_random_warp_params(self.rng, amount=amount, **rest)
             if not flip:
                 params["flip_x"] = params["flip_y"] = params["flip_z"] = False
-            # z-anisotropy: rotations/scales act in scaled space
             M = make_warp_matrix(**params)
+            if self.aniso_factor != 1.0:
+                # rotations/scales are designed in physical space; conjugate
+                # into anisotropic voxel space (z voxels aniso_factor× thick)
+                from elektronn2_tpu.data.transformations import \
+                    aniso_warp_matrix
+                M = aniso_warp_matrix(M, self.aniso_factor)
         diag = np.linalg.norm(np.asarray(self.patch_size, np.float64))
         margin = (np.asarray(self.patch_size, np.float64) / 2 + 1
                   if M is None else
@@ -330,8 +335,9 @@ class GridData(BatchCreatorImage):
                                              indexing="ij")
                     m = ((zz - p[0]) ** 2 + (xx - p[1]) ** 2
                          + (yy - p[2]) ** 2) <= self.point_radius ** 2
+                    # mask the trailing spatial axes (labels may be 4D)
                     cube_l[..., lo[0]:hi[0], lo[1]:hi[1],
-                           lo[2]:hi[2]][m] = lab
+                           lo[2]:hi[2]][..., m] = lab
 
 
 class AgentData(BatchCreatorImage):

@@ -140,9 +140,14 @@ class KnossosArray:
 
     # ------------------------------------------------------------- slicing
     def __getitem__(self, idx):
-        """Assemble a sub-volume for a (z, x, y) basic-slice tuple."""
+        """Assemble a sub-volume for a (z, x, y) basic-slice tuple.
+        Supports Ellipsis (warp_slice indexes ``img[..., z, x, y]``)."""
         if not isinstance(idx, tuple):
             idx = (idx,)
+        if Ellipsis in idx:
+            pos = idx.index(Ellipsis)
+            fill = (slice(None),) * (3 - (len(idx) - 1))
+            idx = idx[:pos] + fill + idx[pos + 1:]
         idx = idx + (slice(None),) * (3 - len(idx))
         bounds = []
         for d, s in enumerate(idx):
@@ -239,6 +244,10 @@ class KnossosArrayMulti:
     def __getitem__(self, idx):
         if not isinstance(idx, tuple):
             idx = (idx,)
+        if Ellipsis in idx:
+            pos = idx.index(Ellipsis)
+            fill = (slice(None),) * (4 - (len(idx) - 1))
+            idx = idx[:pos] + fill + idx[pos + 1:]
         f_idx = idx[0] if idx else slice(None)
         rest = idx[1:]
         if isinstance(f_idx, slice):

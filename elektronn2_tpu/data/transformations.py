@@ -98,6 +98,21 @@ def perspective(pz=0.0, px=0.0, py=0.0):
     return M
 
 
+_perspective_fn = perspective   # kwarg-shadow-safe alias (make_warp_matrix)
+
+
+def aniso_warp_matrix(M, aniso_factor):
+    """Conjugate a physical-space warp into anisotropic voxel space:
+    z voxels are ``aniso_factor``× thicker, so rotations/scales designed in
+    physical coordinates become S⁻¹·M·S with S = diag(a, 1, 1)."""
+    a = float(aniso_factor)
+    if a == 1.0:
+        return M
+    S = np.diag([a, 1.0, 1.0, 1.0])
+    S_inv = np.diag([1.0 / a, 1.0, 1.0, 1.0])
+    return S_inv @ M @ S
+
+
 def chain(*mats):
     """Compose transforms left-to-right application order: chain(A, B) is
     "apply A, then B" (i.e. B @ A)."""
@@ -155,7 +170,8 @@ def make_warp_matrix(rot_z=0.0, shear_amount=0.0, scale_factors=None,
     mats.append(flip(flip_z, flip_x, flip_y))
     if perspective_params is not None:
         p = np.asarray(perspective_params, np.float64)
-        mats.append(perspective(p[0], p[1], p[2]))
+        # NB: the `perspective` kwarg shadows the module function here
+        mats.append(_perspective_fn(p[0], p[1], p[2]))
     return chain(*mats)
 
 

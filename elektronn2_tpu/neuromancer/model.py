@@ -133,7 +133,21 @@ class Model:
         return outs, new_state
 
     def _feed(self, data, target=None, extra=None, overrides=None):
-        feed = {self.input_node.name: data}
+        if isinstance(data, dict):
+            # explicit feed dict: validate names early (otherwise a bad key
+            # surfaces as an opaque AttributeError deep in the trace)
+            known = {self.input_node.name}
+            known |= {n.name for n in self.extra_inputs}
+            if self.target_node is not None:
+                known.add(self.target_node.name)
+            unknown = set(data) - known
+            if unknown:
+                raise KeyError(
+                    f"unknown feed name(s) {sorted(unknown)}; this model's "
+                    f"input names are {sorted(known)}")
+            feed = dict(data)
+        else:
+            feed = {self.input_node.name: data}
         if target is not None and self.target_node is not None:
             feed[self.target_node.name] = target
         for node, val in zip(self.extra_inputs, extra or []):

@@ -273,13 +273,14 @@ class DeviceBatchAugmenter:
         Ms = random_warp_matrices(kw, B, amount=self.warp_amount)
         eye = jnp.eye(4)[None]
         Ms = jnp.where(warp_on.reshape(B, 1, 1), Ms, eye)
-        if self.elastic_sigma > 0:
+        use_elastic = self.elastic_sigma > 0
+        if use_elastic:
             fields = random_elastic_fields(ke, B, self.patch_size,
                                            self.elastic_grid,
                                            self.elastic_sigma)
             fields = fields * warp_on.reshape(B, 1, 1, 1, 1)
-        else:
-            fields = jnp.zeros((B, 3) + self.patch_size)
+        else:  # skip the whole field path on the hot loop
+            fields = jnp.zeros((B, 1))
 
         def one(i, M, pos, field):
             src = self.raws[i]
@@ -287,7 +288,7 @@ class DeviceBatchAugmenter:
             return warp_patch(src, M, pos, self.patch_size, target=lab,
                               target_patch_size=self.target_size,
                               target_strides=self.target_strides,
-                              elastic=field)
+                              elastic=field if use_elastic else None)
 
         data, tgt = jax.vmap(one)(cube_idx, Ms, positions, fields)
         if self.grey_channels:

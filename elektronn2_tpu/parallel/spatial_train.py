@@ -43,8 +43,9 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
                               space_axis="space"):
     """Build a jitted DP×SP training-step callable.
 
-    Returns ``step(params, opt_state, state, data, target, hyper) ->
-    (loss, params, opt_state)``. ``data``: (B, f, Z, X, Y) with B divisible
+    Returns ``step(params, opt_state, state, data, target, hyper, rng) ->
+    (loss, params, opt_state, state)``. ``data``: (B, f, Z, X, Y) with B
+    divisible
     by the data-axis size and Z by the space-axis size; ``target``:
     (B, Z, X_out, Y_out) int (z-padded, see ``pad_target_for_spatial``).
     """
@@ -103,19 +104,25 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
             ctx.halo_axis = space_axis
             lmap = ctx.get(loss_map_node)      # (b_loc, z_loc, x_o, y_o)
             mask = valid.reshape(1, -1, *([1] * (lmap.ndim - 2)))
-            return jnp.sum(lmap * mask) / count_global
+            new_state = dict(state)
+            new_state.update(ctx.state_out)
+            return jnp.sum(lmap * mask) / count_global, new_state
 
         train_params = model._trainable(params)
-        loss_v, grads = jax.value_and_grad(loss_fn)(train_params)
+        (loss_v, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(train_params)
         # per-rank partials (cross-rank halo terms route to their owning
         # rank through the transposed ppermute) → one psum = global grad
         grads = jax.lax.psum(grads, (data_axis, space_axis))
         loss_v = jax.lax.psum(loss_v, (data_axis, space_axis))
+        # aux state (BN batch stats) differs per shard → average it so the
+        # replicated output is consistent across ranks
+        new_state = jax.lax.pmean(new_state, (data_axis, space_axis))
         new_train, new_opt = opt.update(train_params, grads, opt_state,
                                         hyper, lr_mults, wd_mults)
         new_params = {n: {**params.get(n, {}), **new_train.get(n, {})}
                       for n in set(params) | set(new_train)}
-        return loss_v, new_params, new_opt
+        return loss_v, new_params, new_opt, new_state
 
     shard_step = jax.shard_map(
         local_step, mesh=mesh,
@@ -123,7 +130,7 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
                   P(data_axis, None, space_axis, None, None),
                   P(data_axis, space_axis, None, None),
                   P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False)
 
     @jax.jit

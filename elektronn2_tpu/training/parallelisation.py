@@ -32,27 +32,50 @@ class TimeoutError(RuntimeError):
     pass
 
 
-def _proc_worker(target, args, kwargs, q, stop):
+def _reseed_target_rngs(target, seed):
+    """Reseed numpy RNGs reachable from the target: the global RNG, a bound
+    method's self.rng, and (for lambdas/closures, e.g. TracingTrainer's
+    wrapped getbatch) any closed-over object carrying .rng or .data.rng."""
+    import numpy as np
+    np.random.seed(seed)
+
+    def maybe(obj):
+        if obj is None:
+            return False
+        if hasattr(obj, "rng"):
+            obj.rng = np.random.RandomState(seed)
+            return True
+        return False
+
+    self_obj = getattr(target, "__self__", None)
+    maybe(self_obj)
+    for cell in getattr(target, "__closure__", None) or ():
+        try:
+            obj = cell.cell_contents
+        except ValueError:
+            continue
+        if not maybe(obj):
+            maybe(getattr(obj, "data", None))
+
+
+def _proc_worker(target, args, kwargs, q, stop, err_flag):
     """Child process loop: produce → enqueue until told to stop."""
-    # children only run host numpy code; reseed any numpy RNG the target
-    # object carries so forked workers don't produce identical batches
     try:
-        import numpy as np
         seed = (os.getpid() * 2654435761) % 2 ** 31
-        np.random.seed(seed)
-        self_obj = getattr(target, "__self__", None)
-        if self_obj is not None and hasattr(self_obj, "rng"):
-            self_obj.rng = np.random.RandomState(seed)
+        _reseed_target_rngs(target, seed)
     except Exception:
         pass
     while not stop.is_set():
         try:
             item = target(*args, **kwargs)
         except Exception as e:
-            try:
-                q.put(("__error__", repr(e)), timeout=1.0)
-            except Exception:
-                pass
+            err_flag.set()   # visible to get() even if the queue is full
+            while not stop.is_set():
+                try:
+                    q.put(("__error__", repr(e)), timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
             return
         while not stop.is_set():
             try:
@@ -88,10 +111,12 @@ class BackgroundProc:
             ctx = mp.get_context("fork")
             self.q = ctx.Queue(maxsize=queue_size)
             self._stop = ctx.Event()
+            self._err_flag = ctx.Event()
             self._workers = [
                 ctx.Process(target=_proc_worker,
                             args=(target, self.target_args,
-                                  self.target_kwargs, self.q, self._stop),
+                                  self.target_kwargs, self.q, self._stop,
+                                  self._err_flag),
                             daemon=True)
                 for _ in range(n_proc)]
         elif mode == "thread":
@@ -134,6 +159,10 @@ class BackgroundProc:
             try:
                 kind, payload = self.q.get(timeout=0.2)
             except queue.Empty:
+                if self.mode == "process" and self._err_flag.is_set():
+                    raise RuntimeError(
+                        "a background worker failed (see its traceback "
+                        "report on the queue or stderr)")
                 if self.mode == "process" and not any(
                         w.is_alive() for w in self._workers):
                     raise RuntimeError("all background workers died")

@@ -161,10 +161,15 @@ class Trainer:
             # no competing Python threads (the axon transport can wedge a
             # future when its handshake is interleaved with busy threads)
             batch = data.getbatch(self.batch_size, **self.data_batch_args)
-            loss, aux = model.trainingstep(batch[0], batch[1]
-                                           if len(batch) > 1 else None)
+            loss, aux = model.trainingstep(batch[0],
+                                           batch[1] if len(batch) > 1
+                                           else None,
+                                           **self._step_kwargs())
+            self._post_step(aux)
             self.step += 1
             self.history.update_timeline(self.step, float(loss))
+            for sched in self.schedules.values():
+                sched.update(self.step, self.n_steps)
             logger.info(f"step {self.step}/{self.n_steps} (warmup) "
                         f"loss={float(loss):.4f}")
             self._bg = BackgroundProc(

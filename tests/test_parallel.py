@@ -185,7 +185,7 @@ def test_spatial_dp_training_matches_single_device(rng):
     target = (rng.rand(B, z_out, x_out, y_out) > 0.5).astype(np.int32)
     target_pad = pad_target_for_spatial(target, Z)
 
-    loss_sh, new_params, _ = step(m.params, m.opt_state, m.state,
+    loss_sh, new_params, _, _ = step(m.params, m.opt_state, m.state,
                                   jnp.asarray(data),
                                   jnp.asarray(target_pad),
                                   m.optimiser.current_hyper(),

@@ -398,3 +398,78 @@ def test_simple_cnn_regression_target(rng):
         nm.simple_cnn(batch_size=1, n_ch=1, n_lab=2, desired_input=[14, 14],
                       filters=[3], pools=[1], nof_filters=[4], ndim=2,
                       target="bogus")
+
+
+def test_perspective_warp_usable(rng):
+    """get_random_warp_params(perspective_on=True) → make_warp_matrix
+    (kwarg used to shadow the module function and crash)."""
+    from elektronn2_tpu.data.transformations import (
+        get_random_warp_params, make_warp_matrix, warp_slice)
+    params = get_random_warp_params(np.random.RandomState(0), amount=0.3,
+                                    perspective_on=True)
+    assert "perspective" in params
+    M = make_warp_matrix(**params)
+    assert M.shape == (4, 4) and M[3, :3].any()
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    out = warp_slice(vol, (6, 6, 6), M=M,
+                     position=np.array([12.0, 12.0, 12.0]))
+    assert np.isfinite(out).all()
+
+
+def test_knossos_backed_warp_direct(rng, tmp_path):
+    """warp_slice directly over a KnossosArray (the documented lazy path,
+    which indexes with Ellipsis)."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    from elektronn2_tpu.data.transformations import warp_slice
+    vol = (rng.rand(24, 24, 24) * 255).astype(np.uint8)
+    path = write_knossos(tmp_path, vol, cube_edge=8)
+    ka = KnossosArray(path, cube_edge=8)
+    out = warp_slice(ka, (8, 8, 8))
+    want = warp_slice(vol.astype(np.float32), (8, 8, 8))
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_aniso_factor_scales_warp(rng):
+    from elektronn2_tpu.data.transformations import (aniso_warp_matrix,
+                                                     rotate_axis)
+    # a physical 90° rotation about y maps z→x; with 2:1 z-anisotropy the
+    # voxel-space matrix must halve/double accordingly
+    M = rotate_axis([0, 0, 1], np.pi / 2)   # rotate about the y axis
+    Ma = aniso_warp_matrix(M, 2.0)
+    # column scaling: voxel-z input (physical 2z) lands on x at 2×
+    v = Ma[:3, :3] @ np.array([1.0, 0, 0])
+    assert abs(abs(v[1]) - 2.0) < 1e-9      # z-voxel → 2 x-voxels
+    assert abs(aniso_warp_matrix(M, 1.0) - M).max() == 0
+
+
+def test_griddata_4d_targets(rng):
+    from elektronn2_tpu.data import GridData
+    raws = [rng.rand(1, 16, 16, 16).astype(np.float32)]
+    labs = [np.zeros((2, 16, 16, 16), np.int16)]   # multi-channel target
+    gd = GridData(input_data=raws, target_data=labs,
+                  grid_points=[np.array([[8.0, 8, 8]])], point_radius=1)
+    assert gd.train_l[0][0, 8, 8, 8] == 1
+    assert gd.train_l[0][1, 8, 8, 8] == 1
+
+
+def test_worker_error_flag_with_full_queue():
+    from elektronn2_tpu.training.parallelisation import BackgroundProc
+    bg = BackgroundProc(_slow_then_boom, n_proc=1, queue_size=1,
+                        mode="process")
+    import time
+    time.sleep(1.0)     # let the worker fill the queue and then fail
+    with pytest.raises(RuntimeError):
+        bg.get(timeout=5)           # first item ok...
+        bg.get(timeout=5)           # ...then the error surfaces
+        bg.get(timeout=5)
+    bg.shutdown()
+
+
+def _slow_then_boom():
+    if not hasattr(_slow_then_boom, "n"):
+        _slow_then_boom.n = 0
+    _slow_then_boom.n += 1
+    if _slow_then_boom.n > 1:
+        raise ValueError("boom")
+    return np.zeros(3)
