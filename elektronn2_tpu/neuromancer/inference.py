@@ -184,6 +184,111 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     return y if batch else y[0]
 
 
+# node types whose _compute is shape-polymorphic (safe to evaluate on a
+# volume larger than the design patch)
+_CONV_DENSE_OK = {"Input", "Conv", "UpConv", "Crop", "Pool", "Concat",
+                  "FaithlessMerge", "MultMerge", "Softmax", "BatchNorm",
+                  "Dropout", "ApplyFunc", "LRN", "FromTensor"}
+
+
+def check_conv_dense_supported(pred):
+    """Raise ValueError unless ``pred``'s graph qualifies for the
+    whole-volume convolutional dense path: shape-polymorphic nodes only,
+    no MFP fragments, and output stride 1 (a full decoder)."""
+    has_upconv = False
+    for node in pred.all_parents():
+        tname = type(node).__name__
+        if tname not in _CONV_DENSE_OK:
+            raise ValueError(f"convolutional dense path: unsupported node "
+                             f"type {tname}")
+        if getattr(node, "mfp", False):
+            raise ValueError("convolutional dense path: MFP nodes belong "
+                             "to the dilated path")
+        has_upconv = has_upconv or tname == "UpConv"
+    if not has_upconv:
+        raise ValueError("no UpConv in graph: use the dilated path")
+    if pred.shape.n_frag > 1 or any(int(s) != 1 for s in pred.shape.strides):
+        raise ValueError("convolutional dense path requires output stride 1")
+
+
+def convolutional_dense_forward(model, vol, params=None, state=None,
+                                pad_raw=False):
+    """Dense prediction for decoder (U-Net) graphs by whole-volume
+    convolutional application.
+
+    A valid-mode encoder/decoder net whose UpConvs restore output stride 1
+    is dense *by construction* when applied to a larger input: all its node
+    computations are shape-polymorphic, and (the classic overlap-tile
+    arithmetic, reference: ``node_basic.py::predict_dense`` geometry +
+    U-Net paper §3) crop amounts at skip merges are input-size invariant
+    for sizes ``patch + k*M`` (M = bottleneck stride). So: pad the volume
+    to the nearest valid size, run the graph ONCE — one fused XLA program,
+    convs on the MXU at full width, zero tiling overhead, zero seams —
+    and trim to the ``V - fov + 1`` dense-output convention shared with
+    the tiled and dilated paths.
+
+    ``vol``: (f, Z, X, Y) (or (f, X, Y) for 2D models).
+    """
+    import jax.numpy as jnp
+    from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+
+    inp, pred = model.input_node, model.prediction_node
+    params = model.params if params is None else params
+    state = model.state if state is None else state
+    nsp = len(inp.shape.spatial_axes)
+    patch0 = [int(s) for s in inp.shape.spatial_shape]
+    out0 = [int(s) for s in pred.shape.spatial_shape]
+    fov = [int(f) for f in pred.shape.fov]
+    # valid-size period per dim: the largest cumulative stride in the graph
+    M = [1] * nsp
+    for node in pred.all_parents():
+        st = getattr(node.shape, "strides", None)
+        if st is not None and len(st) == nsp:
+            M = [max(m, int(s)) for m, s in zip(M, st)]
+
+    V = [int(s) for s in vol.shape[1:]]
+    if pad_raw:
+        # cover the whole volume: pad the front by the output's centre
+        # offset ROUNDED UP to a multiple of M — shift-equivariance only
+        # holds for M-multiples, so an unrounded pad would decohere every
+        # voxel from the unpadded run — then slice the extent back
+        off = [(f - 1) // 2 for f in fov]
+        lo = [-(-o // m) * m for o, m in zip(off, M)]
+        hi = [f - 1 - o for f, o in zip(fov, off)]
+        if any(l + h > v - 1 for l, h, v in zip(lo, hi, V)):
+            raise ValueError(f"volume {V} too small for pad_raw reflect pad")
+        vol = jnp.pad(vol, [(0, 0)] + [(l, h) for l, h in zip(lo, hi)],
+                      mode="reflect")
+        y = convolutional_dense_forward(model, vol, params=params,
+                                        state=state)
+        return y[(slice(None),) + tuple(
+            slice(l - o, l - o + v) for l, o, v in zip(lo, off, V))]
+    want_out = [v - f + 1 for v, f in zip(V, fov)]
+    if any(w < 1 for w in want_out):
+        raise ValueError(f"volume {V} smaller than model fov {fov}")
+    # FaithlessMerge under-reports fov ("faithless"), so out0 may be less
+    # than patch0-fov+1; pad extra so the trimmed output still covers the
+    # conventional extent (tail voxels then see reflect-padded context —
+    # the tiled path's clamped tiles make the same class of approximation)
+    delta = [max(0, (p - f + 1) - o) for p, f, o in zip(patch0, fov, out0)]
+    N = []
+    for d in range(nsp):
+        k = max(0, -(-(V[d] + delta[d] - patch0[d]) // M[d]))
+        N.append(patch0[d] + k * M[d])
+    pad = [n - v for n, v in zip(N, V)]
+    if any(p > v - 1 for p, v in zip(pad, V)):
+        raise ValueError(f"volume {V} too small to pad to valid size {N}")
+    x = vol
+    if any(pad):
+        x = jnp.pad(x, [(0, 0)] + [(0, p) for p in pad], mode="reflect")
+
+    ctx = TraceCtx(params, {inp.name: x[None]}, None, train=False,
+                   state_in=state, node_index=model._node_index,
+                   compute_dtype=getattr(model, "_compute_dtype", None))
+    y = ctx.get(pred)[0]
+    return y[(slice(None),) + tuple(slice(0, w) for w in want_out)]
+
+
 def predict_dense_sharded(model, vol, mesh, axis_name="space",
                           pad_raw=False):
     """Spatially-sharded dense sweep: the z axis of the volume is split
@@ -331,13 +436,32 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
         # strided positions are identical.
         return fn(model.params, model.state, vol_p)
     except ValueError:
-        pass  # unsupported graph → overlap-tiled fallback below
+        pass  # unsupported graph → try the convolutional path below
+
+    # decoder (U-Net) graphs with stride-1 output: whole-volume
+    # convolutional application (seam-free, one fused program)
+    try:
+        check_conv_dense_supported(pred)
+        key = ("conv", tuple(int(s) for s in vol.shape), bool(pad_raw))
+        fn = model._dilated_fns.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, s, v: convolutional_dense_forward(
+                model, v, params=p, state=s, pad_raw=pad_raw))
+            model._dilated_fns[key] = fn
+        return fn(model.params, model.state, vol)
+    except (ValueError, TypeError):
+        pass  # → overlap-tiled fallback below
 
     V_orig = list(vol.shape[1:])
     if pad_raw:
         pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
         vol = jnp.pad(vol, pads, mode="reflect")
     V = list(vol.shape[1:])
+    for d in range(nsp):
+        if V[d] < tile_in[d]:
+            raise ValueError(
+                f"volume dim {d} ({V[d]}) smaller than model patch "
+                f"{tile_in[d]}; pad_raw=True may help")
     pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
     if any(pad_r):
         vol = jnp.pad(vol, [(0, 0)] + [(0, p) for p in pad_r],

@@ -584,14 +584,22 @@ class FaithlessMerge(Node):
         self._common = common
 
     def _compute(self, ctx, a, b):
+        # common size is derived from the RUNTIME shapes (== self._common at
+        # the construction patch size): the crop *amounts* are input-size
+        # invariant, which makes the node shape-polymorphic — required by the
+        # whole-volume convolutional dense path (inference.py)
+        ax_a = self.parents[0].shape.spatial_axes
+        ax_b = self.parents[1].shape.spatial_axes
+        common = [min(a.shape[i], b.shape[j]) for i, j in zip(ax_a, ax_b)]
+
         def crop_to(x, sp_axes):
             idx = [slice(None)] * x.ndim
-            for ax, c in zip(sp_axes, self._common):
+            for ax, c in zip(sp_axes, common):
                 lo = (x.shape[ax] - c) // 2
                 idx[ax] = slice(lo, lo + c)
             return x[tuple(idx)]
-        a = crop_to(a, self.parents[0].shape.spatial_axes)
-        b = crop_to(b, self.parents[1].shape.spatial_axes)
+        a = crop_to(a, ax_a)
+        b = crop_to(b, ax_b)
         return jnp.concatenate([a, b], axis=self.shape.tag2index("f"))
 
 

@@ -191,3 +191,121 @@ def test_fuzz_random_stacks_dense_paths_agree(seed):
         m.predict(tile[None]), probs.shape.mfp_offsets))[0]
     np.testing.assert_allclose(
         host[:, :direct.shape[1], :direct.shape[2]], direct, atol=2e-5)
+
+
+# ------------------------------------------------- convolutional dense path
+
+def crop_concat_unet():
+    """Explicit Crop+Concat 2D U-Net with EXACT fov bookkeeping."""
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    c0 = nm.Conv(inp, 4, 3, 1, name="c0")            # 14, skip source
+    c1 = nm.Conv(c0, 8, 3, 2, name="c1")             # 6, stride 2
+    c2 = nm.Conv(c1, 8, 3, 1, name="c2")             # 4
+    up = nm.UpConv(c2, 4, 2, name="up")              # 8, stride 1
+    skip = nm.Crop(c0, [(3, 3), (3, 3)], name="skip")  # 14 -> 8
+    merged = nm.Concat([up, skip], name="cat")
+    dec = nm.Conv(merged, 8, 3, 1, name="dec")       # 6
+    probs = nm.Softmax(nm.Conv(dec, 2, 1, 1, activation_func="lin",
+                               name="cls"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    assert tuple(probs.shape.fov) == (12, 12)
+    return m
+
+
+def faithless_unet3d():
+    """FaithlessMerge-based 3D U-Net (the unet3d example topology)."""
+    inp = nm.Input([1, 1, 8, 16, 16], "b,f,z,x,y", name="raw")
+    enc0 = nm.Conv(inp, 4, (1, 3, 3), (1, 1, 1), name="enc0")
+    enc1 = nm.Conv(enc0, 8, (3, 3, 3), (1, 2, 2), name="enc1")
+    enc2 = nm.Conv(enc1, 8, (3, 3, 3), (1, 1, 1), name="enc2")
+    up = nm.UpConv(enc2, 4, (1, 2, 2), activation_func="relu", name="up")
+    merged = nm.FaithlessMerge(up, enc0, name="merge")
+    dec = nm.Conv(merged, 8, (1, 3, 3), (1, 1, 1), name="dec")
+    probs = nm.Softmax(nm.Conv(dec, 2, 1, 1, activation_func="lin",
+                               name="cls"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    return m
+
+
+def _assert_dense_matches_aligned_patches(m, vol, origins, atol=1e-4):
+    """The conv-dense oracle: dense voxel tau+j == patch-at-tau output j
+    for patch origins tau that are multiples of the bottleneck stride."""
+    dense = np.asarray(m.predict_dense_device(jnp.asarray(vol)))
+    patch = list(m.input_node.shape.spatial_shape)
+    out0 = list(m.prediction_node.shape.spatial_shape)
+    for tau in origins:
+        sl_in = (slice(None),) + tuple(slice(t, t + p)
+                                       for t, p in zip(tau, patch))
+        p_out = np.asarray(m.predict(vol[sl_in][None]))[0]
+        sl_out = (slice(None),) + tuple(slice(t, t + o)
+                                        for t, o in zip(tau, out0))
+        np.testing.assert_allclose(dense[sl_out], p_out, atol=atol)
+    return dense
+
+
+def test_conv_dense_crop_concat_unet(rng):
+    m = crop_concat_unet()
+    vol = rng.randn(1, 27, 29).astype(np.float32)
+    dense = _assert_dense_matches_aligned_patches(
+        m, vol, [(0, 0), (2, 4), (10, 12)])
+    assert dense.shape == (2, 27 - 12 + 1, 29 - 12 + 1)
+    # the convolutional path (not the tiled fallback) must have been taken
+    assert any(isinstance(k, tuple) and k[0] == "conv"
+               for k in m._dilated_fns)
+
+
+def test_conv_dense_faithless_unet3d(rng):
+    m = faithless_unet3d()
+    vol = rng.randn(1, 11, 21, 23).astype(np.float32)
+    fov = tuple(m.prediction_node.shape.fov)
+    dense = _assert_dense_matches_aligned_patches(
+        m, vol, [(0, 0, 0), (3, 2, 4), (1, 4, 6)])
+    assert dense.shape == (2,) + tuple(
+        v - f + 1 for v, f in zip((11, 21, 23), fov))
+    assert any(isinstance(k, tuple) and k[0] == "conv"
+               for k in m._dilated_fns)
+
+
+def test_conv_dense_pad_raw_covers_volume(rng):
+    m = crop_concat_unet()
+    vol = rng.randn(1, 27, 29).astype(np.float32)
+    dense = np.asarray(m.predict_dense_device(jnp.asarray(vol),
+                                              pad_raw=True))
+    assert dense.shape == (2, 27, 29)
+    # interior voxels must agree with the unpadded run
+    plain = np.asarray(m.predict_dense_device(jnp.asarray(vol)))
+    np.testing.assert_allclose(dense[:, 5:5 + plain.shape[1],
+                                     5:5 + plain.shape[2]], plain, atol=1e-5)
+
+
+def test_conv_dense_rejects_then_tiles(rng):
+    """A decoder graph with an unsupported node type must still produce
+    output via the tiled fallback."""
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")            # stride 2, no decoder
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    from elektronn2_tpu.neuromancer.inference import \
+        check_conv_dense_supported
+    with pytest.raises(ValueError):
+        check_conv_dense_supported(m.prediction_node)   # no UpConv
+    vol = rng.randn(1, 20, 20).astype(np.float32)
+    out = np.asarray(m.predict_dense_device(jnp.asarray(vol)))
+    assert np.isfinite(out).all()
+
+
+def test_faithless_merge_polymorphic(rng):
+    """FaithlessMerge on a larger-than-design input crops by amounts, not
+    to the construction-time size."""
+    m = faithless_unet3d()
+    big = rng.randn(1, 1, 10, 20, 20).astype(np.float32)
+    from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+    ctx = TraceCtx(m.params, {"raw": big}, None, train=False,
+                   state_in=m.state, node_index=m._node_index)
+    y = ctx.get(m.prediction_node)
+    # enc0: (10,18,18); enc1: (8,16,16)->(8,8,8); enc2: (6,6,6);
+    # up: (6,12,12); merge common: (6,12,12); dec: (6,10,10)
+    assert tuple(y.shape) == (1, 2, 6, 10, 10)
