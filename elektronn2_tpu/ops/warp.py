@@ -8,14 +8,25 @@ positions, and a single jitted function cuts+warps+grey-augments a whole
 batch. Transform parameters are generated with ``jax.random`` from
 per-batch keys.
 
-Implementation notes (TPU): the resampling core is a trilinear gather.
-XLA lowers ``jnp.take`` on flattened indices to a native gather — fully
-fused with the weight arithmetic, off the host path. A hand-written Pallas
-gather was evaluated and rejected for now: Mosaic (this jaxlib) does not
-lower dynamic vector gathers from VMEM, leaving only a serial per-row loop
-that cannot beat XLA's gather. The planned faster path is the classic
-3-pass shear decomposition of the affine map (each pass is axis-separable
-resampling = banded matmuls on the MXU) — round-2 work.
+Implementation notes (TPU): two resampling cores.
+
+1. ``warp_patch`` — trilinear gather. XLA lowers ``jnp.take`` on flattened
+   indices to a native gather. General (any M, elastic fields) but
+   gather-bound: TPUs hate scattered HBM reads. A hand-written Pallas
+   gather was evaluated and rejected: Mosaic (this jaxlib) does not lower
+   dynamic vector gathers from VMEM.
+2. ``warp_patch_separable`` — the MXU path. The warp family produced by
+   ``random_warp_matrices`` (z-scale · in-plane shear · in-plane rotation ·
+   scales/flips) factors EXACTLY into four axis-separable resampling
+   passes: z-scale ∘ x-pass ∘ y-pass ∘ x-shear, each a small batched
+   matmul against a 2-banded interpolation matrix — no gathers at all.
+   Closed form (no trig): with A = [[a,b],[c,d]] the in-plane block,
+   fold A ← −A when d<0 (a 180° turn, applied as an exact output flip),
+   then q2 = −c/(r+d) with r = hypot(c,d); the y-pass scale is exactly r
+   and the x-pass scale exactly dx, so every pass is well-conditioned for
+   the whole random family. Same interpolation-order count as trilinear
+   (one linear blend per axis), so quality is equivalent, though values
+   differ from the gather path at the interpolation-error level.
 
 Parity contract: for identical (M, position) these functions match the host
 reference ``transformations.py`` within float tolerance (tests/test_warp_dev.py).
@@ -134,6 +145,141 @@ def warp_patch(src, M, position, patch_size, target=None,
     return out, t_out
 
 
+# ------------------------------------------- separable (MXU) resampling core
+
+def _sep_geometry(patch_size, amount):
+    """Static array extents for the separable pipeline, sized for the worst
+    case of the ``random_warp_matrices(amount=...)`` family (post-fold
+    rotation ≤ 90°, scales within 1±0.2·amount, shear ≤ 0.2·amount)."""
+    amount = max(float(amount), 0.0)
+    th = min(np.pi * amount, np.pi / 2)
+    q2m = np.tan(th / 2)
+    scM = 1.0 + 0.2 * amount
+    shm = 0.2 * amount
+    hz, hx, hy = [(int(p) - 1) / 2.0 for p in patch_size]
+    nx3 = 2 * int(np.ceil(hx + q2m * hy)) + 3       # intermediate x extent
+    bbz = int(np.ceil(scM * hz)) + 3
+    bbx = int(np.ceil(scM * (1 + shm) * (hx + hy))) + 3
+    bby = int(np.ceil(scM * (hx + hy))) + 3
+    return nx3, (2 * bbz + 1, 2 * bbx + 1, 2 * bby + 1)
+
+
+def _lin_weights(pos, n_src):
+    """Row-stochastic 2-banded linear-interp matrix: (..., n_out) fractional
+    source indices → (..., n_out, n_src). Border-clamped."""
+    i = jnp.arange(n_src, dtype=jnp.float32)
+    p = jnp.clip(pos, 0.0, n_src - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - i))
+
+
+def _nn_weights(pos, n_src):
+    """One-hot nearest-neighbour matrix (labels)."""
+    i = jnp.arange(n_src, dtype=jnp.float32)
+    p = jnp.clip(jnp.round(pos), 0.0, n_src - 1.0)
+    return (p[..., None] == i).astype(jnp.float32)
+
+
+def warp_patch_separable(src, M, position, patch_size, target=None,
+                         target_patch_size=None, target_strides=None,
+                         target_offset=None, amount_bound=1.0):
+    """Cut one warped patch via four MXU matmul passes (no gathers).
+
+    Requires M from the ``random_warp_matrices`` family (z decoupled:
+    M[0,1:3] = M[1:3,0] = 0, affine: M[3,:3] = 0) — the structure is
+    assumed, not checked (entries are traced). For general M or elastic
+    fields use ``warp_patch``. Interface and return values mirror
+    ``warp_patch``; values differ at the interpolation-error level
+    (axis-factored vs direct trilinear blending).
+    """
+    pz, px, py = [int(p) for p in patch_size]
+    nx3, (nbz, nbx, nby) = _sep_geometry(patch_size, amount_bound)
+
+    # ---- per-item pass parameters (closed form, no trig)
+    a, b = M[1, 1], M[1, 2]
+    c, d = M[2, 1], M[2, 2]
+    dz = M[0, 0]
+    T = M[:3, 3] + position          # absolute source coords of patch centre
+    fold = d < 0                      # in-plane rotation beyond ±90°:
+    sgn = jnp.where(fold, -1.0, 1.0)  # fold a 180° turn into an output flip
+    a, b, c, d = a * sgn, b * sgn, c * sgn, d * sgn
+    r = jnp.hypot(c, d)
+    q2 = -c / (r + d)                 # last-pass shear  (|q2| ≤ 1 post-fold)
+    s = r                             # y-pass scale  (== d - c*q2, exactly)
+    q1 = (b - a * q2) / s             # first-pass shear
+    p1 = a - q1 * c                   # first-pass scale (== dx, exactly)
+
+    # ---- bounding-box cut (the only non-matmul data movement)
+    if any(n > sdim for n, sdim in zip((nbz, nbx, nby), src.shape[1:])):
+        src = jnp.pad(src, [(0, 0)] + [
+            (0, max(0, n - sdim))
+            for n, sdim in zip((nbz, nbx, nby), src.shape[1:])])
+    hb = jnp.asarray([(nbz - 1) / 2, (nbx - 1) / 2, (nby - 1) / 2])
+    lim = jnp.asarray(src.shape[1:]) - jnp.asarray([nbz, nbx, nby])
+    corner = jnp.clip(jnp.round(T) - hb, 0, lim).astype(jnp.int32)
+    bbox = jax.lax.dynamic_slice(
+        src, (0, corner[0], corner[1], corner[2]),
+        (src.shape[0], nbz, nbx, nby))
+
+    # ---- output/intermediate grids (centre-relative)
+    zi = jnp.arange(pz, dtype=jnp.float32) - (pz - 1) / 2
+    xi = jnp.arange(px, dtype=jnp.float32) - (px - 1) / 2
+    yi = jnp.arange(py, dtype=jnp.float32) - (py - 1) / 2
+    x3 = jnp.arange(nx3, dtype=jnp.float32) - (nx3 - 1) / 2
+    yb = jnp.arange(nby, dtype=jnp.float32)          # bbox y indices
+
+    corner_f = corner.astype(jnp.float32)
+
+    def passes(vol, tz, tx, ty, weights):
+        # the fold (A ← −A) is compensated exactly by negating the in-plane
+        # output grid: F(p) = src(Ap + T) = G(−p) with G built from −A
+        tx = tx * sgn
+        ty = ty * sgn
+        # z-pass: src_z = dz·z + T_z
+        Wz = weights(dz * tz + T[0] - corner_f[0], nbz)
+        v = jnp.einsum("pz,fzxy->fpxy", Wz, vol)
+        # x-pass onto the intermediate grid: src_x = p1·x3 + q1·y_abs + τ1
+        pos1 = (p1 * x3[:, None] + q1 * (yb[None, :] + corner_f[2])
+                + (T[1] - q1 * T[2]) - corner_f[1])          # (nx3, nby)
+        W1 = weights(pos1.T, nbx)                            # (nby, nx3, nbx)
+        v = jnp.einsum("yXx,fzxy->fzXy", W1, v)
+        # y-pass onto the output y grid: src_y = c·x3 + s·y + T_y
+        pos2 = c * x3[:, None] + s * ty[None, :] + T[2] - corner_f[2]
+        W2 = weights(pos2, nby)                              # (nx3, py, nby)
+        v = jnp.einsum("xYy,fzxy->fzxY", W2, v)
+        # x-shear onto the output x grid: x3 = x + q2·y
+        pos3 = tx[:, None] + q2 * ty[None, :] + (nx3 - 1) / 2
+        W3 = weights(pos3.T, nx3)                            # (py, px, nx3)
+        return jnp.einsum("yXx,fzxy->fzXy", W3, v)
+
+    out = passes(bbox, zi, xi, yi, _lin_weights)
+
+    if target is None:
+        return out
+    tps = tuple(int(t) for t in (target_patch_size or patch_size))
+    st = tuple(float(v) for v in (target_strides or (1.0, 1.0, 1.0)))
+    toff = tuple(float(v) for v in (target_offset or (0.0, 0.0, 0.0)))
+    tz = (jnp.arange(tps[0], dtype=jnp.float32)
+          - (tps[0] - 1) / 2) * st[0] + toff[0]
+    tx = (jnp.arange(tps[1], dtype=jnp.float32)
+          - (tps[1] - 1) / 2) * st[1] + toff[1]
+    ty = (jnp.arange(tps[2], dtype=jnp.float32)
+          - (tps[2] - 1) / 2) * st[2] + toff[2]
+    squeeze = target.ndim == 3
+    tgt4 = target[None] if squeeze else target
+    if any(n > sdim for n, sdim in zip((nbz, nbx, nby), tgt4.shape[1:])):
+        tgt4 = jnp.pad(tgt4, [(0, 0)] + [
+            (0, max(0, n - sdim))
+            for n, sdim in zip((nbz, nbx, nby), tgt4.shape[1:])])
+    tbox = jax.lax.dynamic_slice(
+        tgt4.astype(jnp.float32), (0, corner[0], corner[1], corner[2]),
+        (tgt4.shape[0], nbz, nbx, nby))
+    t_out = passes(tbox, tz, tx, ty, _nn_weights)
+    t_out = jnp.rint(t_out).astype(target.dtype) \
+        if jnp.issubdtype(target.dtype, jnp.integer) \
+        else t_out.astype(target.dtype)
+    return out, (t_out[0] if squeeze else t_out)
+
+
 # ------------------------------------------------- random params, on device
 
 def random_warp_matrices(key, batch_size, amount=1.0, lock_z=True,
@@ -224,7 +370,7 @@ class DeviceBatchAugmenter:
     def __init__(self, raws, labels, patch_size, target_size=None,
                  target_strides=None, warp_amount=1.0, grey_channels=None,
                  elastic_sigma=0.0, elastic_grid=4, valid_cubes=None,
-                 seed=0):
+                 seed=0, resample="auto"):
         # 2D data: promote to singleton-z 3D (squeezed back in getbatch)
         self._is_2d = len(patch_size) == 2
         if self._is_2d:
@@ -263,6 +409,30 @@ class DeviceBatchAugmenter:
         self.grey_channels = grey_channels
         self.elastic_sigma = float(elastic_sigma)
         self.elastic_grid = int(elastic_grid)
+        # resampling core: 'separable' = 4 MXU matmul passes (fast path;
+        # affine-only), 'gather' = trilinear gather (general; needed for
+        # elastic fields), 'auto' = separable unless elastic is on
+        if resample not in ("auto", "separable", "gather"):
+            raise ValueError(f"resample={resample!r}: expected 'auto', "
+                             "'separable' or 'gather'")
+        self._separable = (resample == "separable"
+                           or (resample == "auto"
+                               and self.elastic_sigma == 0.0))
+        if self._separable and self.elastic_sigma > 0:
+            raise ValueError("resample='separable' cannot apply elastic "
+                             "fields; use 'gather' (or 'auto')")
+        if self._separable:
+            # pad the stacks once so per-item bbox cuts never re-pad
+            _, bb = _sep_geometry(self.patch_size, self.warp_amount)
+            pads = [max(0, n - s) for n, s in zip(bb, self.raws.shape[2:])]
+            if any(pads):
+                self.raws = jnp.pad(self.raws,
+                                    [(0, 0), (0, 0)] + [(0, p)
+                                                        for p in pads])
+                self.labels = jnp.pad(
+                    self.labels,
+                    [(0, 0)] * (self.labels.ndim - 3) + [(0, p)
+                                                         for p in pads])
         self.key = jax.random.PRNGKey(seed)
         self._fn = jax.jit(self._batch_fn)
         self._host_rng = np.random.RandomState(seed)
@@ -285,6 +455,12 @@ class DeviceBatchAugmenter:
         def one(i, M, pos, field):
             src = self.raws[i]
             lab = self.labels[i]
+            if self._separable:
+                return warp_patch_separable(
+                    src, M, pos, self.patch_size, target=lab,
+                    target_patch_size=self.target_size,
+                    target_strides=self.target_strides,
+                    amount_bound=self.warp_amount)
             return warp_patch(src, M, pos, self.patch_size, target=lab,
                               target_patch_size=self.target_size,
                               target_strides=self.target_strides,

@@ -173,3 +173,102 @@ def test_device_augmenter_2d(rng):
     assert d.shape == (3, 1, 12, 12)
     assert t.shape == (3, 8, 8)
     assert np.isfinite(np.asarray(d)).all()
+
+
+# --------------------------------------------- separable (MXU matmul) core
+
+def _smooth(rng, shape, s=2.5):
+    from scipy import ndimage
+    return ndimage.gaussian_filter(rng.randn(*shape), s).astype(np.float32)
+
+
+def test_separable_identity_exact(rng):
+    from elektronn2_tpu.ops.warp import warp_patch_separable
+    src = jnp.asarray(rng.rand(1, 32, 40, 40).astype(np.float32))
+    # odd patch + integer position → the centre-relative grid lands on
+    # integer voxels and the warp must be an exact crop
+    out = np.asarray(warp_patch_separable(src, jnp.eye(4),
+                                          jnp.asarray([16.0, 20.0, 20.0]),
+                                          (9, 13, 13)))
+    want = np.asarray(src[0, 12:21, 14:27, 14:27])
+    np.testing.assert_allclose(out[0], want, atol=1e-6)
+
+
+def test_separable_exact_on_linear_fields(rng):
+    """Both trilinear and axis-factored linear interpolation reproduce
+    affine-linear volumes exactly — so on such volumes the two cores must
+    agree to float precision for ANY family matrix (incl. >90° folds)."""
+    from elektronn2_tpu.ops.warp import (warp_patch, warp_patch_separable,
+                                         random_warp_matrices)
+    zz, xx, yy = np.meshgrid(np.arange(48.), np.arange(64.),
+                             np.arange(64.), indexing="ij")
+    lin = (0.3 * zz + 0.7 * xx - 0.2 * yy + 5).astype(np.float32)[None]
+    src = jnp.asarray(lin)
+    pos = jnp.asarray([24.0, 32.0, 32.0])
+    Ms = random_warp_matrices(jax.random.PRNGKey(3), 8, amount=1.0)
+    for i in range(8):
+        a = np.asarray(warp_patch(src, Ms[i], pos, (8, 16, 16)))
+        b = np.asarray(warp_patch_separable(src, Ms[i], pos, (8, 16, 16)))
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_separable_close_to_gather_on_smooth(rng):
+    from elektronn2_tpu.ops.warp import (warp_patch, warp_patch_separable,
+                                         random_warp_matrices)
+    src = jnp.asarray(_smooth(rng, (48, 64, 64))[None])
+    pos = jnp.asarray([24.0, 32.0, 32.0])
+    Ms = random_warp_matrices(jax.random.PRNGKey(5), 8, amount=1.0)
+    scale = float(jnp.abs(src).max())
+    for i in range(8):
+        a = np.asarray(warp_patch(src, Ms[i], pos, (12, 20, 20)))
+        b = np.asarray(warp_patch_separable(src, Ms[i], pos, (12, 20, 20)))
+        assert np.abs(a - b).max() < 0.08 * scale
+
+
+def test_separable_targets_and_strides(rng):
+    from elektronn2_tpu.ops.warp import (warp_patch, warp_patch_separable,
+                                         random_warp_matrices)
+    src = jnp.asarray(_smooth(rng, (48, 64, 64))[None])
+    lab = jnp.asarray((_smooth(rng, (48, 64, 64), 4) > 0).astype(np.int32))
+    pos = jnp.asarray([24.0, 32.0, 32.0])
+    M = random_warp_matrices(jax.random.PRNGKey(7), 1, amount=0.7)[0]
+    _, tg = warp_patch(src, M, pos, (12, 20, 20), target=lab,
+                       target_patch_size=(6, 10, 10),
+                       target_strides=(1, 2, 2))
+    _, ts = warp_patch_separable(src, M, pos, (12, 20, 20), target=lab,
+                                 target_patch_size=(6, 10, 10),
+                                 target_strides=(1, 2, 2))
+    tg, ts = np.asarray(tg), np.asarray(ts)
+    assert ts.shape == tg.shape == (6, 10, 10) and ts.dtype == np.int32
+    assert set(np.unique(ts)) <= {0, 1}       # one-hot passes: no blending
+    assert (tg == ts).mean() > 0.9            # boundary voxels may differ
+
+
+def test_augmenter_separable_matches_gather_closely(rng):
+    from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
+    raws = [_smooth(rng, (40, 48, 48))[None]]
+    labs = [(_smooth(rng, (40, 48, 48), 4) > 0).astype(np.int16)]
+    kw = dict(patch_size=(10, 16, 16), warp_amount=0.8, seed=11)
+    a_sep = DeviceBatchAugmenter(raws, labs, resample="separable", **kw)
+    a_gat = DeviceBatchAugmenter(raws, labs, resample="gather", **kw)
+    d1, t1 = a_sep.getbatch(4, warp=1.0)
+    d2, t2 = a_gat.getbatch(4, warp=1.0)
+    assert d1.shape == d2.shape and t1.shape == t2.shape
+    scale = float(jnp.abs(d2).max())
+    assert float(jnp.abs(d1 - d2).max()) < 0.1 * scale
+    assert float((t1 == t2).mean()) > 0.9
+
+
+def test_augmenter_separable_rejects_elastic(rng):
+    from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
+    raws = [rng.rand(1, 24, 24, 24).astype(np.float32)]
+    labs = [np.zeros((24, 24, 24), np.int16)]
+    with pytest.raises(ValueError):
+        DeviceBatchAugmenter(raws, labs, patch_size=(8, 8, 8),
+                             elastic_sigma=2.0, resample="separable")
+    # 'auto' + elastic silently uses the gather core
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(8, 8, 8),
+                               elastic_sigma=2.0, resample="auto")
+    assert not aug._separable
+    d, t = aug.getbatch(2, warp=1.0)
+    assert np.isfinite(np.asarray(d)).all()
