@@ -378,16 +378,20 @@ class Model:
         return fn(self.params, self.state, self._feed(raw, extra=extra))
 
     def predict_dense(self, raw_img, pad_raw=False, as_uint8=False,
-                      tile_batch=1, verbose=False):
+                      tile_batch=1, verbose=False, prefer_device=True,
+                      device_budget=4 << 30):
         """MFP dense prediction over an arbitrarily large volume.
 
         Reference: ``node_basic.py::Node.predict_dense`` (see SURVEY.md §4.B).
-        Overlap-tiled sweep; fragments are restitched ON DEVICE per tile.
+        Device-fitting volumes route through the fused dilated /
+        whole-volume convolutional paths; larger ones use the overlap-tiled
+        sweep with on-device fragment restitching.
         """
         from elektronn2_tpu.neuromancer.inference import predict_dense
         return predict_dense(self, raw_img, pad_raw=pad_raw,
                              as_uint8=as_uint8, tile_batch=tile_batch,
-                             verbose=verbose)
+                             verbose=verbose, prefer_device=prefer_device,
+                             device_budget=device_budget)
 
     def predict_dense_device(self, vol, pad_raw=False):
         """Device-resident dense sweep: (f, Z, X, Y) jnp array in HBM in,

@@ -32,10 +32,10 @@ def mfp_model():
 def test_device_sweep_matches_host(rng):
     m = mfp_model()
     raw = rng.randn(1, 33, 33).astype(np.float32)
-    host = m.predict_dense(raw)
+    host = m.predict_dense(raw, prefer_device=False)
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     np.testing.assert_allclose(dev, host, atol=1e-6)
-    host_p = m.predict_dense(raw, pad_raw=True)
+    host_p = m.predict_dense(raw, pad_raw=True, prefer_device=False)
     dev_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
                                               pad_raw=True))
     np.testing.assert_allclose(dev_p, host_p, atol=1e-6)
@@ -55,7 +55,7 @@ def test_dilated_dense_strided_model(rng):
     m = model_manager.getmodel()
     m.designate_nodes(input_node=inp, prediction_node=probs)
     raw = rng.randn(1, 33, 33).astype(np.float32)
-    host = m.predict_dense(raw)               # repeat-upsampled strided map
+    host = m.predict_dense(raw, prefer_device=False)               # repeat-upsampled strided map
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     assert dev.shape == host.shape == (2, 24, 24)
     np.testing.assert_allclose(dev[:, ::4, ::4], host[:, ::4, ::4],
@@ -71,7 +71,7 @@ def test_dilated_fallback_on_unsupported_graph(rng):
     m = model_manager.getmodel()
     m.designate_nodes(input_node=inp, prediction_node=probs)
     raw = rng.randn(1, 27, 27).astype(np.float32)
-    host = m.predict_dense(raw)
+    host = m.predict_dense(raw, prefer_device=False)
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     np.testing.assert_allclose(dev, host, atol=1e-5)
 
@@ -149,7 +149,7 @@ def test_dilated_path_supports_trained_batchnorm(rng):
         m.trainingstep(x, y)
     assert "c1" in m.state
     raw = rng.rand(1, 30, 30).astype(np.float32)
-    host = m.predict_dense(raw)
+    host = m.predict_dense(raw, prefer_device=False)
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     np.testing.assert_allclose(dev, host, atol=1e-5)
 
@@ -181,7 +181,7 @@ def test_fuzz_random_stacks_dense_paths_agree(seed):
 
     V = n + int(r.randint(3, 9))
     raw = r.rand(1, V, V).astype(np.float32)
-    host = m.predict_dense(raw)
+    host = m.predict_dense(raw, prefer_device=False)
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     np.testing.assert_allclose(dev, host, atol=2e-5)
     # direct prediction at origin must appear at dense offset 0
@@ -309,3 +309,20 @@ def test_faithless_merge_polymorphic(rng):
     # enc0: (10,18,18); enc1: (8,16,16)->(8,8,8); enc2: (6,6,6);
     # up: (6,12,12); merge common: (6,12,12); dec: (6,10,10)
     assert tuple(y.shape) == (1, 2, 6, 10, 10)
+
+
+def test_predict_dense_routes_to_device(rng):
+    """Default predict_dense routes device-fitting volumes through the
+    fused path; result must equal the host-tiled oracle (MFP: bit-equal)."""
+    m = mfp_model()
+    raw = rng.randn(1, 33, 33).astype(np.float32)
+    fast = m.predict_dense(raw)                       # routed
+    host = m.predict_dense(raw, prefer_device=False)  # tiled oracle
+    np.testing.assert_allclose(fast, host, atol=1e-6)
+    assert m._dilated_fns                             # device path was used
+    # uint8 volumes and outputs keep their reference semantics
+    r8 = (rng.rand(1, 33, 33) * 255).astype(np.uint8)
+    f8 = m.predict_dense(r8, as_uint8=True)
+    h8 = m.predict_dense(r8, as_uint8=True, prefer_device=False)
+    assert f8.dtype == np.uint8
+    assert np.abs(f8.astype(int) - h8.astype(int)).max() <= 1

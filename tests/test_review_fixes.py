@@ -83,7 +83,7 @@ def test_dilated_avg_pool_matches_tiled(rng):
     m = model_manager.getmodel()
     m.designate_nodes(input_node=inp, prediction_node=probs)
     raw = rng.rand(1, 25, 25).astype(np.float32)
-    host = m.predict_dense(raw)
+    host = m.predict_dense(raw, prefer_device=False)
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     np.testing.assert_allclose(dev, host, atol=1e-5)
 
@@ -99,7 +99,7 @@ def test_tiled_fallback_crops_alignment_padding(rng):
     # volume size chosen so (V - tile) % g != 0
     for V, pad_raw in [(29, False), (30, True)]:
         raw = rng.rand(1, V, V).astype(np.float32)
-        host = m.predict_dense(raw, pad_raw=pad_raw)
+        host = m.predict_dense(raw, pad_raw=pad_raw, prefer_device=False)
         dev = np.asarray(m.predict_dense_device(jnp.asarray(raw),
                                                 pad_raw=pad_raw))
         assert dev.shape == host.shape
@@ -291,7 +291,7 @@ def test_dilated_cache_tracks_training(rng):
         m.trainingstep(x, y)
     after = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     assert not np.allclose(before, after)          # weights moved
-    host = m.predict_dense(raw)                    # host path, fresh params
+    host = m.predict_dense(raw, prefer_device=False)                    # host path, fresh params
     np.testing.assert_allclose(after, host, atol=1e-5)
 
 
