@@ -472,6 +472,41 @@ class DeviceBatchAugmenter:
             data = jnp.where(grey_on, aug, data)
         return data, tgt
 
+    # ---- device-side sampling (for fused multi-step training loops) ----
+    def _sample_device(self, key, batch_size, warp_prob):
+        """Traced analog of ``getbatch``'s host sampling: cube indices,
+        margin-respecting uniform positions, warp gates — all on device."""
+        ki, kp, kw = jax.random.split(key, 3)
+        pool = jnp.asarray(self.train_cubes, jnp.int32)
+        idx = pool[jax.random.randint(ki, (batch_size,), 0, len(pool))]
+        margin = float(np.linalg.norm(self.patch_size) / 2 + 2)
+        sh = jnp.asarray(self.cube_shapes, jnp.float32)       # (n_cubes, 3)
+        lo_all = jnp.minimum(margin, sh / 2 - 1)
+        lo = lo_all[idx]
+        hi = sh[idx] - lo_all[idx]
+        u = jax.random.uniform(kp, (batch_size, 3))
+        pos = lo + u * (hi - lo)
+        if self._is_2d:
+            pos = pos.at[:, 0].set(0.0)
+        warp_on = jax.random.bernoulli(kw, warp_prob, (batch_size,))
+        return idx, pos, warp_on
+
+    def device_batch(self, key, batch_size, warp=0.5, grey=True):
+        """Fully-traced batch production: sampling + augmentation in one
+        pure function of ``key`` — the building block of
+        ``training.fused_loop`` (one device dispatch for many training
+        steps). Returns (data, target) with the same shapes/squeezing as
+        ``getbatch(source='train')``."""
+        ks, kb = jax.random.split(key)
+        wp = 1.0 if warp is True else float(warp or 0.0)
+        idx, pos, warp_on = self._sample_device(ks, batch_size, wp)
+        data, tgt = self._batch_fn(kb, idx, pos, warp_on,
+                                   jnp.asarray(bool(grey)))
+        if self._is_2d:
+            data = data[:, :, 0]
+            tgt = tgt[:, 0] if tgt.ndim == 4 else tgt[..., 0, :, :]
+        return data, tgt
+
     def getbatch(self, batch_size=1, warp=0.5, source="train", **_ignored):
         """Host-side driver: sample cubes/positions, run the jitted batch fn.
 

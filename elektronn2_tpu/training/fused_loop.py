@@ -1,0 +1,89 @@
+"""Fused multi-step training: K optimisation steps per device dispatch.
+
+Motivation (BASELINE.md / docs/tpu_performance.md): with on-device
+augmentation the per-step device program is ~1 ms-class for EM nets, so
+training throughput is bounded by host→device dispatch latency (a ~20 ms
+floor through the sandbox tunnel; one-digit ms even on directly attached
+hosts). The reference's answer was background batch workers; the TPU-native
+answer is to remove the host from the loop entirely: batch sampling,
+augmentation (``DeviceBatchAugmenter.device_batch``), forward, backward and
+the optimiser update all live inside ONE jitted ``lax.scan`` over K steps.
+The host dispatches once per K steps and reads back a (K,) loss vector.
+
+Reference parity: this subsumes ``trainer.py``'s background-worker pipeline
+(SURVEY.md §3.4) for device-resident data; the Trainer uses it when
+``fused_steps > 1`` and the data source is a ``DeviceBatchAugmenter``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_fused_trainstep(model, augmenter, batch_size, n_inner, warp=0.5,
+                         grey=True):
+    """Build ``fused(params, opt_state, state, key, hyper) ->
+    (losses(K,), errors(K,) | None, params, opt_state, state)``.
+
+    ``hyper`` is traced, so live-mutated optimiser hyperparams (schedules,
+    console) apply at chunk granularity with zero recompiles. Buffers are
+    donated: params/opt_state update in place in HBM.
+    """
+    if model._step_fn is None:
+        model._build_step()
+    step_raw = model._step_raw
+    inp_name = model.input_node.name
+    tgt_name = model.target_node.name if model.target_node is not None \
+        else None
+    has_err = model.error_node is not None
+
+    def fused(params, opt_state, state, key, hyper):
+        def body(carry, k):
+            params, opt_state, state = carry
+            kb, kr = jax.random.split(k)
+            data, tgt = augmenter.device_batch(kb, batch_size, warp=warp,
+                                               grey=grey)
+            feed = {inp_name: data}
+            if tgt_name is not None:
+                feed[tgt_name] = tgt
+            loss, aux, gnorm, params, opt_state, state = step_raw(
+                params, opt_state, state, feed, kr, hyper)
+            err = aux[0][0] if has_err else jnp.float32(0)
+            return (params, opt_state, state), (loss, err)
+
+        keys = jax.random.split(key, n_inner)
+        (params, opt_state, state), (losses, errs) = jax.lax.scan(
+            body, (params, opt_state, state), keys)
+        return losses, errs, params, opt_state, state
+
+    return jax.jit(fused, donate_argnums=(0, 1))
+
+
+class FusedTrainLoop:
+    """Stateful wrapper: owns the jitted chunk function and the PRNG chain,
+    and plumbs the model's params/opt_state/state through each chunk."""
+
+    def __init__(self, model, augmenter, batch_size, n_inner, warp=0.5,
+                 grey=True, seed=0):
+        if int(n_inner) < 1:
+            raise ValueError(f"n_inner must be >= 1, got {n_inner}")
+        self.model = model
+        self.n_inner = int(n_inner)
+        self._fn = make_fused_trainstep(model, augmenter, batch_size,
+                                        self.n_inner, warp=warp, grey=grey)
+        self._key = jax.random.PRNGKey(int(seed))
+        self._has_err = model.error_node is not None
+
+    def run_chunk(self):
+        """Run K fused steps; returns (losses (K,), errors (K,)|None) as
+        numpy after the single chunk sync."""
+        m = self.model
+        self._key, sub = jax.random.split(self._key)
+        hyper = m.optimiser.current_hyper()
+        losses, errs, m.params, m.opt_state, m.state = self._fn(
+            m.params, m.opt_state, m.state, sub, hyper)
+        m._step_count += self.n_inner
+        return (np.asarray(losses),
+                np.asarray(errs) if self._has_err else None)

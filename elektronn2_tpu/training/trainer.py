@@ -147,6 +147,13 @@ class Trainer:
         model, data = self.model, self.data
         t_start = time.time()
         self.console = ConsoleControl(self)
+        fused = int(self.cfg.get("fused_steps", 0) or 0)
+        if fused > 1:
+            if not hasattr(data, "device_batch"):
+                raise ValueError(
+                    "fused_steps requires a device-resident data source "
+                    "with .device_batch (DeviceBatchAugmenter)")
+            return self._run_fused(fused, t_start)
         use_bg = data is not None and self.n_workers > 0
         if use_bg and type(data).__name__ == "DeviceBatchAugmenter":
             # device-side producer: batches are made on the accelerator in
@@ -228,6 +235,75 @@ class Trainer:
         finally:
             if self._bg is not None:
                 self._bg.shutdown()
+            self.console.quit = True
+            path = self.save_model()
+            self.save_history()
+            logger.info(f"trained {self.step} steps in "
+                        f"{pretty_string_time(time.time() - t_start)}; "
+                        f"saved to {path}")
+        return self.history
+
+    def _run_fused(self, n_inner, t_start):
+        """Dispatch-minimised loop: ``fused_steps`` training steps per
+        device call (``training.fused_loop``). Schedules/hyperparams apply
+        at chunk granularity; TBPTT-style step kwargs are unsupported."""
+        if self._step_kwargs():
+            raise ValueError("fused_steps is incompatible with trainers "
+                             "that inject per-step feed overrides")
+        from elektronn2_tpu.training.fused_loop import FusedTrainLoop
+        model = self.model
+        warp = self.data_batch_args.get("warp", 0.5)
+        loop = FusedTrainLoop(model, self.data, self.batch_size, n_inner,
+                              warp=warp, seed=self.cfg.get("seed", 0))
+        logger.info(f"training {model.name}: {self.n_steps} steps in fused "
+                    f"chunks of {n_inner}, batch {self.batch_size}, "
+                    f"{model.param_count} params")
+        last_loss, last_err = np.nan, np.nan
+        t_chunk = time.time()
+        try:
+            while self.step < self.n_steps:
+                if self.console.paused:
+                    time.sleep(0.2)
+                    self.console.poll()
+                    continue
+                losses, errs = loop.run_chunk()
+                for i, lv in enumerate(losses):
+                    self.step += 1
+                    self.history.update_timeline(self.step, float(lv))
+                for sched in self.schedules.values():
+                    sched.update(self.step, self.n_steps)
+                dt = (time.time() - t_chunk) / n_inner
+                t_chunk = time.time()
+                logger.info(
+                    f"step {self.step}/{self.n_steps} "
+                    f"loss={float(losses[-1]):.4f} "
+                    f"smooth={self.history.loss_smooth:.4f} "
+                    f"({dt * 1000:.1f} ms/it fused, "
+                    f"lr={model.optimiser.hyperparams.get('lr'):.2e})")
+                if self.history_freq and self.step % self.history_freq \
+                        < n_inner:
+                    last_loss, last_err = self.test_model()
+                    tr_err = (float(errs[-1]) if errs is not None
+                              else np.nan)
+                    self.history.update_history(
+                        self.step, float(losses[-1]), tr_err, last_loss,
+                        last_err)
+                    logger.info(f"validation: loss={last_loss:.4f} "
+                                f"err={last_err:.4f}")
+                if self.preview_freq and self.step % self.preview_freq \
+                        < n_inner:
+                    self.preview_prediction()
+                if self.save_freq and self.step % self.save_freq < n_inner:
+                    self.save_model()
+                    self.save_history()
+                if not self.console.poll():
+                    break
+                if time.time() - t_start > self.max_runtime:
+                    logger.info("max_runtime reached — stopping")
+                    break
+        except KeyboardInterrupt:
+            logger.info("interrupted — saving and exiting")
+        finally:
             self.console.quit = True
             path = self.save_model()
             self.save_history()

@@ -165,3 +165,97 @@ def test_history_html_report(tmp_path):
     p = h.html_report(str(tmp_path / "r"))
     html = open(p).read()
     assert "smoothed loss" in html and "data:image/png" in html
+
+
+# ------------------------------------------------------- fused multi-step
+
+def _fused_setup(rng):
+    from scipy import ndimage
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    model_manager.reset(seed=21)
+    raws = [ndimage.gaussian_filter(rng.randn(24, 40, 40), 2
+                                    ).astype(np.float32)[None]]
+    labs = [(ndimage.gaussian_filter(rng.randn(24, 40, 40), 4) > 0
+             ).astype(np.int16)]
+    inp = nm.Input([2, 1, 8, 16, 16], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 6, (3, 3, 3), (1, 2, 2), name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True)
+    loss = nm.AggregateLoss(nll)
+    err = nm.Errors(probs, tgt, target_is_sparse=True)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs, error_node=err)
+    m.set_opt("Adam", lr=1e-3)
+    aug = DeviceBatchAugmenter(
+        raws, labs, patch_size=(8, 16, 16),
+        target_size=tuple(probs.shape.spatial_shape),
+        target_strides=tuple(probs.shape.strides), warp_amount=0.5, seed=5)
+    return m, aug
+
+
+def test_fused_loop_matches_sequential(rng):
+    """K fused steps == K sequential _step_raw calls with identical keys."""
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.training.fused_loop import make_fused_trainstep
+    m, aug = _fused_setup(rng)
+    K = 3
+    fn = make_fused_trainstep(m, aug, batch_size=2, n_inner=K, warp=0.7)
+    p0 = jax.tree_util.tree_map(jnp.copy, m.params)
+    o0 = jax.tree_util.tree_map(jnp.copy, m.opt_state)
+    s0 = dict(m.state)
+    key = jax.random.PRNGKey(42)
+    hyper = m.optimiser.current_hyper()
+    losses, errs, pK, oK, sK = fn(
+        jax.tree_util.tree_map(jnp.copy, p0),
+        jax.tree_util.tree_map(jnp.copy, o0), s0, key, hyper)
+
+    # manual sequential replay with the identical key structure
+    params, opt_state, state = p0, o0, dict(s0)
+    seq_losses = []
+    for k in jax.random.split(key, K):
+        kb, kr = jax.random.split(k)
+        data, tgt = aug.device_batch(kb, 2, warp=0.7, grey=True)
+        feed = {"raw": data, "target": tgt}
+        loss, aux, gn, params, opt_state, state = m._step_raw(
+            params, opt_state, state, feed, kr, hyper)
+        seq_losses.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=2e-5)
+    for n in params:
+        for pn in params[n]:
+            np.testing.assert_allclose(np.asarray(pK[n][pn]),
+                                       np.asarray(params[n][pn]),
+                                       atol=1e-6)
+
+
+def test_trainer_fused_steps(rng, tmp_path):
+    from elektronn2_tpu.training.trainer import Trainer
+    m, aug = _fused_setup(rng)
+    tr = Trainer(model=m, data=aug, batch_size=2, n_steps=12,
+                 fused_steps=4, history_freq=0, save_freq=0,
+                 save_path=str(tmp_path), save_name="fused",
+                 data_batch_args={"warp": 0.5})
+    hist = tr.run()
+    assert tr.step == 12
+    assert len(hist.timeline) == 12
+    losses = [row[2] for row in hist.timeline]
+    assert np.isfinite(losses).all()
+
+
+def test_trainer_fused_requires_device_source(rng, tmp_path):
+    from elektronn2_tpu.training.trainer import Trainer
+    m, aug = _fused_setup(rng)
+
+    class HostData:
+        def getbatch(self, *a, **k):
+            raise AssertionError
+
+    tr = Trainer(model=m, data=HostData(), batch_size=2, n_steps=4,
+                 fused_steps=2, save_path=str(tmp_path), save_name="x")
+    with pytest.raises(ValueError):
+        tr.run()
