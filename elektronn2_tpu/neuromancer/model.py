@@ -236,23 +236,31 @@ class Model:
             self._step_fn = jax.jit(step, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------- scale-out
-    def use_mesh(self, mesh, data_axis="data"):
-        """Enable data-parallel training over a device mesh.
+    def use_mesh(self, mesh, data_axis="data", model_axis=None):
+        """Enable data-parallel (and optionally tensor-parallel) training
+        over a device mesh.
 
-        The batch is sharded along ``data_axis``; params/optimiser state are
-        replicated; XLA derives the gradient ``psum`` from the sharding
-        annotations (SURVEY.md §3.7 — the TPU-native communication backend).
-        The reference has no distributed training; this is the pod-scale
-        path named in BASELINE.json's configs.
+        The batch is sharded along ``data_axis``. With ``model_axis`` set,
+        weight tensors of Conv/UpConv/Dot/Perceptron nodes are additionally
+        sharded over their output-feature dimension on that axis (GSPMD
+        tensor parallelism — per-rank weight/optimiser-state memory and
+        matmul work shrink by the axis size); XLA propagates the sharding
+        through activations and inserts the collectives. Params whose
+        feature count doesn't divide the axis stay replicated. XLA likewise
+        derives the gradient ``psum`` from the batch sharding (SURVEY.md
+        §3.7 — the TPU-native communication backend). The reference has no
+        distributed training; this is the pod-scale path named in
+        BASELINE.json's configs.
         """
-        from jax.sharding import NamedSharding, PartitionSpec as P
         self._mesh = mesh
         self._data_axis = data_axis
-        repl = NamedSharding(mesh, P())
-        self.params = jax.device_put(self.params, repl)
-        self.state = jax.device_put(self.state, repl)
+        self._model_axis = model_axis
+        psh = self._param_shardings()
+        self.params = jax.device_put(self.params, psh)
+        self.state = jax.device_put(self.state, self._repl_sharding())
         if self.opt_state is not None:
-            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.opt_state = jax.device_put(self.opt_state,
+                                            self._opt_shardings())
         if getattr(self, "_step_raw", None) is None:
             self._build_step()
         else:
@@ -262,19 +270,65 @@ class Model:
         self._loss_fn = None
         return self
 
+    def _repl_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self._mesh, P())
+
+    def _param_shardings(self):
+        """Per-param NamedSharding tree: output-feature dim sharded on the
+        model axis for weight-bearing nodes (when divisible), else
+        replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh, ax = self._mesh, getattr(self, "_model_axis", None)
+        repl = NamedSharding(mesh, P())
+        tp_types = ("Conv", "UpConv", "Dot", "Perceptron")
+        out = {}
+        for nname, pdict in self.params.items():
+            node = self.nodes.get(nname)
+            out[nname] = {}
+            for pname, v in pdict.items():
+                sh = repl
+                if (ax is not None and node is not None
+                        and type(node).__name__ in tp_types
+                        and pname in ("w", "b") and v.ndim >= 1
+                        and v.shape[0] % mesh.shape[ax] == 0):
+                    sh = NamedSharding(
+                        mesh, P(ax, *([None] * (v.ndim - 1))))
+                out[nname][pname] = sh
+        return out
+
+    def _opt_shardings(self):
+        """Sharding tree congruent to opt_state: slot entries matching a
+        (node, param) leaf inherit that param's sharding."""
+        from jax.tree_util import tree_map_with_path
+        psh = self._param_shardings()
+        repl = self._repl_sharding()
+
+        def pick(path, leaf):
+            keys = [getattr(p, "key", None) for p in path]
+            for i in range(len(keys) - 1):
+                n, p = keys[i], keys[i + 1]
+                if (n in psh and p in psh.get(n, {})
+                        and tuple(self.params[n][p].shape)
+                        == tuple(leaf.shape)):
+                    return psh[n][p]
+            return repl
+
+        return tree_map_with_path(pick, self.opt_state)
+
     def _jit_sharded_step(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh = self._mesh
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P(self._data_axis))
 
-        def shard_feed(feed):
-            return {k: batch for k in feed}
-
-        # in_shardings per arg: params, opt_state, state, feed, rng, hyper
+        # in_shardings per arg: params, opt_state, state, feed, rng, hyper;
+        # outputs pinned to the same shardings so donated buffers round-trip
+        psh, osh = self._param_shardings(), self._opt_shardings()
         self._step_fn = jax.jit(
             self._step_raw, donate_argnums=(0, 1),
-            in_shardings=(repl, repl, repl, None, repl, repl))
+            in_shardings=(psh, osh, repl, None, repl, repl),
+            out_shardings=(repl, repl, repl, psh, osh, repl))
         self._feed_sharding = batch
 
     def _shard_batch(self, feed):

@@ -225,3 +225,57 @@ def test_spatial_dp_training_rejects_z_pool_and_mfp(rng):
     m.set_opt("SGD", lr=0.01)
     with pytest.raises(ValueError, match="z-pooling"):
         make_spatial_dp_trainstep(m, make_mesh({"data": 2, "space": 4}))
+
+
+# -------------------------------------------------- tensor parallelism (TP)
+
+def test_dp_tp_training_matches_single_device(rng):
+    """2-way DP x 4-way TP step trajectory == single-device (GSPMD shards
+    Conv output channels over the model axis; XLA inserts the collectives)."""
+    B = 4
+    x = rng.randn(B, 1, 16, 16).astype(np.float32)
+    y = (rng.rand(B, 7, 7) > 0.5).astype(np.int32)
+
+    m1 = build_model(B)
+    m1.set_opt("Adam", lr=1e-3)
+    model_manager.reset(seed=11)
+    m2 = build_model(B)
+    m2.set_opt("Adam", lr=1e-3)
+    m2.use_mesh(make_mesh({"data": 2, "model": 4}), model_axis="model")
+
+    for _ in range(3):
+        l1, _ = m1.trainingstep(x, y)
+        l2, _ = m2.trainingstep(x, y)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1.params["c1"]["w"]),
+                               np.asarray(m2.params["c1"]["w"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_tp_params_actually_sharded(rng):
+    m = build_model(4)
+    m.set_opt("Adam", lr=1e-3)
+    mesh = make_mesh({"data": 2, "model": 4})
+    m.use_mesh(mesh, model_axis="model")
+    w = m.params["c1"]["w"]              # (4, 1, 3, 3): 4 % 4 == 0 → sharded
+    spec = w.sharding.spec
+    assert spec[0] == "model", spec
+    # optimiser slots inherit the param sharding
+    leaves = [l for l in jax.tree_util.tree_leaves(m.opt_state)
+              if getattr(l, "shape", None) == w.shape]
+    assert leaves and all(l.sharding.spec[0] == "model" for l in leaves)
+    # the 2-channel output layer does not divide → replicated, still trains
+    x = np.random.RandomState(0).randn(4, 1, 16, 16).astype(np.float32)
+    y = (np.random.RandomState(1).rand(4, 7, 7) > 0.5).astype(np.int32)
+    l0, _ = m.trainingstep(x, y)
+    l1, _ = m.trainingstep(x, y)
+    assert float(l1) < float(l0)
+
+
+def test_tp_inference_works_with_sharded_params(rng):
+    m = build_model(4)
+    m.set_opt("Adam", lr=1e-3)
+    m.use_mesh(make_mesh({"data": 2, "model": 4}), model_axis="model")
+    x = rng.randn(4, 1, 16, 16).astype(np.float32)
+    out = np.asarray(m.predict(x))
+    assert out.shape == (4, 2, 7, 7) and np.isfinite(out).all()
