@@ -56,6 +56,17 @@ class Trainer:
         self.preview_kwargs = dict(cfg.get("preview_kwargs", {}))
         self.schedules = dict(cfg.get("schedules", {}))
 
+        # crash recovery (SURVEY.md §6: fail-fast + restart-from-checkpoint):
+        # resume=True picks up the rolling -LAST.mdl (params, optimiser
+        # state, step counter) when one exists for this save_name
+        if cfg.get("resume") and model is None \
+                and not cfg.get("model_load_path"):
+            last = os.path.join(self.save_path, self.save_name
+                                + "-LAST.mdl")
+            if os.path.exists(last):
+                cfg["model_load_path"] = last
+                logger.info(f"resume: found checkpoint {last}")
+
         # model: direct, from config factory, or from a saved file
         self.model = model
         if self.model is None:

@@ -259,3 +259,27 @@ def test_trainer_fused_requires_device_source(rng, tmp_path):
                  fused_steps=2, save_path=str(tmp_path), save_name="x")
     with pytest.raises(ValueError):
         tr.run()
+
+
+def test_trainer_auto_resume(rng, tmp_path):
+    """resume=True restarts from the rolling -LAST.mdl checkpoint
+    (params + optimiser state + step counter)."""
+    m, aug = _fused_setup(rng)
+    tr1 = Trainer(model=m, data=aug, batch_size=2, n_steps=6,
+                  history_freq=0, save_freq=0, n_workers=0,
+                  save_path=str(tmp_path), save_name="res",
+                  data_batch_args={"warp": 0.0})
+    tr1.run()          # saves res-LAST.mdl at the end
+    assert tr1.step == 6
+
+    def fail_factory():
+        raise AssertionError("resume must not rebuild a fresh model")
+
+    tr2 = Trainer(exp_config=None, data=aug, batch_size=2, n_steps=10,
+                  resume=True, create_model=fail_factory,
+                  history_freq=0, save_freq=0, n_workers=0,
+                  save_path=str(tmp_path), save_name="res",
+                  data_batch_args={"warp": 0.0})
+    assert tr2.step == 6                       # picked up the step counter
+    tr2.run()
+    assert tr2.step == 10
