@@ -59,23 +59,29 @@ def main():
     vol = jax.device_put(rng.rand(1, *vol_shape).astype(np.float32))
     jnp.sum(vol).block_until_ready()
 
-    # warmup / compile
-    out = model.predict_dense_device(vol, pad_raw=True)
-    float(jnp.sum(out))
-
-    t0 = time.perf_counter()
-    out = model.predict_dense_device(vol, pad_raw=True)
-    checksum = float(jnp.sum(out))          # forces completion (4-byte read)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-    mvox = float(np.prod(out.shape[1:])) / dt / 1e6
+    # A/B the two mathematically-identical dilated lowerings and report
+    # the better one (which wins is XLA-version dependent)
+    best = (0.0, "direct")
+    for impl in ("direct", "s2b"):
+        model.set_dilated_impl(impl)
+        out = model.predict_dense_device(vol, pad_raw=True)   # compile
+        float(jnp.sum(out))
+        t0 = time.perf_counter()
+        out = model.predict_dense_device(vol, pad_raw=True)
+        checksum = float(jnp.sum(out))      # forces completion (4-byte read)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        mvox = float(np.prod(out.shape[1:])) / dt / 1e6
+        if mvox > best[0]:
+            best = (mvox, impl)
 
     _done.set()
     print(json.dumps({
         "metric": "mfp_dense_inference",
-        "value": round(mvox, 2),
+        "value": round(best[0], 2),
         "unit": "Mvox/s/chip",
-        "vs_baseline": round(mvox / 1.0, 2),
+        "vs_baseline": round(best[0] / 1.0, 2),
+        "impl": best[1],
     }))
 
 

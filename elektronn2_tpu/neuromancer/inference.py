@@ -49,7 +49,7 @@ def _dense_geometry(pred_shape):
 
 
 def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
-                          params=None, state=None):
+                          params=None, state=None, impl=None):
     """Dense prediction via the à-trous (dilated convolution) identity.
 
     MFP (fragment pooling + restitch) computes the network at every pooling
@@ -76,8 +76,16 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     from jax import lax
     from elektronn2_tpu.neuromancer import neural, loss as loss_mod
     from elektronn2_tpu.neuromancer.node_basic import Input
-    from elektronn2_tpu.ops.conv import conv as ops_conv, _dim_numbers
+    from elektronn2_tpu.ops.conv import (conv as ops_conv, conv_s2b,
+                                         pool_s2b, _dim_numbers)
     from elektronn2_tpu.ops.conv import apply_activation
+
+    # dilated-op lowering: 'direct' = rhs_dilation / window_dilation;
+    # 's2b' = space-to-batch (phases batched, undilated ops) — exactly
+    # equivalent (tests); which is faster is hardware/XLA-version dependent
+    # (bench A/Bs them). Halo-sharded runs always use 'direct'.
+    impl = impl or getattr(model, "_dilated_impl", "direct")
+    use_s2b = impl == "s2b" and halo_axis is None
 
     pred = model.prediction_node
     inp = model.input_node
@@ -114,6 +122,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
 
     def dilated_pool(y, pool, dil, mode="max"):
         y = halo(y, dil[0] * (pool[0] - 1) if nsp == 3 else 0)
+        if use_s2b:
+            return pool_s2b(y, pool, dil,
+                            mode="max" if mode == "max" else "avg")
         window = (1, 1) + tuple(pool)
         wdil = (1, 1) + tuple(dil)
         init = -np.inf if mode == "max" else 0
@@ -135,11 +146,13 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             b = params[node.name]["b"]
             if nsp == 3:
                 xin = halo(xin, dil[0] * (w.shape[2] - 1))
+            cfn = conv_s2b if use_s2b else (
+                lambda a, b, dilation: ops_conv(a, b, dilation=dilation))
             if cdtype is not None:
-                y = ops_conv(xin.astype(cdtype), w.astype(cdtype),
-                             dilation=dil).astype(jnp.float32)
+                y = cfn(xin.astype(cdtype), w.astype(cdtype),
+                        dilation=dil).astype(jnp.float32)
             else:
-                y = ops_conv(xin, w, dilation=dil)
+                y = cfn(xin, w, dilation=dil)
             y = y + b.reshape((1, -1) + (1,) * nsp)
             if any(p > 1 for p in node.pool_shape):
                 y = dilated_pool(y, node.pool_shape, dil)
@@ -425,11 +438,12 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             vol_p = jnp.pad(vol, pads, mode="reflect")
         else:
             vol_p = vol
-        fn = model._dilated_fns.get("dense")
+        impl = getattr(model, "_dilated_impl", "direct")
+        fn = model._dilated_fns.get(("dense", impl))
         if fn is None:
             fn = jax.jit(lambda p, s, v: dilated_dense_forward(
-                model, v, params=p, state=s))
-            model._dilated_fns["dense"] = fn
+                model, v, params=p, state=s, impl=impl))
+            model._dilated_fns[("dense", impl)] = fn
         # NOTE: for models with non-MFP (decimating) pools this is a strict
         # improvement over the host path: genuinely dense stride-1 output
         # where predict_dense nearest-repeats the strided map. Voxels at the

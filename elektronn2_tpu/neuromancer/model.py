@@ -101,6 +101,15 @@ class Model:
         return self
 
     # --------------------------------------------------------------- plumbing
+    def set_dilated_impl(self, impl="direct"):
+        """Choose the dilated-op lowering for the dense path: 'direct'
+        (rhs_dilation) or 's2b' (space-to-batch — exactly equivalent; which
+        is faster is hardware/XLA-version dependent, bench A/Bs them)."""
+        if impl not in ("direct", "s2b"):
+            raise ValueError(f"impl={impl!r}: expected 'direct' or 's2b'")
+        self._dilated_impl = impl
+        return self
+
     def set_remat(self, enabled=True):
         """Rematerialisation: recompute each node's activations in the
         backward pass instead of storing them (``jax.checkpoint``) — trades

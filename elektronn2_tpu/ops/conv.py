@@ -50,6 +50,94 @@ def conv(x, w, border_mode="valid", stride=None, dilation=None,
         precision=precision, preferred_element_type=preferred_element_type)
 
 
+def conv_s2b(x, w, dilation, precision=None, preferred_element_type=None):
+    """Dilated VALID conv via space-to-batch: exactly equivalent to
+    ``conv(x, w, dilation=d)``.
+
+    A dilation-d conv mixes only positions congruent mod d, so the volume
+    splits into ∏d phase sub-volumes that run UNdilated convs batched
+    together — XLA's happiest conv form — and interleave back. Alternative
+    lowering for the à-trous dense path (A/B against ``rhs_dilation`` on
+    real hardware; some XLA/TPU versions lower rhs_dilation poorly).
+    """
+    nsp = x.ndim - 2
+    d = tuple(int(v) for v in dilation)
+    if all(v == 1 for v in d):
+        return conv(x, w, precision=precision,
+                    preferred_element_type=preferred_element_type)
+    B, C = x.shape[:2]
+    sp = x.shape[2:]
+    k = w.shape[2:]
+    # pad each spatial dim to a multiple of d (outputs fed by the zero pad
+    # lie beyond the valid extent and are trimmed after interleaving)
+    pads = [(0, (-s) % dv) for s, dv in zip(sp, d)]
+    if any(p for _, p in pads):
+        x = jnp.pad(x, [(0, 0), (0, 0)] + pads)
+    spp = x.shape[2:]
+    # (B, C, S1/d1, d1, S2/d2, d2, ...) → (B, d1, d2, ..., C, S1/d1, ...)
+    split = []
+    for s, dv in zip(spp, d):
+        split += [s // dv, dv]
+    x = x.reshape((B, C) + tuple(split))
+    phase_axes = tuple(3 + 2 * i for i in range(nsp))
+    keep_axes = tuple(2 + 2 * i for i in range(nsp))
+    x = x.transpose((0,) + phase_axes + (1,) + keep_axes)
+    P = int(np.prod(d))
+    x = x.reshape((B * P, C) + tuple(s // dv for s, dv in zip(spp, d)))
+    y = conv(x, w, precision=precision,
+             preferred_element_type=preferred_element_type)
+    # interleave phases back and trim to the true dilated-VALID extent
+    out_pp = y.shape[2:]
+    y = y.reshape((B,) + tuple(d) + (y.shape[1],) + out_pp)
+    inv = (0, 1 + nsp)
+    for i in range(nsp):
+        inv += (2 + nsp + i, 1 + i)
+    y = y.transpose(inv)
+    y = y.reshape((B, y.shape[1])
+                  + tuple(o * dv for o, dv in zip(out_pp, d)))
+    valid = tuple(s - dv * (kv - 1) for s, dv, kv in zip(sp, d, k))
+    return y[(slice(None), slice(None))
+             + tuple(slice(0, v) for v in valid)]
+
+
+def pool_s2b(x, pool, dilation, mode="max"):
+    """Window-dilated stride-1 pooling via space-to-batch (the dilated
+    dense path's pooling form), exactly equivalent to ``reduce_window``
+    with ``window_dilation=dilation``."""
+    nsp = x.ndim - 2
+    d = tuple(int(v) for v in dilation)
+    pool = tuple(int(v) for v in pool)
+    if all(v == 1 for v in d):
+        return pooling(x, pool, mode=mode, stride=(1,) * nsp)
+    B, C = x.shape[:2]
+    sp = x.shape[2:]
+    pads = [(0, (-s) % dv) for s, dv in zip(sp, d)]
+    if any(p for _, p in pads):
+        pad_val = -np.inf if mode == "max" else 0.0
+        x = jnp.pad(x, [(0, 0), (0, 0)] + pads, constant_values=pad_val)
+    spp = x.shape[2:]
+    split = []
+    for s, dv in zip(spp, d):
+        split += [s // dv, dv]
+    x = x.reshape((B, C) + tuple(split))
+    phase_axes = tuple(3 + 2 * i for i in range(nsp))
+    keep_axes = tuple(2 + 2 * i for i in range(nsp))
+    x = x.transpose((0,) + phase_axes + (1,) + keep_axes)
+    P = int(np.prod(d))
+    x = x.reshape((B * P, C) + tuple(s // dv for s, dv in zip(spp, d)))
+    y = pooling(x, pool, mode=mode, stride=(1,) * nsp)
+    out_pp = y.shape[2:]
+    y = y.reshape((B,) + tuple(d) + (C,) + out_pp)
+    inv = (0, 1 + nsp)
+    for i in range(nsp):
+        inv += (2 + nsp + i, 1 + i)
+    y = y.transpose(inv)
+    y = y.reshape((B, C) + tuple(o * dv for o, dv in zip(out_pp, d)))
+    valid = tuple(s - dv * (pv - 1) for s, dv, pv in zip(sp, d, pool))
+    return y[(slice(None), slice(None))
+             + tuple(slice(0, v) for v in valid)]
+
+
 def upconv(x, w, pool_shape, precision=None):
     """Transposed convolution ("upconv") with stride = kernel = pool_shape.
 

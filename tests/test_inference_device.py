@@ -326,3 +326,33 @@ def test_predict_dense_routes_to_device(rng):
     h8 = m.predict_dense(r8, as_uint8=True, prefer_device=False)
     assert f8.dtype == np.uint8
     assert np.abs(f8.astype(int) - h8.astype(int)).max() <= 1
+
+
+def test_s2b_conv_equals_dilated(rng):
+    from elektronn2_tpu.ops.conv import conv, conv_s2b, pool_s2b
+    from jax import lax
+    for nsp, d in [(2, (2, 3)), (3, (1, 2, 2)), (2, (4, 4))]:
+        x = jnp.asarray(rng.randn(2, 3, *([17] * nsp)).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 3, *([3] * nsp)).astype(np.float32))
+        a = conv(x, w, dilation=d)
+        b = conv_s2b(x, w, dilation=d)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        # dilated pooling
+        window = (1, 1) + (2,) * nsp
+        wdil = (1, 1) + d
+        p_direct = lax.reduce_window(x, -np.inf, lax.max, window,
+                                     (1,) * x.ndim, "VALID",
+                                     window_dilation=wdil)
+        p_s2b = pool_s2b(x, (2,) * nsp, d, mode="max")
+        np.testing.assert_allclose(np.asarray(p_direct), np.asarray(p_s2b))
+
+
+def test_s2b_dense_path_matches_direct(rng):
+    m = mfp_model()
+    raw = jnp.asarray(rng.randn(1, 33, 33).astype(np.float32))
+    direct = np.asarray(m.predict_dense_device(raw))
+    m.set_dilated_impl("s2b")
+    s2b = np.asarray(m.predict_dense_device(raw))
+    np.testing.assert_allclose(direct, s2b, atol=2e-5)
+    with pytest.raises(ValueError):
+        m.set_dilated_impl("bogus")
