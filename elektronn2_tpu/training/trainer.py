@@ -21,7 +21,7 @@ import numpy as np
 from elektronn2_tpu.log import logger, add_file_handler
 from elektronn2_tpu.training.parallelisation import BackgroundProc
 from elektronn2_tpu.training.trainutils import (
-    HistoryTracker, Schedule, ConsoleControl, pretty_string_time,
+    HistoryTracker, Schedule, ConsoleControl, pretty_string_time, TBWriter,
 )
 
 
@@ -104,6 +104,23 @@ class Trainer:
         self._bind_schedules()
         self.step = getattr(self.model, "_step_count", 0)
         self._bg = None
+        self._tb = (TBWriter(os.path.join(self.save_path, "tb",
+                                          self.save_name))
+                    if cfg.get("tensorboard") else None)
+
+    def _tb_scalars(self, loss, err=np.nan, va_loss=None, va_err=None):
+        if self._tb is None:
+            return
+        self._tb.scalar("train/loss", loss, self.step)
+        lr = self.model.optimiser.hyperparams.get("lr")
+        if lr is not None:
+            self._tb.scalar("train/lr", lr, self.step)
+        if err == err:   # not NaN
+            self._tb.scalar("train/error", err, self.step)
+        if va_loss is not None:
+            self._tb.scalar("valid/loss", va_loss, self.step)
+        if va_err is not None:
+            self._tb.scalar("valid/error", va_err, self.step)
 
     # ------------------------------------------------------------- plumbing
     def _bind_schedules(self):
@@ -212,6 +229,10 @@ class Trainer:
                 self._post_step(aux)
                 self.step += 1
                 self.history.update_timeline(self.step, loss)
+                if self._tb is not None and self.step % 10 == 0:
+                    self._tb_scalars(float(loss),
+                                     float(aux["error"])
+                                     if "error" in aux else np.nan)
                 for sched in self.schedules.values():
                     sched.update(self.step, self.n_steps)
 
@@ -229,6 +250,8 @@ class Trainer:
                     tr_err = float(aux["error"]) if "error" in aux else np.nan
                     self.history.update_history(self.step, float(loss),
                                                 tr_err, last_loss, last_err)
+                    self._tb_scalars(float(loss), tr_err, last_loss,
+                                     last_err)
                     logger.info(f"validation: loss={last_loss:.4f} "
                                 f"err={last_err:.4f}")
                 if self.preview_freq and self.step % self.preview_freq == 0:
@@ -247,6 +270,8 @@ class Trainer:
             if self._bg is not None:
                 self._bg.shutdown()
             self.console.quit = True
+            if self._tb is not None:
+                self._tb.close()
             path = self.save_model()
             self.save_history()
             logger.info(f"trained {self.step} steps in "
@@ -281,6 +306,10 @@ class Trainer:
                 for i, lv in enumerate(losses):
                     self.step += 1
                     self.history.update_timeline(self.step, float(lv))
+                if self._tb is not None:
+                    self._tb_scalars(float(losses[-1]),
+                                     float(errs[-1]) if errs is not None
+                                     else np.nan)
                 for sched in self.schedules.values():
                     sched.update(self.step, self.n_steps)
                 dt = (time.time() - t_chunk) / n_inner
@@ -316,6 +345,8 @@ class Trainer:
             logger.info("interrupted — saving and exiting")
         finally:
             self.console.quit = True
+            if self._tb is not None:
+                self._tb.close()
             path = self.save_model()
             self.save_history()
             logger.info(f"trained {self.step} steps in "

@@ -145,6 +145,31 @@ class HistoryTracker:
         plt.close(fig)
 
 
+class TBWriter:
+    """Optional TensorBoard scalar sink (SURVEY.md §6 observability:
+    'same artifacts + optional TensorBoard scalars'). Degrades to a no-op
+    with a warning when tensorboard isn't importable."""
+
+    def __init__(self, logdir):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._w = SummaryWriter(logdir)
+        except Exception as e:  # pragma: no cover
+            from elektronn2_tpu.log import logger
+            logger.warning(f"tensorboard unavailable ({e}); scalars off")
+            self._w = None
+
+    def scalar(self, tag, value, step):
+        if self._w is not None and value is not None \
+                and math.isfinite(float(value)):
+            self._w.add_scalar(tag, float(value), int(step))
+
+    def close(self):
+        if self._w is not None:
+            self._w.flush()
+            self._w.close()
+
+
 class Schedule:
     """Declarative hyperparameter schedule.
 

@@ -283,3 +283,17 @@ def test_trainer_auto_resume(rng, tmp_path):
     assert tr2.step == 6                       # picked up the step counter
     tr2.run()
     assert tr2.step == 10
+
+
+def test_trainer_tensorboard_scalars(rng, tmp_path):
+    pytest.importorskip("torch.utils.tensorboard")
+    m, aug = _fused_setup(rng)
+    tr = Trainer(model=m, data=aug, batch_size=2, n_steps=12,
+                 tensorboard=True, history_freq=10, save_freq=0,
+                 n_workers=0, save_path=str(tmp_path), save_name="tb",
+                 data_batch_args={"warp": 0.0})
+    tr.run()
+    tbdir = os.path.join(str(tmp_path), "tb", "tb")
+    files = os.listdir(tbdir)
+    assert any("tfevents" in f for f in files)
+    assert sum(os.path.getsize(os.path.join(tbdir, f)) for f in files) > 0
