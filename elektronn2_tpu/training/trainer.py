@@ -215,6 +215,22 @@ class Trainer:
                 mode=self.cfg.get("worker_mode", "process"))
         last_loss, last_err = np.nan, np.nan
         t_step = time.time()
+        # async monitoring: the loss scalar of step N is materialised only
+        # AFTER step N+1 has been dispatched (a one-step lag), so the host
+        # round-trip overlaps device compute instead of stalling it; every
+        # logging/validation boundary flushes the lagged value first
+        pending = None                 # (step_id, device loss, aux)
+
+        def flush():
+            nonlocal pending
+            if pending is None:
+                return np.nan
+            sid, lv, paux = pending
+            lv = float(lv)
+            self.history.update_timeline(sid, lv)
+            pending = None
+            return lv
+
         try:
             while self.step < self.n_steps:
                 if self.console.paused:
@@ -228,29 +244,46 @@ class Trainer:
                 loss, aux = model.trainingstep(d, t, **self._step_kwargs())
                 self._post_step(aux)
                 self.step += 1
-                self.history.update_timeline(self.step, loss)
-                if self._tb is not None and self.step % 10 == 0:
-                    self._tb_scalars(float(loss),
-                                     float(aux["error"])
-                                     if "error" in aux else np.nan)
+                flush()                         # materialise the PREVIOUS
+                pending = (self.step, loss, aux)
                 for sched in self.schedules.values():
                     sched.update(self.step, self.n_steps)
 
+                sync = (self.step % 50 == 0 or self.step == 1
+                        or (self.history_freq
+                            and self.step % self.history_freq == 0)
+                        or (self.preview_freq
+                            and self.step % self.preview_freq == 0)
+                        or (self.save_freq
+                            and self.step % self.save_freq == 0)
+                        or (self._tb is not None and self.step % 10 == 0))
+                if not sync:
+                    if not self.console.poll():
+                        break
+                    if time.time() - t_start > self.max_runtime:
+                        logger.info("max_runtime reached — stopping")
+                        break
+                    continue
+                loss_f = flush()
+                if self._tb is not None and self.step % 10 == 0:
+                    self._tb_scalars(loss_f,
+                                     float(aux["error"])
+                                     if "error" in aux else np.nan)
                 if self.step % 50 == 0 or self.step == 1:
                     dt = (time.time() - t_step) / max(1, 50)
                     t_step = time.time()
                     logger.info(
                         f"step {self.step}/{self.n_steps} "
-                        f"loss={float(loss):.4f} "
+                        f"loss={loss_f:.4f} "
                         f"smooth={self.history.loss_smooth:.4f} "
                         f"({dt * 1000:.0f} ms/it, "
                         f"lr={model.optimiser.hyperparams.get('lr'):.2e})")
                 if self.history_freq and self.step % self.history_freq == 0:
                     last_loss, last_err = self.test_model()
                     tr_err = float(aux["error"]) if "error" in aux else np.nan
-                    self.history.update_history(self.step, float(loss),
+                    self.history.update_history(self.step, loss_f,
                                                 tr_err, last_loss, last_err)
-                    self._tb_scalars(float(loss), tr_err, last_loss,
+                    self._tb_scalars(loss_f, tr_err, last_loss,
                                      last_err)
                     logger.info(f"validation: loss={last_loss:.4f} "
                                 f"err={last_err:.4f}")
@@ -267,6 +300,10 @@ class Trainer:
         except KeyboardInterrupt:
             logger.info("interrupted — saving and exiting")
         finally:
+            try:
+                flush()                        # record the final step's loss
+            except Exception:
+                pass
             if self._bg is not None:
                 self._bg.shutdown()
             self.console.quit = True

@@ -297,3 +297,18 @@ def test_trainer_tensorboard_scalars(rng, tmp_path):
     files = os.listdir(tbdir)
     assert any("tfevents" in f for f in files)
     assert sum(os.path.getsize(os.path.join(tbdir, f)) for f in files) > 0
+
+
+def test_trainer_async_loss_lag_records_all_steps(rng, tmp_path):
+    """The one-step loss-materialisation lag must not drop or duplicate
+    timeline entries."""
+    m, aug = _fused_setup(rng)
+    tr = Trainer(model=m, data=aug, batch_size=2, n_steps=7,
+                 history_freq=3, save_freq=0, n_workers=0,
+                 save_path=str(tmp_path), save_name="lag",
+                 data_batch_args={"warp": 0.0})
+    hist = tr.run()
+    steps = [int(row[1]) for row in hist.timeline]
+    assert steps == list(range(1, 8)), steps
+    losses = [row[2] for row in hist.timeline]
+    assert np.isfinite(losses).all()
