@@ -356,3 +356,32 @@ def test_s2b_dense_path_matches_direct(rng):
     np.testing.assert_allclose(direct, s2b, atol=2e-5)
     with pytest.raises(ValueError):
         m.set_dilated_impl("bogus")
+
+
+@pytest.mark.parametrize("seed", [3, 7, 19])
+def test_fuzz_random_unets_conv_dense(seed):
+    """Property test: random encoder/decoder topologies — the whole-volume
+    convolutional dense path must equal block-aligned patch predictions."""
+    r = np.random.RandomState(seed)
+    # encoder: 1-2 conv(+pool) stages; decoder: upconv back to stride 1
+    pool = int(r.choice([2, 3]))
+    n_enc = int(r.randint(1, 3))
+    # patch size must satisfy the pool divisibility after two 3-convs
+    size = 24 + (-(24 - 4) % pool)
+    inp = nm.Input([1, 1, size, size], "b,f,x,y", name="raw")
+    h = nm.Conv(inp, int(r.randint(3, 6)), 3, 1, name="c_skip")
+    skip = h
+    h = nm.Conv(h, int(r.randint(4, 8)), 3, pool, name="c_down")
+    for i in range(n_enc - 1):
+        h = nm.Conv(h, int(r.randint(4, 8)), 3, 1, name=f"c_mid{i}")
+    h = nm.UpConv(h, int(r.randint(3, 6)), pool, name="up")
+    merged = nm.FaithlessMerge(h, skip, name="merge")
+    h = nm.Conv(merged, int(r.randint(4, 8)), 3, 1, name="c_dec")
+    probs = nm.Softmax(nm.Conv(h, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+
+    V = size + pool * int(r.randint(1, 4)) + int(r.randint(0, 3))
+    vol = r.randn(1, V, V + pool).astype(np.float32)
+    taus = [(0, 0), (pool, pool * 2)]
+    _assert_dense_matches_aligned_patches(m, vol, taus)
