@@ -74,6 +74,7 @@ def main():
         mvox = float(np.prod(out.shape[1:])) / dt / 1e6
         if mvox > best[0]:
             best = (mvox, impl)
+    model.set_dilated_impl(best[1])   # leave the winner active
 
     _done.set()
     print(json.dumps({

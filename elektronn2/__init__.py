@@ -57,8 +57,15 @@ class _AliasFinder(importlib.abc.MetaPathFinder):
         real_name = _BASE + "." + fullname[len(self._prefix):]
         try:
             real = importlib.import_module(real_name)
-        except ImportError:
-            return None
+        except ImportError as e:
+            # only a genuinely missing elektronn2_tpu submodule maps to
+            # "no such module"; a dependency failing INSIDE a real module
+            # must propagate, not masquerade as a missing shim name
+            missing = getattr(e, "name", None) or ""
+            if missing == real_name or (real_name.startswith(missing + ".")
+                                        and missing.startswith(_BASE)):
+                return None
+            raise
         loader = _AliasLoader(real)
         return importlib.machinery.ModuleSpec(
             fullname, loader, is_package=loader.is_package(fullname))

@@ -123,8 +123,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     def dilated_pool(y, pool, dil, mode="max"):
         y = halo(y, dil[0] * (pool[0] - 1) if nsp == 3 else 0)
         if use_s2b:
-            return pool_s2b(y, pool, dil,
-                            mode="max" if mode == "max" else "avg")
+            return pool_s2b(y, pool, dil, mode=mode)
         window = (1, 1) + tuple(pool)
         wdil = (1, 1) + tuple(dil)
         init = -np.inf if mode == "max" else 0
@@ -493,7 +492,10 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             i0 = min(idx[d] * span[d], V[d] - tile_in[d])
             o.append((i0 // g[d]) * g[d])
         origins.append(tuple(o))
-    origins_arr = np.asarray(origins, np.int32)
+    tb = max(1, int(tile_batch))
+    if len(origins) % tb:   # pad with repeats: same origin → idempotent write
+        origins += [origins[-1]] * (tb - len(origins) % tb)
+    origins_arr = np.asarray(origins, np.int32).reshape(-1, tb, nsp)
 
     feed_name = inp.name
     params, state = model.params, model.state
@@ -515,14 +517,17 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
         out = jnp.zeros((f_out, *out_total), jnp.float32)
 
         def body(i, out):
-            o = origins[i]
-            dense = tile_fn(vol, o)
-            o_out = o // jnp.asarray(g, jnp.int32)
-            return jax.lax.dynamic_update_slice(
-                out, dense, (jnp.int32(0), *tuple(o_out[d]
-                                                  for d in range(nsp))))
+            group = origins[i]                       # (tb, nsp)
+            dense = jax.vmap(lambda o: tile_fn(vol, o))(group)
+            o_out = group // jnp.asarray(g, jnp.int32)
+            for b in range(tb):                      # static unroll
+                out = jax.lax.dynamic_update_slice(
+                    out, dense[b], (jnp.int32(0),
+                                    *tuple(o_out[b, d]
+                                           for d in range(nsp))))
+            return out
 
-        return jax.lax.fori_loop(0, len(origins), body, out)
+        return jax.lax.fori_loop(0, origins.shape[0], body, out)
 
     out = sweep(vol, jnp.asarray(origins_arr))
     for d in range(nsp):
@@ -560,30 +565,13 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
     if pred is None:
         raise RuntimeError("designate a prediction_node first")
     _check_dense_geometry(pred)
-    if prefer_device:
-        raw = np.asarray(raw_img)
-        # peak footprint ≈ volume × widest feature map × f32 × (in+out live)
-        max_f = max([int(n.shape["f"]) for n in pred.all_parents()
-                     if n.shape is not None and "f" in n.shape.tags]
-                    + [1])
-        n_vox = int(np.prod(raw.shape[-len(inp.shape.spatial_axes):]))
-        if n_vox * max_f * 4 * 2 <= device_budget:
-            import jax.numpy as jnp
-            if raw.ndim == len(inp.shape.spatial_axes):
-                raw = raw[None]
-            if raw.dtype == np.uint8:
-                raw = raw.astype(np.float32) / 255.0
-            out = np.asarray(predict_dense_device(
-                model, jnp.asarray(raw, jnp.float32), pad_raw=pad_raw,
-                tile_batch=tile_batch))
-            if as_uint8:
-                out = np.clip(out * 255.0, 0, 255).astype(np.uint8)
-            return out
     in_ts = inp.shape
     nsp = len(in_ts.spatial_axes)
     tile_in = list(in_ts.spatial_shape)
     n_ch = in_ts["f"]
 
+    # rank/channel validation + normalisation happens BEFORE any routing so
+    # bad inputs get the clear error, not an opaque trace failure
     raw = np.asarray(raw_img)
     if raw.ndim == nsp:
         raw = raw[None]
@@ -597,6 +585,21 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
         raw = raw.astype(np.float32) / 255.0
     else:
         raw = raw.astype(np.float32)
+
+    if prefer_device:
+        # peak footprint ≈ volume × widest feature map × f32 × (in+out live)
+        max_f = max([int(n.shape["f"]) for n in pred.all_parents()
+                     if n.shape is not None and "f" in n.shape.tags]
+                    + [1])
+        n_vox = int(np.prod(raw.shape[1:]))
+        if n_vox * max_f * 4 * 2 <= device_budget:
+            import jax.numpy as jnp
+            out = np.asarray(predict_dense_device(
+                model, jnp.asarray(raw), pad_raw=pad_raw,
+                tile_batch=tile_batch))
+            if as_uint8:
+                out = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+            return out
 
     g, n_off, dense_sp = _dense_geometry(pred.shape)
     fov = list(pred.shape.fov)

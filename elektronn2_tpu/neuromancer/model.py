@@ -290,19 +290,27 @@ class Model:
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh, ax = self._mesh, getattr(self, "_model_axis", None)
         repl = NamedSharding(mesh, P())
-        tp_types = ("Conv", "UpConv", "Dot", "Perceptron")
+        # output-feature dim per weight layout: Conv/UpConv w is
+        # (f_out, f_in, *k) → dim 0; Perceptron (alias Dot) w is
+        # (f_in, n_f) → dim 1 (the LAST dim); biases are (f_out,) → dim 0
+        tp_w_dim = {"Conv": 0, "UpConv": 0, "Perceptron": 1}
         out = {}
         for nname, pdict in self.params.items():
             node = self.nodes.get(nname)
+            tname = type(node).__name__ if node is not None else None
             out[nname] = {}
             for pname, v in pdict.items():
                 sh = repl
-                if (ax is not None and node is not None
-                        and type(node).__name__ in tp_types
-                        and pname in ("w", "b") and v.ndim >= 1
-                        and v.shape[0] % mesh.shape[ax] == 0):
-                    sh = NamedSharding(
-                        mesh, P(ax, *([None] * (v.ndim - 1))))
+                dim = None
+                if ax is not None and tname in tp_w_dim:
+                    if pname == "w" and v.ndim >= 2:
+                        dim = tp_w_dim[tname]
+                    elif pname == "b" and v.ndim == 1:
+                        dim = 0
+                if dim is not None and v.shape[dim] % mesh.shape[ax] == 0:
+                    spec = [None] * v.ndim
+                    spec[dim] = ax
+                    sh = NamedSharding(mesh, P(*spec))
                 out[nname][pname] = sh
         return out
 
@@ -456,11 +464,12 @@ class Model:
                              verbose=verbose, prefer_device=prefer_device,
                              device_budget=device_budget)
 
-    def predict_dense_device(self, vol, pad_raw=False):
+    def predict_dense_device(self, vol, pad_raw=False, tile_batch=1):
         """Device-resident dense sweep: (f, Z, X, Y) jnp array in HBM in,
         dense map out, no host round-trips (production serving path)."""
         from elektronn2_tpu.neuromancer.inference import predict_dense_device
-        return predict_dense_device(self, vol, pad_raw=pad_raw)
+        return predict_dense_device(self, vol, pad_raw=pad_raw,
+                                    tile_batch=tile_batch)
 
     def predict_dense_sharded(self, vol, mesh, axis_name="space",
                               pad_raw=False):

@@ -320,9 +320,16 @@ class Trainer:
         """Dispatch-minimised loop: ``fused_steps`` training steps per
         device call (``training.fused_loop``). Schedules/hyperparams apply
         at chunk granularity; TBPTT-style step kwargs are unsupported."""
-        if self._step_kwargs():
-            raise ValueError("fused_steps is incompatible with trainers "
-                             "that inject per-step feed overrides")
+        # structural check: a subclass overriding the per-step hooks (e.g.
+        # TracingTrainer's TBPTT state carry) cannot run inside the fused
+        # scan — checking _step_kwargs() at runtime would pass vacuously
+        # before the first step populates any carry
+        if (type(self)._step_kwargs is not Trainer._step_kwargs
+                or type(self)._post_step is not Trainer._post_step):
+            raise ValueError(
+                "fused_steps is incompatible with trainers that inject "
+                "per-step feed overrides or post-step hooks "
+                f"({type(self).__name__})")
         from elektronn2_tpu.training.fused_loop import FusedTrainLoop
         model = self.model
         warp = self.data_batch_args.get("warp", 0.5)

@@ -473,3 +473,126 @@ def _slow_then_boom():
     if _slow_then_boom.n > 1:
         raise ValueError("boom")
     return np.zeros(3)
+
+
+# ---- session review batch 4 ------------------------------------------------
+
+def test_s2b_sum_pooling_matches_direct(rng):
+    """Pool(mode='sum') through the s2b lowering must NOT be averaged."""
+    import jax.numpy as jnp
+    from jax import lax
+    from elektronn2_tpu.ops.conv import pool_s2b
+    x = jnp.asarray(rng.randn(1, 2, 13, 13).astype(np.float32))
+    direct = lax.reduce_window(x, 0.0, lax.add, (1, 1, 2, 2),
+                               (1,) * 4, "VALID",
+                               window_dilation=(1, 1, 2, 2))
+    s2b = pool_s2b(x, (2, 2), (2, 2), mode="sum")
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(s2b),
+                               atol=1e-6)
+
+
+def test_tp_perceptron_sharded_on_output_dim(rng):
+    import jax
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    from elektronn2_tpu.parallel import make_mesh
+    model_manager.reset(seed=2)
+    inp = nm.Input([4, 12], "b,f", name="raw")
+    h = nm.Perceptron(inp, 16, name="fc1")      # w: (12, 16)
+    out = nm.Perceptron(h, 8, activation_func="lin", name="fc2")
+    tgt = nm.Input([4, 8], "b,f", name="target")
+    loss = nm.AggregateLoss(nm.SquaredLoss(out, tgt))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=out)
+    m.set_opt("Adam", lr=1e-3)
+    m.use_mesh(make_mesh({"data": 2, "model": 4}), model_axis="model")
+    # output dim (16) divides 4 → sharded on dim 1, NOT dim 0
+    assert m.params["fc1"]["w"].sharding.spec[1] == "model"
+    assert m.params["fc1"]["w"].sharding.spec[0] is None
+    x = rng.randn(4, 12).astype(np.float32)
+    y = rng.randn(4, 8).astype(np.float32)
+    l0, _ = m.trainingstep(x, y)
+    assert np.isfinite(float(l0))
+
+
+def test_fused_steps_rejects_tracing_trainer(rng, tmp_path):
+    from elektronn2_tpu.training.trainer import Trainer
+
+    class CarryTrainer(Trainer):
+        def _step_kwargs(self):
+            return {}       # empty NOW, but the subclass injects later
+
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    model_manager.reset(seed=4)
+    inp = nm.Input([2, 1, 4, 8, 8], "b,f,z,x,y", name="raw")
+    probs = nm.Softmax(nm.Conv(inp, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    aug = DeviceBatchAugmenter([np.zeros((1, 8, 16, 16), np.float32)],
+                               [np.zeros((8, 16, 16), np.int16)],
+                               patch_size=(4, 8, 8),
+                               target_size=(4, 8, 8))
+    tr = CarryTrainer(model=m, data=aug, n_steps=4, fused_steps=2,
+                      save_path=str(tmp_path), save_name="x")
+    with pytest.raises(ValueError):
+        tr.run()
+
+
+def test_shim_propagates_inner_import_errors():
+    """A dependency failing INSIDE a real module must not be reported as
+    'no module named elektronn2.X'."""
+    import sys
+    import elektronn2  # installs the finder
+    # fabricate a real module whose import fails on a missing dependency
+    import elektronn2_tpu
+    import os
+    path = os.path.join(os.path.dirname(elektronn2_tpu.__file__),
+                        "_shimtest_dep.py")
+    with open(path, "w") as f:
+        f.write("import definitely_not_a_module_xyz\n")
+    try:
+        with pytest.raises(ModuleNotFoundError) as ei:
+            import elektronn2._shimtest_dep  # noqa: F401
+        assert "definitely_not_a_module_xyz" in str(ei.value)
+    finally:
+        os.remove(path)
+        sys.modules.pop("elektronn2_tpu._shimtest_dep", None)
+
+
+def test_predict_dense_validates_before_device_routing(rng):
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    model_manager.reset(seed=5)
+    inp = nm.Input([1, 2, 16, 16], "b,f,x,y", name="raw")   # 2 channels
+    probs = nm.Softmax(nm.Conv(inp, 2, 3, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    bad = rng.rand(1, 20, 20).astype(np.float32)            # 1 channel
+    with pytest.raises(ValueError, match="channels"):
+        m.predict_dense(bad)
+
+
+def test_device_tiled_fallback_tile_batch(rng):
+    """tile_batch>1 in the device tiled fallback gives identical output."""
+    import jax.numpy as jnp
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    model_manager.reset(seed=6)
+    inp = nm.Input([1, 1, 21, 21], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    bn = nm.BatchNorm(c1)            # untrained BN → tiled fallback
+    probs = nm.Softmax(nm.Conv(bn, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = jnp.asarray(rng.rand(1, 29, 29).astype(np.float32))
+    a = np.asarray(m.predict_dense_device(raw, tile_batch=1))
+    b = np.asarray(m.predict_dense_device(raw, tile_batch=4))
+    np.testing.assert_allclose(a, b, atol=1e-6)
