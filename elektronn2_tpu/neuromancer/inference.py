@@ -345,7 +345,7 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
 
 
 def sweep_knossos(model, karr, region=None, step=None, out=None,
-                  verbose=False):
+                  verbose=False, mesh=None, axis_name="space"):
     """Dense-predict a whole KNOSSOS dataset (or a region of it).
 
     Reference workflow: ``KnossosArray`` tiles feeding ``predict_dense``
@@ -354,6 +354,11 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     lazily-loaded dataset, swept ON DEVICE via the dilated path, and
     written into ``out`` (a (f_out, *region_shape) array, allocated if
     None — pass a memory-mapped array for datasets larger than RAM).
+
+    With ``mesh`` set, each slab is swept z-sharded over the mesh axis
+    (``predict_dense_sharded``: halo exchange over ICI) — pod-scale
+    serving for slabs larger than one chip's HBM. Output matches the
+    single-chip sweep exactly (tests).
     """
     import jax.numpy as jnp
 
@@ -397,8 +402,12 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
                                                 - lo_cut[d])))
                 if any(p != (0, 0) for p in pads):
                     slab = np.pad(slab, pads, mode="reflect")
-                dense = np.asarray(model.predict_dense_device(
-                    jnp.asarray(slab)))
+                if mesh is not None:
+                    dense = np.asarray(model.predict_dense_sharded(
+                        jnp.asarray(slab), mesh, axis_name=axis_name))
+                else:
+                    dense = np.asarray(model.predict_dense_device(
+                        jnp.asarray(slab)))
                 n = [min(step[d], rshape[d] - o[d]) for d in range(3)]
                 out[:, o[0]:o[0] + n[0], o[1]:o[1] + n[1],
                     o[2]:o[2] + n[2]] = dense[:, :n[0], :n[1], :n[2]]

@@ -479,11 +479,13 @@ class Model:
                                      pad_raw=pad_raw)
 
     def sweep_knossos(self, karr, region=None, step=None, out=None,
-                      verbose=False):
-        """Dense-predict a whole KNOSSOS dataset, slab by staged slab."""
+                      verbose=False, mesh=None, axis_name="space"):
+        """Dense-predict a whole KNOSSOS dataset, slab by staged slab
+        (optionally z-sharded over a mesh — pod-scale serving)."""
         from elektronn2_tpu.neuromancer.inference import sweep_knossos
         return sweep_knossos(self, karr, region=region, step=step, out=out,
-                             verbose=verbose)
+                             verbose=verbose, mesh=mesh,
+                             axis_name=axis_name)
 
     # ------------------------------------------------------------------ stats
     @property

@@ -248,3 +248,25 @@ def test_unet_dense_prediction_no_seams(rng):
         np.testing.assert_allclose(
             got[:n[0], :n[1], :n[2], :n[3]],
             ref[:n[0], :n[1], :n[2], :n[3]], rtol=1e-4, atol=1e-5)
+
+
+def test_knossos_sweep_sharded_matches_single(rng, tmp_path):
+    """sweep_knossos(mesh=...) — slabs z-sharded over the mesh — must equal
+    the single-chip sweep exactly."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    from elektronn2_tpu.parallel import make_mesh
+
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    path = write_knossos(tmp_path, vol, cube_edge=8)
+    ka = KnossosArray(path, cube_edge=8)
+    plain = m.sweep_knossos(ka, step=[12, 16, 16])
+    sharded = m.sweep_knossos(ka, step=[12, 16, 16],
+                              mesh=make_mesh({"space": 8}))
+    np.testing.assert_allclose(sharded, plain, atol=1e-5)
