@@ -279,3 +279,34 @@ def test_tp_inference_works_with_sharded_params(rng):
     x = rng.randn(4, 1, 16, 16).astype(np.float32)
     out = np.asarray(m.predict(x))
     assert out.shape == (4, 2, 7, 7) and np.isfinite(out).all()
+
+
+def test_tp_composes_with_fused_loop(rng):
+    """TP-sharded params flow through the fused K-step scan and stay
+    sharded (mixing mesh-sharded params with augmenter arrays in one jit)."""
+    from scipy import ndimage
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    from elektronn2_tpu.training.fused_loop import FusedTrainLoop
+
+    raws = [ndimage.gaussian_filter(rng.randn(16, 32, 32), 2
+                                    ).astype(np.float32)[None]]
+    labs = [(raws[0][0] > 0).astype(np.int16)]
+    inp = nm.Input([4, 1, 4, 12, 12], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 8, (1, 3, 3), (1, 1, 1), name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([4, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=1e-3)
+    m.use_mesh(make_mesh({"data": 2, "model": 4}), model_axis="model")
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(4, 12, 12),
+                               target_size=tuple(probs.shape.spatial_shape),
+                               seed=3)
+    loop = FusedTrainLoop(m, aug, batch_size=4, n_inner=3, warp=0.5)
+    losses, _ = loop.run_chunk()
+    assert np.isfinite(losses).all() and len(losses) == 3
+    assert m.params["c1"]["w"].sharding.spec[0] == "model"
