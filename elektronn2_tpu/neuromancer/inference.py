@@ -328,20 +328,29 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
         vol = jnp.pad(vol, [(0, 0), (0, pad_z), (0, 0), (0, 0)],
                       mode="reflect")
 
-    shard_fn = jax.shard_map(
-        lambda v: dilated_dense_forward(model, v, batch=True,
-                                        halo_axis=axis_name),
-        mesh=mesh,
-        in_specs=P(None, None, axis_name, None, None),
-        out_specs=P(None, None, axis_name, None, None),
-        check_vma=False)
+    key = ("sharded", mesh, axis_name, tuple(int(s) for s in vol.shape),
+           int(Z))
+    run = model._dilated_fns.get(key)
+    if run is None:
+        # params/state are traced ARGUMENTS (closing over model.params
+        # would bake stale weights into the cached executable)
+        shard_fn = jax.shard_map(
+            lambda p, s, v: dilated_dense_forward(model, v, batch=True,
+                                                  halo_axis=axis_name,
+                                                  params=p, state=s),
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, None, axis_name, None, None)),
+            out_specs=P(None, None, axis_name, None, None),
+            check_vma=False)
 
-    @jax.jit
-    def run(vol):
-        y = shard_fn(vol[None])[0]
-        return y[:, :Z - fov[0] + 1]   # trim invalid tail (+ z padding)
+        @jax.jit
+        def run(p, s, vol):
+            y = shard_fn(p, s, vol[None])[0]
+            return y[:, :Z - fov[0] + 1]  # trim invalid tail (+ z padding)
 
-    return run(vol)
+        model._dilated_fns[key] = run
+
+    return run(model.params, model.state, vol)
 
 
 def sweep_knossos(model, karr, region=None, step=None, out=None,
@@ -469,6 +478,12 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
         if fn is None:
             fn = jax.jit(lambda p, s, v: convolutional_dense_forward(
                 model, v, params=p, state=s, pad_raw=pad_raw))
+            # the cache is per volume SHAPE — bound it so a stream of
+            # ragged volumes can't grow executables without limit
+            conv_keys = [k for k in model._dilated_fns
+                         if isinstance(k, tuple) and k and k[0] == "conv"]
+            if len(conv_keys) >= 8:
+                model._dilated_fns.pop(conv_keys[0])   # FIFO eviction
             model._dilated_fns[key] = fn
         return fn(model.params, model.state, vol)
     except (ValueError, TypeError):

@@ -50,6 +50,43 @@ def conv(x, w, border_mode="valid", stride=None, dilation=None,
         precision=precision, preferred_element_type=preferred_element_type)
 
 
+def _s2b_split(x, d, pad_val=0.0):
+    """(B, C, *sp) → (B·∏d, C, *(sp//d)): phase sub-volumes folded into the
+    batch dim (each phase holds the positions congruent to it mod d).
+    Spatial dims are tail-padded to multiples of d first."""
+    nsp = x.ndim - 2
+    B, C = x.shape[:2]
+    pads = [(0, (-s) % dv) for s, dv in zip(x.shape[2:], d)]
+    if any(p for _, p in pads):
+        x = jnp.pad(x, [(0, 0), (0, 0)] + pads, constant_values=pad_val)
+    spp = x.shape[2:]
+    split = []
+    for s, dv in zip(spp, d):
+        split += [s // dv, dv]
+    x = x.reshape((B, C) + tuple(split))
+    phase_axes = tuple(3 + 2 * i for i in range(nsp))
+    keep_axes = tuple(2 + 2 * i for i in range(nsp))
+    x = x.transpose((0,) + phase_axes + (1,) + keep_axes)
+    return x.reshape((B * int(np.prod(d)), C)
+                     + tuple(s // dv for s, dv in zip(spp, d)))
+
+
+def _s2b_merge(y, d, B, valid):
+    """Inverse of ``_s2b_split`` on the op's output: interleave the phases
+    back and trim to the true dilated-VALID extent ``valid``."""
+    nsp = y.ndim - 2
+    C = y.shape[1]
+    out_pp = y.shape[2:]
+    y = y.reshape((B,) + tuple(d) + (C,) + out_pp)
+    inv = (0, 1 + nsp)
+    for i in range(nsp):
+        inv += (2 + nsp + i, 1 + i)
+    y = y.transpose(inv)
+    y = y.reshape((B, C) + tuple(o * dv for o, dv in zip(out_pp, d)))
+    return y[(slice(None), slice(None))
+             + tuple(slice(0, v) for v in valid)]
+
+
 def conv_s2b(x, w, dilation, precision=None, preferred_element_type=None):
     """Dilated VALID conv via space-to-batch: exactly equivalent to
     ``conv(x, w, dilation=d)``.
@@ -59,45 +96,20 @@ def conv_s2b(x, w, dilation, precision=None, preferred_element_type=None):
     together — XLA's happiest conv form — and interleave back. Alternative
     lowering for the à-trous dense path (A/B against ``rhs_dilation`` on
     real hardware; some XLA/TPU versions lower rhs_dilation poorly).
+    Outputs fed by the divisibility zero-pad lie beyond the valid extent
+    and are trimmed by the merge.
     """
     nsp = x.ndim - 2
     d = tuple(int(v) for v in dilation)
     if all(v == 1 for v in d):
         return conv(x, w, precision=precision,
                     preferred_element_type=preferred_element_type)
-    B, C = x.shape[:2]
-    sp = x.shape[2:]
-    k = w.shape[2:]
-    # pad each spatial dim to a multiple of d (outputs fed by the zero pad
-    # lie beyond the valid extent and are trimmed after interleaving)
-    pads = [(0, (-s) % dv) for s, dv in zip(sp, d)]
-    if any(p for _, p in pads):
-        x = jnp.pad(x, [(0, 0), (0, 0)] + pads)
-    spp = x.shape[2:]
-    # (B, C, S1/d1, d1, S2/d2, d2, ...) → (B, d1, d2, ..., C, S1/d1, ...)
-    split = []
-    for s, dv in zip(spp, d):
-        split += [s // dv, dv]
-    x = x.reshape((B, C) + tuple(split))
-    phase_axes = tuple(3 + 2 * i for i in range(nsp))
-    keep_axes = tuple(2 + 2 * i for i in range(nsp))
-    x = x.transpose((0,) + phase_axes + (1,) + keep_axes)
-    P = int(np.prod(d))
-    x = x.reshape((B * P, C) + tuple(s // dv for s, dv in zip(spp, d)))
-    y = conv(x, w, precision=precision,
+    B = x.shape[0]
+    valid = tuple(s - dv * (kv - 1)
+                  for s, dv, kv in zip(x.shape[2:], d, w.shape[2:]))
+    y = conv(_s2b_split(x, d), w, precision=precision,
              preferred_element_type=preferred_element_type)
-    # interleave phases back and trim to the true dilated-VALID extent
-    out_pp = y.shape[2:]
-    y = y.reshape((B,) + tuple(d) + (y.shape[1],) + out_pp)
-    inv = (0, 1 + nsp)
-    for i in range(nsp):
-        inv += (2 + nsp + i, 1 + i)
-    y = y.transpose(inv)
-    y = y.reshape((B, y.shape[1])
-                  + tuple(o * dv for o, dv in zip(out_pp, d)))
-    valid = tuple(s - dv * (kv - 1) for s, dv, kv in zip(sp, d, k))
-    return y[(slice(None), slice(None))
-             + tuple(slice(0, v) for v in valid)]
+    return _s2b_merge(y, d, B, valid)
 
 
 def pool_s2b(x, pool, dilation, mode="max"):
@@ -109,33 +121,12 @@ def pool_s2b(x, pool, dilation, mode="max"):
     pool = tuple(int(v) for v in pool)
     if all(v == 1 for v in d):
         return pooling(x, pool, mode=mode, stride=(1,) * nsp)
-    B, C = x.shape[:2]
-    sp = x.shape[2:]
-    pads = [(0, (-s) % dv) for s, dv in zip(sp, d)]
-    if any(p for _, p in pads):
-        pad_val = -np.inf if mode == "max" else 0.0
-        x = jnp.pad(x, [(0, 0), (0, 0)] + pads, constant_values=pad_val)
-    spp = x.shape[2:]
-    split = []
-    for s, dv in zip(spp, d):
-        split += [s // dv, dv]
-    x = x.reshape((B, C) + tuple(split))
-    phase_axes = tuple(3 + 2 * i for i in range(nsp))
-    keep_axes = tuple(2 + 2 * i for i in range(nsp))
-    x = x.transpose((0,) + phase_axes + (1,) + keep_axes)
-    P = int(np.prod(d))
-    x = x.reshape((B * P, C) + tuple(s // dv for s, dv in zip(spp, d)))
-    y = pooling(x, pool, mode=mode, stride=(1,) * nsp)
-    out_pp = y.shape[2:]
-    y = y.reshape((B,) + tuple(d) + (C,) + out_pp)
-    inv = (0, 1 + nsp)
-    for i in range(nsp):
-        inv += (2 + nsp + i, 1 + i)
-    y = y.transpose(inv)
-    y = y.reshape((B, C) + tuple(o * dv for o, dv in zip(out_pp, d)))
-    valid = tuple(s - dv * (pv - 1) for s, dv, pv in zip(sp, d, pool))
-    return y[(slice(None), slice(None))
-             + tuple(slice(0, v) for v in valid)]
+    B = x.shape[0]
+    valid = tuple(s - dv * (pv - 1)
+                  for s, dv, pv in zip(x.shape[2:], d, pool))
+    y = pooling(_s2b_split(x, d, pad_val=-np.inf if mode == "max" else 0.0),
+                pool, mode=mode, stride=(1,) * nsp)
+    return _s2b_merge(y, d, B, valid)
 
 
 def upconv(x, w, pool_shape, precision=None):

@@ -472,6 +472,15 @@ class DeviceBatchAugmenter:
             data = jnp.where(grey_on, aug, data)
         return data, tgt
 
+    def reseed(self, n):
+        """Re-derive the sampling RNG streams from ``n`` (the Trainer calls
+        this with the resume step so a restarted run draws FRESH batches
+        instead of replaying the sequence from step 1)."""
+        mix = (int(n) * 2654435761 + 12345) % (2 ** 31)
+        self.key = jax.random.fold_in(jax.random.PRNGKey(mix), int(n))
+        self._host_rng = np.random.RandomState(mix)
+        return self
+
     # ---- device-side sampling (for fused multi-step training loops) ----
     def _sample_device(self, key, batch_size, warp_prob):
         """Traced analog of ``getbatch``'s host sampling: cube indices,

@@ -103,6 +103,11 @@ class Trainer:
         self.console = None
         self._bind_schedules()
         self.step = getattr(self.model, "_step_count", 0)
+        if self.step and self.data is not None \
+                and hasattr(self.data, "reseed"):
+            # restart-from-checkpoint must NOT replay the batch sequence
+            # from step 1: fold the resume step into the data stream's RNG
+            self.data.reseed(self.step)
         self._bg = None
         self._tb = (TBWriter(os.path.join(self.save_path, "tb",
                                           self.save_name))
@@ -333,8 +338,11 @@ class Trainer:
         from elektronn2_tpu.training.fused_loop import FusedTrainLoop
         model = self.model
         warp = self.data_batch_args.get("warp", 0.5)
+        # fold the starting step in so a resumed run draws fresh batches
+        loop_seed = (int(self.cfg.get("seed", 0))
+                     + self.step * 2654435761) % (2 ** 31)
         loop = FusedTrainLoop(model, self.data, self.batch_size, n_inner,
-                              warp=warp, seed=self.cfg.get("seed", 0))
+                              warp=warp, seed=loop_seed)
         logger.info(f"training {model.name}: {self.n_steps} steps in fused "
                     f"chunks of {n_inner}, batch {self.batch_size}, "
                     f"{model.param_count} params")
@@ -346,6 +354,16 @@ class Trainer:
                     time.sleep(0.2)
                     self.console.poll()
                     continue
+                if self.n_steps - self.step < n_inner:
+                    # tail shorter than a chunk: finish with plain steps so
+                    # the optimiser runs EXACTLY n_steps updates
+                    while self.step < self.n_steps:
+                        d, t = self.data.getbatch(self.batch_size,
+                                                  **self.data_batch_args)
+                        lv, _ = model.trainingstep(d, t)
+                        self.step += 1
+                        self.history.update_timeline(self.step, float(lv))
+                    break
                 losses, errs = loop.run_chunk()
                 for i, lv in enumerate(losses):
                     self.step += 1

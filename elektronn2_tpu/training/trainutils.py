@@ -151,13 +151,24 @@ class TBWriter:
     with a warning when tensorboard isn't importable."""
 
     def __init__(self, logdir):
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            self._w = SummaryWriter(logdir)
-        except Exception as e:  # pragma: no cover
+        self._w = None
+        err = None
+        for importer in (
+                lambda: __import__("torch.utils.tensorboard",
+                                   fromlist=["SummaryWriter"]
+                                   ).SummaryWriter,
+                lambda: __import__("tensorboardX",
+                                   fromlist=["SummaryWriter"]
+                                   ).SummaryWriter):
+            try:
+                self._w = importer()(logdir)
+                break
+            except Exception as e:  # pragma: no cover
+                err = e
+        if self._w is None:  # pragma: no cover
             from elektronn2_tpu.log import logger
-            logger.warning(f"tensorboard unavailable ({e}); scalars off")
-            self._w = None
+            logger.warning(f"no tensorboard writer available ({err}); "
+                           "scalars off — install torch or tensorboardX")
 
     def scalar(self, tag, value, step):
         if self._w is not None and value is not None \

@@ -74,7 +74,9 @@ def main(argv=None):
     model = nm.model_manager.getmodel("parity")
     model.designate_nodes(input_node=inp, prediction_node=probs)
 
-    got = model.predict_dense(raw)
+    # the parity contract is against the reference's host-tiled convention
+    # (repeat-upsampled strided outputs) — keep the oracle path explicit
+    got = model.predict_dense(raw, prefer_device=False)
     n = [min(a, b) for a, b in zip(got.shape, want.shape)]
     got_c = got[tuple(slice(0, k) for k in n)]
     want_c = want[tuple(slice(0, k) for k in n)]

@@ -130,7 +130,7 @@ def test_parity_harness_plumbing(rng, tmp_path):
     probs = nm.Softmax(c1)
     m = model_manager.getmodel()
     m.designate_nodes(input_node=inp, prediction_node=probs)
-    golden_probs = m.predict_dense(raw)
+    golden_probs = m.predict_dense(raw, prefer_device=False)
 
     g = str(tmp_path / "golden.h5")
     with h5py.File(g, "w") as f:

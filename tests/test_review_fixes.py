@@ -596,3 +596,86 @@ def test_device_tiled_fallback_tile_batch(rng):
     a = np.asarray(m.predict_dense_device(raw, tile_batch=1))
     b = np.asarray(m.predict_dense_device(raw, tile_batch=4))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+# ---- session review batch 5 ------------------------------------------------
+
+def test_fused_trainer_exact_step_budget(rng, tmp_path):
+    """n_steps not divisible by fused_steps: EXACTLY n_steps updates."""
+    from test_training import _fused_setup
+    from elektronn2_tpu.training.trainer import Trainer
+    m, aug = _fused_setup(rng)
+    tr = Trainer(model=m, data=aug, batch_size=2, n_steps=10,
+                 fused_steps=4, history_freq=0, save_freq=0,
+                 save_path=str(tmp_path), save_name="budget",
+                 data_batch_args={"warp": 0.0})
+    hist = tr.run()
+    assert tr.step == 10
+    assert m._step_count == 10
+    assert [int(r[1]) for r in hist.timeline] == list(range(1, 11))
+
+
+def test_resume_reseeds_data_stream(rng, tmp_path):
+    """A resumed run must not replay the batch sequence from step 1."""
+    import jax
+    from test_training import _fused_setup
+    from elektronn2_tpu.training.trainer import Trainer
+    m, aug = _fused_setup(rng)
+    key_before = np.asarray(aug.key)
+    tr1 = Trainer(model=m, data=aug, batch_size=2, n_steps=3,
+                  history_freq=0, save_freq=0, n_workers=0,
+                  save_path=str(tmp_path), save_name="rs",
+                  data_batch_args={"warp": 0.0})
+    tr1.run()
+    tr2 = Trainer(data=aug, batch_size=2, n_steps=6, resume=True,
+                  history_freq=0, save_freq=0, n_workers=0,
+                  save_path=str(tmp_path), save_name="rs",
+                  data_batch_args={"warp": 0.0})
+    assert tr2.step == 3
+    # the augmenter's key chain was re-derived, not rewound
+    assert not np.array_equal(np.asarray(aug.key), key_before)
+
+
+def test_sharded_dense_cached_and_fresh_weights(rng):
+    """predict_dense_sharded caches its program per (mesh, shape) AND picks
+    up weight updates (params are traced args, not baked constants)."""
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.parallel import make_mesh
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    model_manager.reset(seed=7)
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([1, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=5e-2)
+    mesh = make_mesh({"space": 8})
+    vol = jnp.asarray(rng.rand(1, 16, 24, 24).astype(np.float32))
+    a = np.asarray(m.predict_dense_sharded(vol, mesh))
+    n_cached = len(m._dilated_fns)
+    x = rng.rand(1, 1, 9, 17, 17).astype(np.float32)
+    y = (rng.rand(1, *probs.shape.spatial_shape) > 0.5).astype(np.int32)
+    for _ in range(3):
+        m.trainingstep(x, y)
+    b = np.asarray(m.predict_dense_sharded(vol, mesh))
+    assert len(m._dilated_fns) == n_cached          # program was reused
+    assert not np.allclose(a, b)                    # new weights visible
+
+
+def test_conv_dense_cache_bounded(rng):
+    from test_inference_device import crop_concat_unet
+    import jax.numpy as jnp
+    m = crop_concat_unet()
+    for i in range(10):
+        vol = jnp.asarray(rng.randn(1, 27 + i, 29).astype(np.float32))
+        m.predict_dense_device(vol)
+    conv_keys = [k for k in m._dilated_fns
+                 if isinstance(k, tuple) and k and k[0] == "conv"]
+    assert len(conv_keys) <= 8
