@@ -272,3 +272,36 @@ def test_augmenter_separable_rejects_elastic(rng):
     assert not aug._separable
     d, t = aug.getbatch(2, warp=1.0)
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_separable_fold_boundary_and_flips(rng):
+    """Hand-built family matrices at the fold boundary (θ=±90°), pure
+    flips, and flip+rotation combos — exact on linear fields."""
+    from elektronn2_tpu.ops.warp import warp_patch, warp_patch_separable
+    zz, xx, yy = np.meshgrid(np.arange(40.), np.arange(48.),
+                             np.arange(48.), indexing="ij")
+    lin = (0.25 * zz - 0.5 * xx + 0.35 * yy + 2).astype(np.float32)[None]
+    src = jnp.asarray(lin)
+    pos = jnp.asarray([20.0, 24.0, 24.0])
+
+    def family_matrix(theta, dz=1.0, dx=1.0, dy=1.0, sh=0.0):
+        c, s = np.cos(theta), np.sin(theta)
+        R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        Sh = np.eye(3); Sh[1, 2] = sh
+        D = np.diag([dz, dx, dy])
+        M = np.eye(4); M[:3, :3] = D @ Sh @ R
+        return jnp.asarray(M.astype(np.float32))
+
+    cases = [
+        family_matrix(np.pi / 2),                      # fold boundary
+        family_matrix(-np.pi / 2),
+        family_matrix(np.pi * 0.999),                  # near-180°
+        family_matrix(0.0, dx=-1.0),                   # pure x flip
+        family_matrix(0.0, dy=-1.0, dz=-1.0),          # y+z flips
+        family_matrix(2.2, dx=-1.1, dy=0.9, sh=0.2),   # everything at once
+        family_matrix(-2.8, dz=1.2, dx=1.2, dy=-0.8, sh=-0.2),
+    ]
+    for i, M in enumerate(cases):
+        a = np.asarray(warp_patch(src, M, pos, (8, 14, 14)))
+        b = np.asarray(warp_patch_separable(src, M, pos, (8, 14, 14)))
+        assert np.abs(a - b).max() < 2e-3, f"case {i}"
