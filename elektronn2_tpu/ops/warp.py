@@ -208,11 +208,16 @@ def warp_patch_separable(src, M, position, patch_size, target=None,
     q1 = (b - a * q2) / s             # first-pass shear
     p1 = a - q1 * c                   # first-pass scale (== dx, exactly)
 
+    def ensure_bbox_fits(vol4):
+        """Zero-pad trailing spatial dims so the static bbox cut fits."""
+        if any(n > sdim for n, sdim in zip((nbz, nbx, nby), vol4.shape[1:])):
+            vol4 = jnp.pad(vol4, [(0, 0)] + [
+                (0, max(0, n - sdim))
+                for n, sdim in zip((nbz, nbx, nby), vol4.shape[1:])])
+        return vol4
+
     # ---- bounding-box cut (the only non-matmul data movement)
-    if any(n > sdim for n, sdim in zip((nbz, nbx, nby), src.shape[1:])):
-        src = jnp.pad(src, [(0, 0)] + [
-            (0, max(0, n - sdim))
-            for n, sdim in zip((nbz, nbx, nby), src.shape[1:])])
+    src = ensure_bbox_fits(src)
     hb = jnp.asarray([(nbz - 1) / 2, (nbx - 1) / 2, (nby - 1) / 2])
     lim = jnp.asarray(src.shape[1:]) - jnp.asarray([nbz, nbx, nby])
     corner = jnp.clip(jnp.round(T) - hb, 0, lim).astype(jnp.int32)
@@ -265,11 +270,7 @@ def warp_patch_separable(src, M, position, patch_size, target=None,
     ty = (jnp.arange(tps[2], dtype=jnp.float32)
           - (tps[2] - 1) / 2) * st[2] + toff[2]
     squeeze = target.ndim == 3
-    tgt4 = target[None] if squeeze else target
-    if any(n > sdim for n, sdim in zip((nbz, nbx, nby), tgt4.shape[1:])):
-        tgt4 = jnp.pad(tgt4, [(0, 0)] + [
-            (0, max(0, n - sdim))
-            for n, sdim in zip((nbz, nbx, nby), tgt4.shape[1:])])
+    tgt4 = ensure_bbox_fits(target[None] if squeeze else target)
     tbox = jax.lax.dynamic_slice(
         tgt4.astype(jnp.float32), (0, corner[0], corner[1], corner[2]),
         (tgt4.shape[0], nbz, nbx, nby))
@@ -511,6 +512,9 @@ class DeviceBatchAugmenter:
         idx, pos, warp_on = self._sample_device(ks, batch_size, wp)
         data, tgt = self._batch_fn(kb, idx, pos, warp_on,
                                    jnp.asarray(bool(grey)))
+        return self._squeeze_2d(data, tgt)
+
+    def _squeeze_2d(self, data, tgt):
         if self._is_2d:
             data = data[:, :, 0]
             tgt = tgt[:, 0] if tgt.ndim == 4 else tgt[..., 0, :, :]
@@ -545,7 +549,4 @@ class DeviceBatchAugmenter:
         data, tgt = self._fn(sub, jnp.asarray(idx), jnp.asarray(pos),
                              jnp.asarray(warp_on),
                              jnp.asarray(source == "train"))
-        if self._is_2d:
-            data = data[:, :, 0]
-            tgt = tgt[:, 0] if tgt.ndim == 4 else tgt[..., 0, :, :]
-        return data, tgt
+        return self._squeeze_2d(data, tgt)
