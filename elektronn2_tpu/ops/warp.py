@@ -11,10 +11,10 @@ per-batch keys.
 Implementation notes (TPU): two resampling cores.
 
 1. ``warp_patch`` — trilinear gather. XLA lowers ``jnp.take`` on flattened
-   indices to a native gather. General (any M, elastic fields) but
+   indices to a native gather. General (any M, exact trilinear elastic) but
    gather-bound: TPUs hate scattered HBM reads. A hand-written Pallas
    gather was evaluated and rejected: Mosaic (this jaxlib) does not lower
-   dynamic vector gathers from VMEM.
+   dynamic vector gathers from VMEM. Kept as the host-parity oracle.
 2. ``warp_patch_separable`` — the MXU path. The warp family produced by
    ``random_warp_matrices`` (z-scale · in-plane shear · in-plane rotation ·
    scales/flips) factors EXACTLY into four axis-separable resampling
@@ -26,7 +26,11 @@ Implementation notes (TPU): two resampling cores.
    and the x-pass scale exactly dx, so every pass is well-conditioned for
    the whole random family. Same interpolation-order count as trilinear
    (one linear blend per axis), so quality is equivalent, though values
-   differ from the gather path at the interpolation-error level.
+   differ from the gather path at the interpolation-error level. Elastic
+   fields run as three additional scanline passes over a margin-enlarged
+   patch (coordinate-exact for constant fields, O(|e|·∇e) deviation for
+   strong smooth ones — a different-but-equally-valid random deformation,
+   immaterial for augmentation), keeping the whole pipeline gather-free.
 
 Parity contract: for identical (M, position) these functions match the host
 reference ``transformations.py`` within float tolerance (tests/test_warp_dev.py).
@@ -179,25 +183,70 @@ def _nn_weights(pos, n_src):
     return (p[..., None] == i).astype(jnp.float32)
 
 
+def _elastic_passes(vol, disp, weights, grids, margin=0):
+    """Resample ``vol`` (f, *sp_enlarged) by a per-voxel displacement
+    ``disp`` (3, *out_sp, in the enlarged volume's index units), one axis
+    at a time (three banded-matmul passes — the classic scanline
+    decomposition; coordinate-exact for constant fields, O(|e|·∇e) error
+    for smooth ones). Each pass shrinks its axis from the margin-enlarged
+    extent to the final one; the displacement is edge-extended over axes
+    not yet reduced."""
+    m = int(margin)
+    gz, gx, gy = grids            # output index grids per axis (1-D)
+
+    def epad(arr, mx, my):        # edge-extend over still-enlarged axes
+        return jnp.pad(arr, ((0, 0), (mx, mx), (my, my)), mode="edge") \
+            if (mx or my) else arr
+
+    # z-pass: out[z,x,y] = vol[z + dz(z,x,y), x, y]
+    Wz = weights(jnp.moveaxis(gz[:, None, None] + epad(disp[0], m, m),
+                              0, -1), vol.shape[1])   # (x, y, z_out, Z)
+    v = jnp.einsum("xyzZ,fZxy->fzxy", Wz, vol)
+    Wx = weights(jnp.moveaxis(gx[None, :, None] + epad(disp[1], 0, m),
+                              1, -1), v.shape[2])     # (z, y, x_out, X)
+    v = jnp.einsum("zyxX,fzXy->fzxy", Wx, v)
+    Wy = weights(gy[None, None, :] + disp[2], v.shape[3])
+    return jnp.einsum("zxyY,fzxY->fzxy", Wy, v)       # (z, x, y_out, Y)
+
+
 def warp_patch_separable(src, M, position, patch_size, target=None,
                          target_patch_size=None, target_strides=None,
-                         target_offset=None, amount_bound=1.0):
+                         target_offset=None, amount_bound=1.0,
+                         elastic=None, elastic_margin=3):
     """Cut one warped patch via four MXU matmul passes (no gathers).
 
     Requires M from the ``random_warp_matrices`` family (z decoupled:
     M[0,1:3] = M[1:3,0] = 0, affine: M[3,:3] = 0) — the structure is
-    assumed, not checked (entries are traced). For general M or elastic
-    fields use ``warp_patch``. Interface and return values mirror
-    ``warp_patch``; values differ at the interpolation-error level
-    (axis-factored vs direct trilinear blending).
+    assumed, not checked (entries are traced). For general M use
+    ``warp_patch``. Interface and return values mirror ``warp_patch``;
+    values differ at the interpolation-error level (axis-factored vs
+    direct trilinear blending).
+
+    ``elastic``: optional (3, *patch) source-space displacement field —
+    applied as a post-warp of the affine patch by the field mapped
+    through A⁻¹ (exact identity), itself resampled in three per-voxel
+    banded-matmul passes (scanline decomposition: exact for constant
+    fields; O(|e|·∇e) deviation from trilinear for smooth ones —
+    immaterial for augmentation, still gather-free).
     """
     pz, px, py = [int(p) for p in patch_size]
-    nx3, (nbz, nbx, nby) = _sep_geometry(patch_size, amount_bound)
+    # with elastic on, the affine patch is computed with a static margin so
+    # the displacement passes sample interior data instead of border clamps
+    m = int(elastic_margin) if elastic is not None else 0
+    pe = (pz + 2 * m, px + 2 * m, py + 2 * m)
+    nx3, (nbz, nbx, nby) = _sep_geometry(pe, amount_bound)
 
     # ---- per-item pass parameters (closed form, no trig)
     a, b = M[1, 1], M[1, 2]
     c, d = M[2, 1], M[2, 2]
     dz = M[0, 0]
+    if elastic is not None:
+        # patch-space displacement: d_p = A⁻¹ · e  (original, unfolded A)
+        det = a * d - b * c
+        e = elastic.reshape(3, pz, px, py)
+        disp = jnp.stack([e[0] / dz,
+                          (d * e[1] - b * e[2]) / det,
+                          (-c * e[1] + a * e[2]) / det])
     T = M[:3, 3] + position          # absolute source coords of patch centre
     fold = d < 0                      # in-plane rotation beyond ±90°:
     sgn = jnp.where(fold, -1.0, 1.0)  # fold a 180° turn into an output flip
@@ -225,10 +274,10 @@ def warp_patch_separable(src, M, position, patch_size, target=None,
         src, (0, corner[0], corner[1], corner[2]),
         (src.shape[0], nbz, nbx, nby))
 
-    # ---- output/intermediate grids (centre-relative)
-    zi = jnp.arange(pz, dtype=jnp.float32) - (pz - 1) / 2
-    xi = jnp.arange(px, dtype=jnp.float32) - (px - 1) / 2
-    yi = jnp.arange(py, dtype=jnp.float32) - (py - 1) / 2
+    # ---- output/intermediate grids (centre-relative, margin-enlarged)
+    zi = jnp.arange(pe[0], dtype=jnp.float32) - (pe[0] - 1) / 2
+    xi = jnp.arange(pe[1], dtype=jnp.float32) - (pe[1] - 1) / 2
+    yi = jnp.arange(pe[2], dtype=jnp.float32) - (pe[2] - 1) / 2
     x3 = jnp.arange(nx3, dtype=jnp.float32) - (nx3 - 1) / 2
     yb = jnp.arange(nby, dtype=jnp.float32)          # bbox y indices
 
@@ -257,17 +306,22 @@ def warp_patch_separable(src, M, position, patch_size, target=None,
         return jnp.einsum("yXx,fzxy->fzXy", W3, v)
 
     out = passes(bbox, zi, xi, yi, _lin_weights)
+    if elastic is not None:
+        idx_grids = (jnp.arange(pz, dtype=jnp.float32) + m,
+                     jnp.arange(px, dtype=jnp.float32) + m,
+                     jnp.arange(py, dtype=jnp.float32) + m)
+        out = _elastic_passes(out, disp, _lin_weights, idx_grids, margin=m)
 
     if target is None:
         return out
     tps = tuple(int(t) for t in (target_patch_size or patch_size))
     st = tuple(float(v) for v in (target_strides or (1.0, 1.0, 1.0)))
     toff = tuple(float(v) for v in (target_offset or (0.0, 0.0, 0.0)))
-    tz = (jnp.arange(tps[0], dtype=jnp.float32)
+    tz = (jnp.arange(tps[0] + 2 * m, dtype=jnp.float32) - m
           - (tps[0] - 1) / 2) * st[0] + toff[0]
-    tx = (jnp.arange(tps[1], dtype=jnp.float32)
+    tx = (jnp.arange(tps[1] + 2 * m, dtype=jnp.float32) - m
           - (tps[1] - 1) / 2) * st[1] + toff[1]
-    ty = (jnp.arange(tps[2], dtype=jnp.float32)
+    ty = (jnp.arange(tps[2] + 2 * m, dtype=jnp.float32) - m
           - (tps[2] - 1) / 2) * st[2] + toff[2]
     squeeze = target.ndim == 3
     tgt4 = ensure_bbox_fits(target[None] if squeeze else target)
@@ -275,6 +329,19 @@ def warp_patch_separable(src, M, position, patch_size, target=None,
         tgt4.astype(jnp.float32), (0, corner[0], corner[1], corner[2]),
         (tgt4.shape[0], nbz, nbx, nby))
     t_out = passes(tbox, tz, tx, ty, _nn_weights)
+    if elastic is not None:
+        # labels follow the image's deformation: sample the patch-space
+        # field at the target grid's (static) positions, convert to
+        # target-index units (divide by the grid strides)
+        from elektronn2_tpu.data.transformations import target_grid_indices
+        iz, ix, iy = target_grid_indices(patch_size, tps,
+                                         target_strides, target_offset)
+        d_t = disp[:, iz][:, :, ix][:, :, :, iy] \
+            / jnp.asarray(st, jnp.float32).reshape(3, 1, 1, 1)
+        t_grids = (jnp.arange(tps[0], dtype=jnp.float32) + m,
+                   jnp.arange(tps[1], dtype=jnp.float32) + m,
+                   jnp.arange(tps[2], dtype=jnp.float32) + m)
+        t_out = _elastic_passes(t_out, d_t, _nn_weights, t_grids, margin=m)
     t_out = jnp.rint(t_out).astype(target.dtype) \
         if jnp.issubdtype(target.dtype, jnp.integer) \
         else t_out.astype(target.dtype)
@@ -410,18 +477,13 @@ class DeviceBatchAugmenter:
         self.grey_channels = grey_channels
         self.elastic_sigma = float(elastic_sigma)
         self.elastic_grid = int(elastic_grid)
-        # resampling core: 'separable' = 4 MXU matmul passes (fast path;
-        # affine-only), 'gather' = trilinear gather (general; needed for
-        # elastic fields), 'auto' = separable unless elastic is on
+        # resampling core: 'separable' = MXU matmul passes (no gathers;
+        # elastic applied as scanline post-passes), 'gather' = trilinear
+        # gather (the host-parity oracle path), 'auto' = separable
         if resample not in ("auto", "separable", "gather"):
             raise ValueError(f"resample={resample!r}: expected 'auto', "
                              "'separable' or 'gather'")
-        self._separable = (resample == "separable"
-                           or (resample == "auto"
-                               and self.elastic_sigma == 0.0))
-        if self._separable and self.elastic_sigma > 0:
-            raise ValueError("resample='separable' cannot apply elastic "
-                             "fields; use 'gather' (or 'auto')")
+        self._separable = resample in ("separable", "auto")
         if self._separable:
             # pad the stacks once so per-item bbox cuts never re-pad
             _, bb = _sep_geometry(self.patch_size, self.warp_amount)
@@ -461,7 +523,8 @@ class DeviceBatchAugmenter:
                     src, M, pos, self.patch_size, target=lab,
                     target_patch_size=self.target_size,
                     target_strides=self.target_strides,
-                    amount_bound=self.warp_amount)
+                    amount_bound=self.warp_amount,
+                    elastic=field if use_elastic else None)
             return warp_patch(src, M, pos, self.patch_size, target=lab,
                               target_patch_size=self.target_size,
                               target_strides=self.target_strides,

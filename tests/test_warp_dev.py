@@ -259,19 +259,69 @@ def test_augmenter_separable_matches_gather_closely(rng):
     assert float((t1 == t2).mean()) > 0.9
 
 
-def test_augmenter_separable_rejects_elastic(rng):
+def test_augmenter_separable_with_elastic(rng):
+    """Separable core now applies elastic fields too (scanline passes) —
+    'auto' stays gather-free even with elastic on."""
     from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
     raws = [rng.rand(1, 24, 24, 24).astype(np.float32)]
     labs = [np.zeros((24, 24, 24), np.int16)]
-    with pytest.raises(ValueError):
-        DeviceBatchAugmenter(raws, labs, patch_size=(8, 8, 8),
-                             elastic_sigma=2.0, resample="separable")
-    # 'auto' + elastic silently uses the gather core
     aug = DeviceBatchAugmenter(raws, labs, patch_size=(8, 8, 8),
                                elastic_sigma=2.0, resample="auto")
-    assert not aug._separable
+    assert aug._separable
     d, t = aug.getbatch(2, warp=1.0)
     assert np.isfinite(np.asarray(d)).all()
+    with pytest.raises(ValueError):
+        DeviceBatchAugmenter(raws, labs, patch_size=(8, 8, 8),
+                             resample="bogus")
+
+
+def test_separable_elastic_exact_on_linear_const(rng):
+    """Constant displacement on a linear volume: coordinate-exact."""
+    from elektronn2_tpu.ops.warp import (warp_patch, warp_patch_separable,
+                                         random_warp_matrices)
+    zz, xx, yy = np.meshgrid(np.arange(48.), np.arange(64.),
+                             np.arange(64.), indexing="ij")
+    lin = jnp.asarray((0.3 * zz + 0.7 * xx - 0.2 * yy + 5
+                       ).astype(np.float32)[None])
+    pos = jnp.asarray([24.0, 32.0, 32.0])
+    patch = (10, 18, 18)
+    M = random_warp_matrices(jax.random.PRNGKey(2), 1, amount=0.5)[0]
+    e = jnp.ones((3,) + patch) * jnp.asarray([1.3, -0.7, 2.1]
+                                             ).reshape(3, 1, 1, 1)
+    a = np.asarray(warp_patch(lin, M, pos, patch, elastic=e))
+    b = np.asarray(warp_patch_separable(lin, M, pos, patch, elastic=e))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_separable_elastic_applies_deformation(rng):
+    """Smooth random field: the separable output must track the gather
+    elastic output far better than the undeformed patch (the scanline
+    decomposition differs at O(|e|·grad e) but applies the deformation)."""
+    from elektronn2_tpu.ops.warp import (warp_patch, warp_patch_separable,
+                                         random_warp_matrices,
+                                         random_elastic_fields)
+    src = jnp.asarray(_smooth(rng, (48, 64, 64))[None])
+    pos = jnp.asarray([24.0, 32.0, 32.0])
+    patch = (10, 18, 18)
+    M = random_warp_matrices(jax.random.PRNGKey(2), 1, amount=0.5)[0]
+    f = random_elastic_fields(jax.random.PRNGKey(3), 1, patch,
+                              grid=4, sigma=1.5)[0]
+    a_el = np.asarray(warp_patch(src, M, pos, patch, elastic=f))
+    a_no = np.asarray(warp_patch(src, M, pos, patch))
+    b = np.asarray(warp_patch_separable(src, M, pos, patch, elastic=f))
+    err_el = np.abs(b - a_el).mean()
+    err_no = np.abs(b - a_no).mean()
+    assert err_el < 0.35 * err_no, (err_el, err_no)
+    # labels: one-hot passes keep exact class values
+    lab = jnp.asarray((_smooth(rng, (48, 64, 64), 4) > 0).astype(np.int32))
+    _, tg = warp_patch(src, M, pos, patch, target=lab,
+                       target_patch_size=(6, 10, 10),
+                       target_strides=(1, 2, 2), elastic=f)
+    _, ts = warp_patch_separable(src, M, pos, patch, target=lab,
+                                 target_patch_size=(6, 10, 10),
+                                 target_strides=(1, 2, 2), elastic=f)
+    assert set(np.unique(np.asarray(ts))) <= {0, 1}
+    assert (np.asarray(tg) == np.asarray(ts)).mean() > 0.85
 
 
 def test_separable_fold_boundary_and_flips(rng):
