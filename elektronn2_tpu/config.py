@@ -51,6 +51,7 @@ EXPERIMENT_KEYS = (
     "preview_data_path", "preview_kwargs", "optimiser", "optimiser_params",
     "schedules", "model_load_path", "n_workers", "dr",
     "trainer_class", "trainer_kwargs", "data_instance",
+    "fused_steps", "resume", "tensorboard", "seed", "worker_mode",
 )
 
 

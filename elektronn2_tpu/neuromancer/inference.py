@@ -348,6 +348,10 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
             y = shard_fn(p, s, vol[None])[0]
             return y[:, :Z - fov[0] + 1]  # trim invalid tail (+ z padding)
 
+        sh_keys = [k for k in model._dilated_fns
+                   if isinstance(k, tuple) and k and k[0] == "sharded"]
+        if len(sh_keys) >= 4:            # ragged shapes: FIFO-bound, like
+            model._dilated_fns.pop(sh_keys[0])   # the conv cache below
         model._dilated_fns[key] = run
 
     return run(model.params, model.state, vol)

@@ -484,9 +484,15 @@ class DeviceBatchAugmenter:
             raise ValueError(f"resample={resample!r}: expected 'auto', "
                              "'separable' or 'gather'")
         self._separable = resample in ("separable", "auto")
+        # elastic scanline margin: cover ~3 sigma displacements
+        self._elastic_margin = (max(3, int(np.ceil(3 * self.elastic_sigma)))
+                                if self.elastic_sigma > 0 else 0)
         if self._separable:
             # pad the stacks once so per-item bbox cuts never re-pad
-            _, bb = _sep_geometry(self.patch_size, self.warp_amount)
+            # (geometry sized for the elastic-margin-enlarged patch)
+            m2 = 2 * self._elastic_margin
+            _, bb = _sep_geometry([p + m2 for p in self.patch_size],
+                                  self.warp_amount)
             pads = [max(0, n - s) for n, s in zip(bb, self.raws.shape[2:])]
             if any(pads):
                 self.raws = jnp.pad(self.raws,
@@ -496,6 +502,7 @@ class DeviceBatchAugmenter:
                     self.labels,
                     [(0, 0)] * (self.labels.ndim - 3) + [(0, p)
                                                          for p in pads])
+        self._seed0 = int(seed)
         self.key = jax.random.PRNGKey(seed)
         self._fn = jax.jit(self._batch_fn)
         self._host_rng = np.random.RandomState(seed)
@@ -524,7 +531,8 @@ class DeviceBatchAugmenter:
                     target_patch_size=self.target_size,
                     target_strides=self.target_strides,
                     amount_bound=self.warp_amount,
-                    elastic=field if use_elastic else None)
+                    elastic=field if use_elastic else None,
+                    elastic_margin=self._elastic_margin)
             return warp_patch(src, M, pos, self.patch_size, target=lab,
                               target_patch_size=self.target_size,
                               target_strides=self.target_strides,
@@ -540,7 +548,7 @@ class DeviceBatchAugmenter:
         """Re-derive the sampling RNG streams from ``n`` (the Trainer calls
         this with the resume step so a restarted run draws FRESH batches
         instead of replaying the sequence from step 1)."""
-        mix = (int(n) * 2654435761 + 12345) % (2 ** 31)
+        mix = (self._seed0 * 40503 + int(n) * 2654435761 + 12345) % (2 ** 31)
         self.key = jax.random.fold_in(jax.random.PRNGKey(mix), int(n))
         self._host_rng = np.random.RandomState(mix)
         return self

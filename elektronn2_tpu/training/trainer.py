@@ -363,6 +363,11 @@ class Trainer:
                         lv, _ = model.trainingstep(d, t)
                         self.step += 1
                         self.history.update_timeline(self.step, float(lv))
+                        for sched in self.schedules.values():
+                            sched.update(self.step, self.n_steps)
+                        if not self.console.poll() \
+                                or time.time() - t_start > self.max_runtime:
+                            break
                     break
                 losses, errs = loop.run_chunk()
                 for i, lv in enumerate(losses):
@@ -372,8 +377,12 @@ class Trainer:
                     self._tb_scalars(float(losses[-1]),
                                      float(errs[-1]) if errs is not None
                                      else np.nan)
-                for sched in self.schedules.values():
-                    sched.update(self.step, self.n_steps)
+                # schedules fire for every step in the chunk (an %interval
+                # schedule unaligned with n_inner must not be skipped);
+                # mutated hyperparams apply from the NEXT chunk on
+                for s_id in range(self.step - n_inner + 1, self.step + 1):
+                    for sched in self.schedules.values():
+                        sched.update(s_id, self.n_steps)
                 dt = (time.time() - t_chunk) / n_inner
                 t_chunk = time.time()
                 logger.info(

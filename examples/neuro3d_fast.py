@@ -74,13 +74,16 @@ def create_model():
 
 def _data_kwargs():
     raws, labs = _synth_data()
-    import elektronn2_tpu.neuromancer as nm  # noqa: F401 (patch geometry)
-    # target grid: the model's output spatial shape/strides
-    m = create_model()
-    probs = m.prediction_node
-    return {"raws": raws, "labels": labs, "patch_size": PATCH,
-            "target_size": tuple(probs.shape.spatial_shape),
-            "target_strides": tuple(probs.shape.strides),
+    # target grid from the shape calculator (no throwaway model build)
+    from elektronn2_tpu.utils.cnncalculator import cnncalculator
+    filters = [(1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), 1]
+    pools = [(1, 2, 2), (1, 2, 2), (1, 1, 1), (1, 1, 1), 1]
+    calc = cnncalculator(filters, pools, desired_patch_size=list(PATCH),
+                         mfp=False, ndim=3)
+    return {"raws": raws, "labels": labs,
+            "patch_size": tuple(calc.input),
+            "target_size": tuple(calc.output),
+            "target_strides": tuple(calc.pred_stride),
             "warp_amount": 0.5, "grey_channels": [0]}
 
 

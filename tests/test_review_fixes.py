@@ -679,3 +679,55 @@ def test_conv_dense_cache_bounded(rng):
     conv_keys = [k for k in m._dilated_fns
                  if isinstance(k, tuple) and k and k[0] == "conv"]
     assert len(conv_keys) <= 8
+
+
+# ---- session review batch 6 ------------------------------------------------
+
+def test_experiment_config_passes_new_keys(tmp_path):
+    f = tmp_path / "exp.py"
+    f.write_text("fused_steps = 8\nresume = True\ntensorboard = True\n"
+                 "seed = 7\nworker_mode = 'thread'\n"
+                 "def create_model():\n    return None\n")
+    from elektronn2_tpu.config import ExperimentConfig
+    d = ExperimentConfig.from_file(str(f)).as_dict()
+    assert d["fused_steps"] == 8 and d["resume"] is True
+    assert d["tensorboard"] is True and d["seed"] == 7
+    assert d["worker_mode"] == "thread"
+
+
+def test_reseed_mixes_constructor_seed(rng):
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    raws = [rng.rand(1, 16, 16, 16).astype(np.float32)]
+    labs = [np.zeros((16, 16, 16), np.int16)]
+    a1 = DeviceBatchAugmenter(raws, labs, patch_size=(4, 4, 4), seed=1)
+    a2 = DeviceBatchAugmenter(raws, labs, patch_size=(4, 4, 4), seed=2)
+    a1.reseed(1000)
+    a2.reseed(1000)
+    assert not np.array_equal(np.asarray(a1.key), np.asarray(a2.key))
+
+
+def test_elastic_margin_scales_with_sigma(rng):
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    raws = [rng.rand(1, 48, 48, 48).astype(np.float32)]
+    labs = [np.zeros((48, 48, 48), np.int16)]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(8, 12, 12),
+                               elastic_sigma=5.0)
+    assert aug._elastic_margin >= 15          # 3 sigma
+    d, t = aug.getbatch(2, warp=1.0)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_fused_chunk_schedules_fire_per_step(rng, tmp_path):
+    """%interval schedules unaligned with the chunk size fire exactly."""
+    from test_training import _fused_setup
+    from elektronn2_tpu.training.trainer import Trainer
+    m, aug = _fused_setup(rng)
+    tr = Trainer(model=m, data=aug, batch_size=2, n_steps=12,
+                 fused_steps=4, history_freq=0, save_freq=0,
+                 save_path=str(tmp_path), save_name="sched",
+                 optimiser_params={"lr": 1e-3},
+                 schedules={"lr": {"dec": 0.5, "interval": 5}},
+                 data_batch_args={"warp": 0.0})
+    tr.run()
+    # decays at steps 5 and 10 → lr = 1e-3 * 0.25
+    assert abs(m.optimiser.hyperparams["lr"] - 1e-3 * 0.25) < 1e-9
