@@ -54,7 +54,8 @@ def main():
 
     model = _flagship_model(mfp=True, patch=[23, 103, 103])
 
-    vol_shape = (64, 512, 512)   # ~16.8 Mvox EM slab (fits HBM with room)
+    vol_shape = tuple(int(v) for v in os.environ.get(
+        "BENCH_VOL", "64,512,512").split(","))  # ~16.8 Mvox EM slab
     rng = np.random.RandomState(0)
     vol = jax.device_put(rng.rand(1, *vol_shape).astype(np.float32))
     jnp.sum(vol).block_until_ready()
