@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import time
 
 import numpy as np
@@ -529,13 +530,24 @@ class Model:
         return times
 
     # ---------------------------------------------------------------- save/load
-    def save(self, fname):
-        """Serialise spec + params (+ optimiser & aux state) to one file.
+    def save(self, fname, backend="npz"):
+        """Serialise spec + params (+ optimiser & aux state).
 
-        Format: ``.npz`` containing a JSON node-spec (GraphManager contract:
-        loading replays constructors) and flat arrays. Reference:
-        ``Model.save`` (pickle → here JSON+npz, SURVEY.md do-not-mirror).
+        ``backend='npz'`` (default): one ``.npz`` file containing a JSON
+        node-spec (GraphManager contract: loading replays constructors) and
+        flat host arrays. Reference: ``Model.save`` (pickle → here
+        JSON+npz, SURVEY.md do-not-mirror).
+
+        ``backend='orbax'``: a checkpoint DIRECTORY written through orbax —
+        sharded arrays are saved shard-by-shard from their owning devices
+        (no host gather), which is the multi-host / tensor-parallel path:
+        every process calls save() collectively.
         """
+        if backend == "orbax":
+            return self._save_orbax(fname)
+        if backend != "npz":
+            raise ValueError(f"backend={backend!r}: expected 'npz' "
+                             "or 'orbax'")
         spec_json, arg_arrays = self.gm.spec_json()
         payload = {"__spec__": np.frombuffer(spec_json.encode(), np.uint8)}
         for k, v in arg_arrays.items():
@@ -565,6 +577,33 @@ class Model:
         logger.info(f"saved model to {fname} "
                     f"({self.param_count} params)")
 
+    def _opt_meta(self):
+        if self.optimiser is None:
+            return None
+        return {"cls": type(self.optimiser).__name__,
+                "hyper": self.optimiser.hyperparams,
+                "nesterov": bool(getattr(self.optimiser, "nesterov",
+                                         False)),
+                "step_count": self._step_count}
+
+    def _save_orbax(self, dirname):
+        import orbax.checkpoint as ocp
+        spec_json, arg_arrays = self.gm.spec_json()
+        dirname = os.path.abspath(dirname)
+        tree = {"args": {k.replace("/", "|"): np.asarray(v)
+                         for k, v in arg_arrays.items()},
+                "params": self.params, "state": dict(self.state)}
+        if self.optimiser is not None:
+            tree["opt"] = list(jax.tree_util.tree_leaves(self.opt_state))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(dirname, "arrays"), tree, force=True)
+        meta = {"spec": json.loads(spec_json), "opt": self._opt_meta()}
+        if jax.process_index() == 0:
+            with open(os.path.join(dirname, "meta.json"), "w") as f:
+                json.dump(meta, f)
+        logger.info(f"saved orbax checkpoint to {dirname} "
+                    f"({self.param_count} params)")
+
     def set_params(self, params):
         self.params = {n: {p: jnp.asarray(v) for p, v in d.items()}
                        for n, d in params.items()}
@@ -589,23 +628,40 @@ def modelload(fname, override_mfp_to_active=False, imposed_patch_size=None,
               **kwargs):
     """Load a model file by replaying its node spec.
 
-    Reference: ``model.py::modelload``.
+    Reference: ``model.py::modelload``. Accepts both the ``.npz`` format
+    and orbax checkpoint directories (``Model.save(..., backend='orbax')``).
     """
-    with np.load(fname, allow_pickle=False) as z:
-        spec = json.loads(bytes(z["__spec__"].tobytes()).decode())
-        arg_arrays = {k: z[k] for k in z.files if k.startswith("__spec__/")}
-        params, state, opt_leaves = {}, {}, {}
-        for k in z.files:
-            if k.startswith("param/"):
-                _, nname, pname = k.split("/", 2)
-                params.setdefault(nname, {})[pname] = z[k]
-            elif k.startswith("state/"):
-                _, nname, sname = k.split("/", 2)
-                state.setdefault(nname, {})[sname] = jnp.asarray(z[k])
-            elif k.startswith("opt/"):
-                opt_leaves[int(k.split("/")[1])] = z[k]
-        opt_meta = (json.loads(bytes(z["__opt__"].tobytes()).decode())
-                    if "__opt__" in z.files else None)
+    if os.path.isdir(fname):
+        import orbax.checkpoint as ocp
+        with open(os.path.join(fname, "meta.json")) as f:
+            meta = json.load(f)
+        spec, opt_meta = meta["spec"], meta.get("opt")
+        with ocp.StandardCheckpointer() as ckptr:
+            tree = ckptr.restore(os.path.join(os.path.abspath(fname),
+                                              "arrays"))
+        arg_arrays = {k.replace("|", "/"): v
+                      for k, v in tree.get("args", {}).items()}
+        params = tree.get("params", {})
+        state = {n: {k: jnp.asarray(v) for k, v in st.items()}
+                 for n, st in tree.get("state", {}).items()}
+        opt_leaves = dict(enumerate(tree.get("opt", []) or []))
+    else:
+        with np.load(fname, allow_pickle=False) as z:
+            spec = json.loads(bytes(z["__spec__"].tobytes()).decode())
+            arg_arrays = {k: z[k] for k in z.files
+                          if k.startswith("__spec__/")}
+            params, state, opt_leaves = {}, {}, {}
+            for k in z.files:
+                if k.startswith("param/"):
+                    _, nname, pname = k.split("/", 2)
+                    params.setdefault(nname, {})[pname] = z[k]
+                elif k.startswith("state/"):
+                    _, nname, sname = k.split("/", 2)
+                    state.setdefault(nname, {})[sname] = jnp.asarray(z[k])
+                elif k.startswith("opt/"):
+                    opt_leaves[int(k.split("/")[1])] = z[k]
+            opt_meta = (json.loads(bytes(z["__opt__"].tobytes()).decode())
+                        if "__opt__" in z.files else None)
     gm = GraphManager.replay(spec["nodes"], arg_arrays)
     gm.designations = spec.get("designations", {})
     model = Model(gm, name=spec.get("graph", "model"))

@@ -486,3 +486,35 @@ def test_gradient_clipping():
                             opt2.current_hyper())
     np.testing.assert_allclose(np.asarray(new_p2["n"]["w"]), -100.0,
                                rtol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    """backend='orbax': directory checkpoint (sharded-array path) restores
+    spec, params, optimiser state and step counter; restored model trains."""
+    pytest.importorskip("orbax.checkpoint")
+    from elektronn2_tpu.neuromancer.model import modelload
+    inp = nm.Input([2, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 8, 3, 2, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=1e-3)
+    x = rng.randn(2, 1, 16, 16).astype(np.float32)
+    y = (rng.rand(2, 7, 7) > 0.5).astype(np.int32)
+    for _ in range(3):
+        m.trainingstep(x, y)
+    path = str(tmp_path / "ckpt")
+    m.save(path, backend="orbax")
+    m2 = modelload(path)
+    assert m2._step_count == 3
+    np.testing.assert_allclose(np.asarray(m.params["c1"]["w"]),
+                               np.asarray(m2.params["c1"]["w"]), atol=1e-6)
+    l, _ = m2.trainingstep(x, y)
+    assert np.isfinite(float(l))
+    with pytest.raises(ValueError):
+        m.save(str(tmp_path / "x"), backend="bogus")
