@@ -507,7 +507,12 @@ class DeviceBatchAugmenter:
         self._fn = jax.jit(self._batch_fn)
         self._host_rng = np.random.RandomState(seed)
 
-    def _batch_fn(self, key, cube_idx, positions, warp_on, grey_on):
+    def _batch_fn(self, raws, labels, key, cube_idx, positions, warp_on,
+                  grey_on):
+        # raws/labels are ARGUMENTS (not closed-over) so the cube stacks
+        # enter the jitted program as runtime buffers, never as HLO
+        # constants — closing over them embeds the full training volume in
+        # every compiled program (bloats executables and compile payloads)
         kw, kg, ke = jax.random.split(key, 3)
         B = cube_idx.shape[0]
         Ms = random_warp_matrices(kw, B, amount=self.warp_amount)
@@ -523,8 +528,8 @@ class DeviceBatchAugmenter:
             fields = jnp.zeros((B, 1))
 
         def one(i, M, pos, field):
-            src = self.raws[i]
-            lab = self.labels[i]
+            src = raws[i]
+            lab = labels[i]
             if self._separable:
                 return warp_patch_separable(
                     src, M, pos, self.patch_size, target=lab,
@@ -572,16 +577,24 @@ class DeviceBatchAugmenter:
         warp_on = jax.random.bernoulli(kw, warp_prob, (batch_size,))
         return idx, pos, warp_on
 
-    def device_batch(self, key, batch_size, warp=0.5, grey=True):
+    def device_batch(self, key, batch_size, warp=0.5, grey=True,
+                     raws=None, labels=None):
         """Fully-traced batch production: sampling + augmentation in one
         pure function of ``key`` — the building block of
         ``training.fused_loop`` (one device dispatch for many training
         steps). Returns (data, target) with the same shapes/squeezing as
-        ``getbatch(source='train')``."""
+        ``getbatch(source='train')``.
+
+        When called inside an outer jit, pass the cube stacks through that
+        jit's arguments as ``raws``/``labels`` (otherwise they trace as
+        giant HLO constants — see ``_batch_fn``)."""
         ks, kb = jax.random.split(key)
         wp = 1.0 if warp is True else float(warp or 0.0)
         idx, pos, warp_on = self._sample_device(ks, batch_size, wp)
-        data, tgt = self._batch_fn(kb, idx, pos, warp_on,
+        data, tgt = self._batch_fn(raws if raws is not None else self.raws,
+                                   labels if labels is not None
+                                   else self.labels,
+                                   kb, idx, pos, warp_on,
                                    jnp.asarray(bool(grey)))
         return self._squeeze_2d(data, tgt)
 
@@ -617,7 +630,7 @@ class DeviceBatchAugmenter:
         if self._is_2d:
             pos[:, 0] = 0.0
         self.key, sub = jax.random.split(self.key)
-        data, tgt = self._fn(sub, jnp.asarray(idx), jnp.asarray(pos),
-                             jnp.asarray(warp_on),
+        data, tgt = self._fn(self.raws, self.labels, sub, jnp.asarray(idx),
+                             jnp.asarray(pos), jnp.asarray(warp_on),
                              jnp.asarray(source == "train"))
         return self._squeeze_2d(data, tgt)

@@ -39,12 +39,15 @@ def make_fused_trainstep(model, augmenter, batch_size, n_inner, warp=0.5,
         else None
     has_err = model.error_node is not None
 
-    def fused(params, opt_state, state, key, hyper):
+    def fused(params, opt_state, state, key, hyper, raws, labels):
+        # raws/labels enter as jit arguments so the cube stacks are runtime
+        # buffers, not HLO constants baked into the K-step program
         def body(carry, k):
             params, opt_state, state = carry
             kb, kr = jax.random.split(k)
             data, tgt = augmenter.device_batch(kb, batch_size, warp=warp,
-                                               grey=grey)
+                                               grey=grey, raws=raws,
+                                               labels=labels)
             feed = {inp_name: data}
             if tgt_name is not None:
                 feed[tgt_name] = tgt
@@ -70,6 +73,7 @@ class FusedTrainLoop:
         if int(n_inner) < 1:
             raise ValueError(f"n_inner must be >= 1, got {n_inner}")
         self.model = model
+        self._augmenter = augmenter
         self.n_inner = int(n_inner)
         self._fn = make_fused_trainstep(model, augmenter, batch_size,
                                         self.n_inner, warp=warp, grey=grey)
@@ -83,7 +87,8 @@ class FusedTrainLoop:
         self._key, sub = jax.random.split(self._key)
         hyper = m.optimiser.current_hyper()
         losses, errs, m.params, m.opt_state, m.state = self._fn(
-            m.params, m.opt_state, m.state, sub, hyper)
+            m.params, m.opt_state, m.state, sub, hyper,
+            self._augmenter.raws, self._augmenter.labels)
         m._step_count += self.n_inner
         return (np.asarray(losses),
                 np.asarray(errs) if self._has_err else None)

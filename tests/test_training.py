@@ -213,7 +213,8 @@ def test_fused_loop_matches_sequential(rng):
     hyper = m.optimiser.current_hyper()
     losses, errs, pK, oK, sK = fn(
         jax.tree_util.tree_map(jnp.copy, p0),
-        jax.tree_util.tree_map(jnp.copy, o0), s0, key, hyper)
+        jax.tree_util.tree_map(jnp.copy, o0), s0, key, hyper,
+        aug.raws, aug.labels)
 
     # manual sequential replay with the identical key structure
     params, opt_state, state = p0, o0, dict(s0)
