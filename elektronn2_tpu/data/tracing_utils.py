@@ -110,8 +110,31 @@ class ShotgunRegistry:
             for p in trace.coords:
                 self._kdt.append(p)
 
-    def run(self, tracer):
-        """Drain the registry through a tracer."""
+    def run(self, tracer, batch_size=1):
+        """Drain the registry through a tracer.
+
+        With ``batch_size > 1`` and a batch-capable tracer
+        (``DeviceTracer.trace_batch``), eligible seeds are rolled out
+        together in one device dispatch per batch. Seeds in the same batch
+        are deduped against previously-registered traces only, not against
+        each other's fresh paths (a documented relaxation of the serial
+        drain's semantics, bounded by ``radius``).
+        """
+        batch_size = int(batch_size)
+        if batch_size > 1 and hasattr(tracer, "trace_batch"):
+            while True:
+                seeds = []
+                while len(seeds) < batch_size:
+                    s = self.next_seed()
+                    if s is None:
+                        break
+                    seeds.append(s)
+                if not seeds:
+                    break
+                for t in tracer.trace_batch(seeds):
+                    self.register(t)
+                logger.info(f"traced a batch of {len(seeds)} seeds")
+            return self.traces
         while True:
             seed = self.next_seed()
             if seed is None:
@@ -120,3 +143,184 @@ class ShotgunRegistry:
             self.register(t)
             logger.info(f"traced {len(t)} steps from {seed}")
         return self.traces
+
+
+class DeviceTracer:
+    """Fused on-device agent rollout — the TPU-native ``Tracer``.
+
+    The host ``Tracer`` dispatches one device program per agent step
+    (host-side patch cut, ``model.predict``, scalar readback): at sandbox
+    tunnel latencies that is a ~20 ms floor PER VOXEL STEP. Here the whole
+    rollout runs inside one ``lax.scan`` for a BATCH of agents — trilinear
+    patch extraction at float positions (pure translation: 8 blended
+    ``dynamic_slice`` corners, no gather op), recurrent cell step via the
+    model's ``ScanN`` sub-graph, position update, out-of-bounds /
+    convergence masking — one dispatch per rollout, volume HBM-resident.
+
+    Reference semantics mirrored from ``tracing_utils.py::Tracer``
+    (SURVEY.md §3.2): OOB margin = patch/2 + 1 (``CubeShape``), a step
+    shorter than ``min_step`` stops the agent, stopped agents freeze in
+    place. Works with recurrent models built around a single-sequence
+    ``ScanN`` (the tracing-model family) and with feedforward
+    step-predictors (no carried state).
+    """
+
+    def __init__(self, model, volume, step_scale=1.0, max_steps=500,
+                 min_step=1e-4):
+        import jax.numpy as jnp
+        from elektronn2_tpu.neuromancer.various import ScanN
+
+        self.model = model
+        self.volume = jnp.asarray(volume)
+        if self.volume.ndim != 4:
+            raise ValueError("DeviceTracer volume must be (f, Z, X, Y), "
+                             f"got {self.volume.shape}")
+        self.step_scale = float(step_scale)
+        self.max_steps = int(max_steps)
+        self.min_step = float(min_step)
+        self.scan_node = next((n for n in model.nodes.values()
+                               if isinstance(n, ScanN)), None)
+        if self.scan_node is not None:
+            its = self.scan_node.in_iterate
+            if len(its) != 1:
+                raise ValueError("DeviceTracer needs a ScanN with exactly "
+                                 f"one sequence input, got {len(its)}")
+            self._x_node = its[0]
+        else:
+            self._x_node = model.input_node
+        ps = self._x_node.shape.spatial_shape
+        if len(ps) != 3:
+            raise ValueError("DeviceTracer expects a 3D patch input, got "
+                             f"spatial shape {tuple(ps)}")
+        self.patch_size = tuple(int(p) for p in ps)
+        self._fn = None
+
+    # -- trilinear patch at a float position (translation-only warp_slice:
+    #    source coord of output voxel i = pos - (p-1)/2 + i) --------------
+    def _extract(self, vol, pos):
+        import jax.numpy as jnp
+        from jax import lax
+        p = self.patch_size
+        f = vol.shape[0]
+        corner = pos - (jnp.asarray(p, jnp.float32) - 1.0) / 2.0
+        base = jnp.floor(corner)
+        frac = (corner - base).astype(vol.dtype)
+        base = base.astype(jnp.int32)
+        # keep the (p+1)-slab in bounds; OOB agents are masked by the caller
+        maxc = jnp.asarray([vol.shape[1 + d] - (p[d] + 1) for d in range(3)],
+                           jnp.int32)
+        base = jnp.clip(base, 0, maxc)
+        slab = lax.dynamic_slice(vol, (0, base[0], base[1], base[2]),
+                                 (f, p[0] + 1, p[1] + 1, p[2] + 1))
+        out = jnp.zeros((f, *p), vol.dtype)
+        for dz in (0, 1):
+            wz = frac[0] if dz else 1.0 - frac[0]
+            for dx in (0, 1):
+                wx = frac[1] if dx else 1.0 - frac[1]
+                for dy in (0, 1):
+                    wy = frac[2] if dy else 1.0 - frac[2]
+                    out = out + (wz * wx * wy) * slab[
+                        :, dz:dz + p[0], dx:dx + p[1], dy:dy + p[2]]
+        return out
+
+    def _step_apply(self, params, state, patches, carry):
+        """One agent step: patches (B, f, *p) + carried state → (pred,
+        new_carry), evaluated through the model graph."""
+        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+        model, scan = self.model, self.scan_node
+        if scan is None:
+            ctx = TraceCtx(params, {self._x_node.name: patches}, rng=None,
+                           train=False, state_in=state,
+                           node_index=model._node_index)
+            return ctx.get(model.prediction_node), carry
+        ctx = TraceCtx(params, {}, rng=None, train=False, state_in=state,
+                       node_index=model._node_index)
+        for m, c in zip(scan.in_memory, carry):
+            ctx.values[m.name] = c
+        ctx.values[self._x_node.name] = patches
+        cell_out = ctx.get(scan.step_result)
+        new_carry = tuple(ctx.get(o) for o in scan.out_memory)
+        if model.prediction_node is scan:
+            return cell_out, new_carry
+        # head nodes downstream of the scan see the per-step cell output
+        ctx2 = TraceCtx(params, {}, rng=None, train=False, state_in=state,
+                        node_index=model._node_index)
+        ctx2.values[scan.name] = cell_out
+        return ctx2.get(model.prediction_node), new_carry
+
+    def _init_carry(self, params, state, batch):
+        """Initial carried state, re-broadcast from the model's design
+        batch to the rollout batch (initial states are batch-constant)."""
+        import jax.numpy as jnp
+        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+        if self.scan_node is None:
+            return ()
+        ctx = TraceCtx(params, {}, rng=None, train=False, state_in=state,
+                       node_index=self.model._node_index)
+        vals = []
+        for m in self.scan_node.in_memory:
+            v = ctx.get(m)
+            vals.append(jnp.broadcast_to(v[:1], (batch,) + v.shape[1:]))
+        return tuple(vals)
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        margin = jnp.asarray(self.patch_size, jnp.float32) / 2.0 + 1.0
+        dims = jnp.asarray(self.volume.shape[1:], jnp.float32)
+
+        def inbounds(pos):
+            return jnp.all((pos >= margin) & (pos < dims - margin), axis=1)
+
+        def rollout(params, state, vol, seeds):
+            B = seeds.shape[0]
+
+            def body(carry, _):
+                pos, alive, rnn = carry
+                patches = jax.vmap(lambda q: self._extract(vol, q))(pos)
+                pred, rnn_new = self._step_apply(params, state, patches,
+                                                 rnn)
+                step = (pred.reshape(B, -1)[:, :3].astype(jnp.float32)
+                        * self.step_scale)
+                ok = alive & (jnp.linalg.norm(step, axis=1)
+                              >= self.min_step)
+                newpos = pos + step
+                ok = ok & inbounds(newpos)
+                pos = jnp.where(ok[:, None], newpos, pos)
+                rnn = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        ok.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        new, old),
+                    rnn_new, rnn)
+                return (pos, ok, rnn), (pos, ok)
+
+            pos0 = seeds.astype(jnp.float32)
+            alive0 = inbounds(pos0)
+            carry0 = self._init_carry(params, state, B)
+            _, (traj, alive) = jax.lax.scan(
+                body, (pos0, alive0, carry0), None, length=self.max_steps)
+            return traj, alive      # (K, B, 3), (K, B)
+
+        return jax.jit(rollout)
+
+    def trace_batch(self, seeds):
+        """Roll out a batch of agents; returns a list of ``Trace``."""
+        import jax.numpy as jnp
+        seeds = np.asarray(seeds, np.float32).reshape(-1, 3)
+        if self._fn is None:
+            self._fn = self._build()
+        traj, alive = self._fn(self.model.params, self.model.state,
+                               self.volume, jnp.asarray(seeds))
+        traj = np.asarray(traj).transpose(1, 0, 2)      # (B, K, 3)
+        alive = np.asarray(alive).T                     # (B, K)
+        traces = []
+        for b in range(len(seeds)):
+            pts = np.concatenate([seeds[b:b + 1].astype(np.float64),
+                                  traj[b][alive[b]]], axis=0)
+            traces.append(Trace(pts))
+        return traces
+
+    def trace(self, seed_position):
+        """Single-agent convenience wrapper (host ``Tracer`` interface)."""
+        return self.trace_batch([seed_position])[0]

@@ -172,12 +172,60 @@ def bench_unet_dense():
     print("unet_dense", RESULTS["unet_dense"], flush=True)
 
 
+def bench_tracing_rollout():
+    """Recurrent tracing: fused device rollout (DeviceTracer) vs the
+    per-step host Tracer dispatch floor."""
+    import jax
+    import jax.numpy as jnp
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+
+    patch = (9, 9, 9)
+    B_DESIGN, T = 1, 4
+    nm.model_manager.reset(seed=0)
+    seq = nm.Input([T, B_DESIGN, 1, *patch], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B_DESIGN, 1, *patch], "b,f,z,x,y", name="x_t")
+    c = nm.Conv(x_t, 8, (3, 3, 3), (1, 1, 1), name="c")
+    enc = nm.Perceptron(c, 48, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=48, name="h0")
+    gru = nm.GRU(enc, h0, n_f=48, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel("bench_tracer")
+    m.designate_nodes(input_node=seq, prediction_node=step)
+    m.params["step"]["b"] = jnp.asarray([0.2, 0.15, 0.1], np.float32)
+
+    rng = np.random.RandomState(0)
+    vol = rng.rand(1, 128, 128, 128).astype(np.float32)
+    K, B = 256, 64
+    dt_tr = DeviceTracer(m, vol, max_steps=K, min_step=0.0)
+    seeds = rng.uniform(30, 98, size=(B, 3)).astype(np.float32)
+    dt_tr.trace_batch(seeds)          # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        traces = dt_tr.trace_batch(seeds)
+        best = min(best, time.perf_counter() - t0)
+    sps = B * K / best
+    RESULTS["tracing_rollout"] = {
+        "agents": B, "steps": K, "ms": round(best * 1e3, 1),
+        "agent_steps/s": round(sps, 0),
+        "mean_len": round(float(np.mean([len(t.coords) for t in traces])),
+                          1)}
+    print("tracing_rollout", RESULTS["tracing_rollout"], flush=True)
+
+
 def main():
     import jax
     print("devices:", jax.devices(), flush=True)
-    bench_augmentation()
-    bench_fused_training()
-    bench_unet_dense()
+    only = set(sys.argv[1:])
+    for name, fn in (("aug", bench_augmentation),
+                     ("train", bench_fused_training),
+                     ("unet", bench_unet_dense),
+                     ("tracing", bench_tracing_rollout)):
+        if not only or name in only:
+            fn()
     print(json.dumps(RESULTS, indent=1))
 
 

@@ -265,3 +265,128 @@ def test_tracing_trainer_state_carry(rng):
         assert "h0" in tr._carry
         assert tuple(tr._carry["h0"].shape) == (B, 8)
         assert np.abs(np.asarray(tr._carry["h0"])).max() > 0
+
+
+# ---------------------------------------------------------------- DeviceTracer
+
+def _ff_step_model(w=None, b=None, patch=(5, 5, 5)):
+    """Feedforward step predictor: patch -> 3-vector (lin)."""
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset(seed=3)
+    inp = nm.Input([1, 1, *patch], "b,f,z,x,y", name="x")
+    step = nm.Perceptron(inp, 3, activation_func="lin", flatten=True,
+                         name="step")
+    m = nm.model_manager.getmodel("ff_tracer")
+    m.designate_nodes(input_node=inp, prediction_node=step)
+    if w is not None:
+        m.params["step"]["w"] = jnp.asarray(w)
+    if b is not None:
+        m.params["step"]["b"] = jnp.asarray(b)
+    return m
+
+
+def test_device_tracer_matches_host_tracer(rng):
+    """Feedforward rollout: DeviceTracer == host Tracer trajectory."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    b = np.array([0.1, 0.35, 0.25], np.float32)
+    m = _ff_step_model(w=w, b=b, patch=patch)
+    vol = rng.rand(1, 28, 28, 28).astype(np.float32)
+    seed = [13.0, 12.5, 11.0]
+    K = 8
+
+    host = Tracer(m, vol, max_steps=K).trace(seed)
+    dev = DeviceTracer(m, vol, max_steps=K).trace(seed)
+    # both stayed in bounds for all K steps -> identical point sequences
+    assert len(host.coords) == len(dev.coords) == K + 1
+    np.testing.assert_allclose(dev.coords, host.coords, atol=1e-4)
+
+
+def test_device_tracer_batched_equals_single(rng):
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.3, -0.2, 0.25], np.float32))
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=6)
+    seeds = [[13.0, 12.0, 12.0], [11.5, 13.5, 12.5]]
+    batch = dt.trace_batch(seeds)
+    singles = [dt.trace(s) for s in seeds]
+    for tb, ts in zip(batch, singles):
+        np.testing.assert_allclose(tb.coords, ts.coords, atol=1e-5)
+
+
+def test_device_tracer_oob_freeze(rng):
+    """An agent marching at a wall stops at the margin and freezes."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    m = _ff_step_model(w=np.zeros((int(np.prod(patch)), 3), np.float32),
+                       b=np.array([3.0, 0.0, 0.0], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=10)
+    tr = dt.trace([12.0, 12.0, 12.0])
+    pts = tr.coords
+    # stopped well before max_steps; every point respects the margin
+    assert len(pts) < 11
+    margin = np.asarray(patch) / 2 + 1
+    assert np.all(pts >= margin - 1e-6)
+    assert np.all(pts < 24 - margin + 1e-6)
+    # frozen: the final point is the last in-bounds position
+    assert pts[-1][0] < 24 - margin[0]
+
+
+def test_device_tracer_recurrent_rollout(rng):
+    """GRU tracing model: device scan == step-by-step manual replay."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    import elektronn2_tpu.neuromancer as nm
+    patch = (5, 5, 5)
+    T, B = 4, 1
+    nm.model_manager.reset(seed=7)
+    seq = nm.Input([T, B, 1, *patch], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, *patch], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 16, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=16, name="h0")
+    gru = nm.GRU(enc, h0, n_f=16, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel("rec_tracer")
+    m.designate_nodes(input_node=seq, prediction_node=step)
+    # bias the step so the agent actually moves
+    m.params["step"]["b"] = jnp.asarray([0.4, 0.3, -0.2], np.float32)
+
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=5)
+    tr = dt.trace([13.0, 13.0, 13.0])
+    assert len(tr.coords) == 6          # moved every step
+
+    # manual replay through the same step function
+    pos = np.array([13.0, 13.0, 13.0], np.float32)
+    carry = dt._init_carry(m.params, m.state, 1)
+    pts = [pos.copy()]
+    for _ in range(5):
+        pch = dt._extract(jnp.asarray(vol), jnp.asarray(pos))[None]
+        pred, carry = dt._step_apply(m.params, m.state, pch, carry)
+        pos = pos + np.asarray(pred).reshape(-1)[:3]
+        pts.append(pos.copy())
+    np.testing.assert_allclose(tr.coords, np.asarray(pts), atol=1e-4)
+    # hidden state actually evolves (recurrent path exercised)
+    assert float(np.abs(np.asarray(carry[0])).max()) > 0
+
+
+def test_shotgun_registry_batched_drain(rng):
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.3, 0.2, 0.1], np.float32))
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=5)
+    seeds = [[12.0, 12.0, 12.0], [13.0, 11.0, 12.0], [11.0, 13.0, 13.0],
+             [12.5, 12.5, 11.5]]
+    reg = ShotgunRegistry(seeds, radius=0.5)
+    traces = reg.run(dt, batch_size=2)
+    assert 1 <= len(traces) <= 4
+    assert reg.next_seed() is None          # drained
+    for t in traces:
+        assert len(t.coords) >= 1
