@@ -9,9 +9,13 @@ The reference is single-GPU; its only parallelism is host-side data loading
     z-axis sharded over a ``space`` mesh axis with per-layer halo exchange
     via ``lax.ppermute`` — valid-mode conv3d over volumes larger than one
     chip's HBM (``halo.py``).
-  * TP/PP/EP: not needed at these model sizes (reference scope); the mesh
-    API keeps a ``model`` axis available so channel-sharded convs can be
-    added without restructuring.
+  * Tensor parallelism: GSPMD channel sharding of conv/dense weights over
+    a ``model`` mesh axis (``Model.use_mesh(mesh, model_axis=...)``).
+  * Pipeline parallelism: GPipe microbatch schedule over a ``pipe`` axis —
+    one SPMD program (shard_map + scan + switch + ppermute hand-off), see
+    ``pipeline.py``.
+  * EP: not applicable (no mixture-of-experts routing in this model
+    family — documented reference scope).
 
 All collectives ride ICI within a slice; multi-host via
 ``jax.distributed.initialize`` composes with the same mesh code.
@@ -22,7 +26,10 @@ from elektronn2_tpu.parallel.halo import (halo_gather, cp_conv_z,
                                           spatial_cp_stack)
 from elektronn2_tpu.parallel.spatial_train import (
     make_spatial_dp_trainstep, pad_target_for_spatial)
+from elektronn2_tpu.parallel.pipeline import (gpipe_stack, microbatch,
+                                              gpipe_reference_loss)
 
 __all__ = ["make_mesh", "mesh_info", "halo_gather", "cp_conv_z",
            "spatial_cp_stack", "make_spatial_dp_trainstep",
-           "pad_target_for_spatial"]
+           "pad_target_for_spatial", "gpipe_stack", "microbatch",
+           "gpipe_reference_loss"]

@@ -1,0 +1,169 @@
+"""Pipeline parallelism (GPipe schedule) over a ``pipe`` mesh axis.
+
+The reference is single-GPU and has no pipeline parallelism (SURVEY.md
+§3.7); this is the TPU-native capability for conv stacks DEEPER than one
+chip's HBM: contiguous layer chunks ("stages") live on successive devices
+of a ``pipe`` mesh axis, microbatches stream through the stages, and
+activations hop between neighbours over ICI via ``lax.ppermute``.
+
+Everything is ONE SPMD program (idiomatic for XLA/TPU — no per-stage
+programs, no host orchestration):
+
+  * ``jax.shard_map`` over the ``pipe`` axis,
+  * ``lax.scan`` over the M + S - 1 schedule ticks,
+  * ``lax.switch`` on ``axis_index`` selects the device's stage body,
+  * activations travel in a single zero-padded buffer sized to the largest
+    stage boundary (stage bodies slice their true extent statically inside
+    their switch branch, so XLA still sees static shapes everywhere),
+  * the backward pass needs NO extra code: JAX transposes the schedule
+    (reversed scan, inverse ppermute), yielding the standard GPipe
+    backward pipeline; gradients for each stage's parameters emerge on its
+    device and are summed by shard_map's replicated-input transpose rule.
+
+Exactness (loss AND gradients) vs the unpipelined stack is tested on the
+virtual CPU mesh. The GPipe bubble (S - 1 idle ticks of M + S - 1) is the
+usual throughput cost; choose n_micro >= the pipe axis size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from elektronn2_tpu.ops.conv import conv as ops_conv, pooling as ops_pooling
+from elektronn2_tpu.ops.activations import get_activation
+
+
+def microbatch(x, n_micro):
+    """(M*b, ...) -> (M, b, ...) microbatch split (order-preserving)."""
+    if x.shape[0] % n_micro:
+        raise ValueError(f"batch {x.shape[0]} not divisible by "
+                         f"n_micro={n_micro}")
+    return x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:])
+
+
+def _layer_apply(x, w, b, activation, pool):
+    y = ops_conv(x, w)
+    if b is not None:
+        y = y + b.reshape((1, -1) + (1,) * (y.ndim - 2))
+    if activation is not None:
+        y = get_activation(activation)(y)
+    if pool is not None and any(p > 1 for p in pool):
+        y = ops_pooling(y, pool)
+    return y
+
+
+def _stage_apply(meta, params, idxs, x):
+    for i in idxs:
+        x = _layer_apply(x, params[i]["w"], params[i].get("b"),
+                         meta[i]["activation"], meta[i]["pool"])
+    return x
+
+
+def _pad_to(x, shape):
+    pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+    if any(p for _, p in pads):
+        x = jnp.pad(x, pads)
+    return x
+
+
+def extract_params(layers):
+    """Split a halo.py-style layer list into (meta, params pytree)."""
+    meta = [{"activation": l.get("activation"), "pool": l.get("pool")}
+            for l in layers]
+    params = [{"w": jnp.asarray(l["w"])} |
+              ({"b": jnp.asarray(l["b"])} if l.get("b") is not None else {})
+              for l in layers]
+    return meta, params
+
+
+def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
+                axis_name="pipe"):
+    """Build a pipelined, differentiable loss function for a conv stack.
+
+    ``layers``: halo.py-style list of dicts {w, b, activation, pool}; the
+    stack is split into ``mesh.shape[axis_name]`` contiguous stages.
+    ``loss_fn(pred_mb, target_mb) -> scalar`` is evaluated per microbatch
+    on the last stage (its MEAN over microbatches is returned, matching
+    the unpipelined loss of the full batch for mean-style losses).
+    ``mb_input_shape``: shape of ONE microbatch input (b_mb, f, *spatial).
+
+    Returns ``(loss_of(params, x_micro, y_micro), meta, params)`` where
+    x_micro/y_micro carry a leading (n_micro,) axis (see ``microbatch``).
+    ``loss_of`` is jit-compatible and differentiable wrt ``params``.
+    """
+    S = mesh.shape[axis_name]
+    M = int(n_micro)
+    if M < 1:
+        raise ValueError("n_micro must be >= 1")
+    if S > len(layers):
+        raise ValueError(f"{S} pipeline stages for {len(layers)} layers")
+    meta, params = extract_params(layers)
+    stage_idxs = [list(c) for c in np.array_split(range(len(layers)), S)]
+
+    # stage-boundary shapes (static): input of stage 0 is the microbatch
+    bounds = [tuple(int(v) for v in mb_input_shape)]
+    for k in range(S):
+        out = jax.eval_shape(
+            lambda x, k=k: _stage_apply(meta, params, stage_idxs[k], x),
+            jax.ShapeDtypeStruct(bounds[-1], jnp.float32))
+        bounds.append(tuple(out.shape))
+    buf_shape = tuple(int(max(b[d] for b in bounds))
+                      for d in range(len(bounds[0])))
+    out_shape = bounds[-1]
+    T = M + S - 1
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    def sharded(params, x_micro, y_micro):
+        s = lax.axis_index(axis_name)
+
+        def make_branch(k):
+            in_shape = bounds[k]
+
+            def branch(args):
+                buf, p = args
+                xk = buf[tuple(slice(0, d) for d in in_shape)]
+                yk = _stage_apply(meta, p, stage_idxs[k], xk)
+                return _pad_to(yk, buf_shape)
+
+            return branch
+
+        branches = [make_branch(k) for k in range(S)]
+
+        def tick(carry, t):
+            recv, acc = carry
+            xin = lax.dynamic_index_in_dim(
+                x_micro, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+            buf = jnp.where(s == 0, _pad_to(xin, buf_shape), recv)
+            out = lax.switch(s, branches, (buf, params))
+            m = t - (S - 1)
+            yt = lax.dynamic_index_in_dim(
+                y_micro, jnp.clip(m, 0, M - 1), 0, keepdims=False)
+            pred = out[tuple(slice(0, d) for d in out_shape)]
+            l_mb = loss_fn(pred, yt)
+            valid = (s == S - 1) & (m >= 0) & (m < M)
+            acc = acc + jnp.where(valid, l_mb, 0.0)
+            return (lax.ppermute(out, axis_name, perm), acc), None
+
+        carry0 = (jnp.zeros(buf_shape, jnp.float32), jnp.float32(0))
+        (_, acc), _ = lax.scan(tick, carry0, jnp.arange(T))
+        return lax.psum(acc, axis_name) / M
+
+    loss_of = jax.shard_map(
+        sharded, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False)
+    return loss_of, meta, params
+
+
+def gpipe_reference_loss(layers, loss_fn, x_micro, y_micro):
+    """Unpipelined oracle: mean over microbatches of the sequential stack
+    (what ``gpipe_stack``'s loss must equal exactly)."""
+    meta, params = extract_params(layers)
+    losses = []
+    for m in range(x_micro.shape[0]):
+        y = _stage_apply(meta, params, range(len(layers)), x_micro[m])
+        losses.append(loss_fn(y, y_micro[m]))
+    return jnp.mean(jnp.stack(losses))

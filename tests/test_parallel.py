@@ -310,3 +310,104 @@ def test_tp_composes_with_fused_loop(rng):
     losses, _ = loop.run_chunk()
     assert np.isfinite(losses).all() and len(losses) == 3
     assert m.params["c1"]["w"].sharding.spec[0] == "model"
+
+
+# ------------------------------------------------------------- pipeline (PP)
+
+def _pp_layers(rng):
+    return [
+        {"w": rng.randn(4, 1, 3, 3, 3).astype(np.float32) * 0.1,
+         "b": np.zeros(4, np.float32), "activation": "relu"},
+        {"w": rng.randn(6, 4, 1, 3, 3).astype(np.float32) * 0.1,
+         "b": np.zeros(6, np.float32), "activation": "relu",
+         "pool": (1, 2, 2)},
+        {"w": rng.randn(6, 6, 3, 3, 3).astype(np.float32) * 0.1,
+         "b": np.zeros(6, np.float32), "activation": "relu"},
+        {"w": rng.randn(2, 6, 1, 1, 1).astype(np.float32) * 0.1,
+         "b": np.zeros(2, np.float32), "activation": None},
+    ]
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_gpipe_matches_sequential(rng, n_stages):
+    """GPipe loss AND gradients == the unpipelined stack, exactly."""
+    from elektronn2_tpu.parallel import (gpipe_stack, microbatch,
+                                         gpipe_reference_loss)
+    from elektronn2_tpu.parallel.pipeline import (_stage_apply,
+                                                  extract_params)
+    layers = _pp_layers(rng)
+
+    def loss_fn(pred, tgt):
+        return jnp.mean((pred - tgt) ** 2)
+
+    M, b_mb = 4, 2
+    x = rng.rand(M * b_mb, 1, 12, 20, 20).astype(np.float32)
+    xm = microbatch(jnp.asarray(x), M)
+    meta, params = extract_params(layers)
+    y0 = _stage_apply(meta, params, range(len(layers)), xm[0])
+    ym = jnp.stack([jnp.full_like(y0, 0.5)] * M)
+
+    mesh = make_mesh({"pipe": n_stages},
+                     devices=jax.devices()[:n_stages])
+    loss_of, _, params_p = gpipe_stack(
+        layers, mesh, loss_fn, mb_input_shape=(b_mb, 1, 12, 20, 20),
+        n_micro=M)
+    l_pipe = float(jax.jit(loss_of)(params_p, xm, ym))
+    l_ref = float(gpipe_reference_loss(layers, loss_fn, xm, ym))
+    np.testing.assert_allclose(l_pipe, l_ref, rtol=1e-5)
+
+    g_pipe = jax.jit(jax.grad(loss_of))(params_p, xm, ym)
+
+    def ref_loss(p):
+        ls = [loss_fn(_stage_apply(meta, p, range(len(layers)), xm[m]),
+                      ym[m]) for m in range(M)]
+        return jnp.mean(jnp.stack(ls))
+
+    g_ref = jax.grad(ref_loss)(params)
+    for gp, gr in zip(g_pipe, g_ref):
+        for k in gr:
+            np.testing.assert_allclose(np.asarray(gp[k]),
+                                       np.asarray(gr[k]),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_gpipe_training_decreases_loss(rng):
+    """A few SGD steps through the pipelined grad actually train."""
+    from elektronn2_tpu.parallel import gpipe_stack, microbatch
+    from elektronn2_tpu.parallel.pipeline import (_stage_apply,
+                                                  extract_params)
+    layers = _pp_layers(rng)
+
+    def loss_fn(pred, tgt):
+        return jnp.mean((pred - tgt) ** 2)
+
+    M, b_mb = 2, 2
+    x = rng.rand(M * b_mb, 1, 12, 20, 20).astype(np.float32)
+    xm = microbatch(jnp.asarray(x), M)
+    meta, params0 = extract_params(layers)
+    y0 = _stage_apply(meta, params0, range(len(layers)), xm[0])
+    ym = jnp.stack([jnp.full_like(y0, 0.3)] * M)
+
+    mesh = make_mesh({"pipe": 2}, devices=jax.devices()[:2])
+    loss_of, _, params = gpipe_stack(
+        layers, mesh, loss_fn, mb_input_shape=(b_mb, 1, 12, 20, 20),
+        n_micro=M)
+    vg = jax.jit(jax.value_and_grad(loss_of))
+    losses = []
+    for _ in range(8):
+        l, g = vg(params, xm, ym)
+        losses.append(float(l))
+        params = jax.tree_util.tree_map(lambda p, gr: p - 0.5 * gr,
+                                        params, g)
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_gpipe_validation_errors(rng):
+    from elektronn2_tpu.parallel import gpipe_stack, microbatch
+    layers = _pp_layers(rng)
+    mesh = make_mesh({"pipe": 8})
+    with pytest.raises(ValueError, match="stages"):
+        gpipe_stack(layers, mesh, lambda a, b: jnp.sum(a),
+                    mb_input_shape=(1, 1, 12, 20, 20), n_micro=2)
+    with pytest.raises(ValueError, match="divisible"):
+        microbatch(jnp.zeros((5, 1)), 2)
