@@ -167,3 +167,35 @@ def gpipe_reference_loss(layers, loss_fn, x_micro, y_micro):
         y = _stage_apply(meta, params, range(len(layers)), x_micro[m])
         losses.append(loss_fn(y, y_micro[m]))
     return jnp.mean(jnp.stack(losses))
+
+
+def layers_from_model(model, params=None):
+    """Extract the {w, b, activation, pool} layer list from a LINEAR chain
+    of plain ``Conv`` nodes (the encoder family ``gpipe_stack`` and
+    ``spatial_cp_stack`` pipeline). Raises on branches, MFP, BN or dropout
+    — those graphs need the full Model execution paths instead.
+    """
+    from elektronn2_tpu.neuromancer import neural
+    params = model.params if params is None else params
+    node = model.input_node
+    layers = []
+    while node.children:
+        convs = [c for c in node.children if isinstance(c, neural.Conv)]
+        if not convs:
+            break
+        if len(node.children) > 1:
+            raise ValueError(f"node {node.name!r} branches; pipeline "
+                             "extraction needs a linear Conv chain")
+        node = convs[0]
+        if node.mfp or node.batch_normalisation or node.dropout_rate:
+            raise ValueError(f"Conv {node.name!r} uses mfp/BN/dropout — "
+                             "not supported by the layer-list pipeline")
+        layers.append({
+            "w": params[node.name]["w"],
+            "b": params[node.name]["b"],
+            "activation": node.activation_func,
+            "pool": tuple(node.pool_shape),
+        })
+    if not layers:
+        raise ValueError("no Conv chain found below the input node")
+    return layers

@@ -411,3 +411,41 @@ def test_gpipe_validation_errors(rng):
                     mb_input_shape=(1, 1, 12, 20, 20), n_micro=2)
     with pytest.raises(ValueError, match="divisible"):
         microbatch(jnp.zeros((5, 1)), 2)
+
+
+def test_gpipe_from_neuromancer_model(rng):
+    """layers_from_model + gpipe == the model's own forward pass."""
+    from elektronn2_tpu.parallel import gpipe_stack, microbatch
+    from elektronn2_tpu.parallel.pipeline import (layers_from_model,
+                                                  _stage_apply,
+                                                  extract_params,
+                                                  gpipe_reference_loss)
+    model_manager.reset(seed=4)
+    inp = nm.Input([2, 1, 10, 16, 16], "b,f,z,x,y", name="raw")
+    h = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), name="e0")
+    h = nm.Conv(h, 6, (3, 3, 3), (1, 1, 1), name="e1")
+    out = nm.Conv(h, 2, 1, 1, activation_func="lin", name="cls")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=out)
+
+    layers = layers_from_model(m)
+    assert len(layers) == 3
+    x = rng.rand(4, 1, 10, 16, 16).astype(np.float32)
+    # model forward (batch 2 design; feed 2 microbatches of 2)
+    ref0 = np.asarray(m.predict(x[:2]))
+    meta, params = extract_params(layers)
+    got0 = np.asarray(_stage_apply(meta, params, range(3), jnp.asarray(x[:2])))
+    np.testing.assert_allclose(got0, ref0, atol=1e-5)
+
+    def loss_fn(pred, tgt):
+        return jnp.mean((pred - tgt) ** 2)
+
+    xm = microbatch(jnp.asarray(x), 2)
+    ym = jnp.zeros((2,) + got0.shape, jnp.float32)
+    mesh = make_mesh({"pipe": 2}, devices=jax.devices()[:2])
+    loss_of, _, pp = gpipe_stack(layers, mesh, loss_fn,
+                                 mb_input_shape=(2, 1, 10, 16, 16),
+                                 n_micro=2)
+    np.testing.assert_allclose(
+        float(jax.jit(loss_of)(pp, xm, ym)),
+        float(gpipe_reference_loss(layers, loss_fn, xm, ym)), rtol=1e-5)
