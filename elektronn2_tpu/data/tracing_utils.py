@@ -131,9 +131,13 @@ class ShotgunRegistry:
                     seeds.append(s)
                 if not seeds:
                     break
-                for t in tracer.trace_batch(seeds):
+                # pad the final partial batch to a constant batch size so
+                # the device rollout never recompiles on a new seed count
+                n_real = len(seeds)
+                seeds = seeds + [seeds[0]] * (batch_size - n_real)
+                for t in tracer.trace_batch(seeds)[:n_real]:
                     self.register(t)
-                logger.info(f"traced a batch of {len(seeds)} seeds")
+                logger.info(f"traced a batch of {n_real} seeds")
             return self.traces
         while True:
             seed = self.next_seed()
@@ -193,6 +197,14 @@ class DeviceTracer:
             raise ValueError("DeviceTracer expects a 3D patch input, got "
                              f"spatial shape {tuple(ps)}")
         self.patch_size = tuple(int(p) for p in ps)
+        if any(v < p + 2 for v, p in zip(self.volume.shape[1:],
+                                         self.patch_size)):
+            raise ValueError(
+                f"volume {tuple(self.volume.shape[1:])} too small for "
+                f"patch {self.patch_size} (+1 interpolation slab)")
+        # NOTE: the rollout program specialises on the seed-batch size —
+        # keep it constant across calls (ShotgunRegistry pads partial
+        # batches) or pay a recompile
         self._fn = None
 
     # -- trilinear patch at a float position (translation-only warp_slice:
@@ -277,23 +289,28 @@ class DeviceTracer:
             B = seeds.shape[0]
 
             def body(carry, _):
+                # ``alive``: the current position is a valid margin-safe
+                # start. Host-Tracer parity: a step taken FROM a valid
+                # position is always recorded — even if it lands beyond the
+                # margin (the reference appends, then breaks on the next
+                # iteration's inside() check); the agent dies afterwards.
                 pos, alive, rnn = carry
                 patches = jax.vmap(lambda q: self._extract(vol, q))(pos)
                 pred, rnn_new = self._step_apply(params, state, patches,
                                                  rnn)
                 step = (pred.reshape(B, -1)[:, :3].astype(jnp.float32)
                         * self.step_scale)
-                ok = alive & (jnp.linalg.norm(step, axis=1)
-                              >= self.min_step)
+                moved = alive & (jnp.linalg.norm(step, axis=1)
+                                 >= self.min_step)
                 newpos = pos + step
-                ok = ok & inbounds(newpos)
-                pos = jnp.where(ok[:, None], newpos, pos)
+                pos = jnp.where(moved[:, None], newpos, pos)
+                alive = moved & inbounds(newpos)
                 rnn = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(
-                        ok.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        moved.reshape((-1,) + (1,) * (new.ndim - 1)),
                         new, old),
                     rnn_new, rnn)
-                return (pos, ok, rnn), (pos, ok)
+                return (pos, alive, rnn), (pos, moved)
 
             pos0 = seeds.astype(jnp.float32)
             alive0 = inbounds(pos0)

@@ -204,6 +204,26 @@ def unpooling(x, pool_shape):
 upsampling = unpooling  # reference alias
 
 
+def apply_layer(x, w, b=None, activation=None, pool=None, conv_fn=None):
+    """One {conv + bias → pool → activation} layer on a layer-dict stack.
+
+    THE canonical ordering — pooling runs BEFORE the activation, exactly as
+    in ``neural.Conv._compute`` (reference semantics; the two only commute
+    for monotonic activations). Shared by ``parallel/halo.py`` and
+    ``parallel/pipeline.py`` so the layer-list paths cannot drift from the
+    node graph. ``conv_fn`` overrides the convolution (e.g. halo-exchanged).
+    """
+    y = (conv_fn or conv)(x, w)
+    if b is not None:
+        y = y + b.reshape((1, -1) + (1,) * (y.ndim - 2))
+    if pool is not None and any(p > 1 for p in pool):
+        y = pooling(y, pool)
+    if activation is not None:
+        from elektronn2_tpu.ops.activations import get_activation
+        y = get_activation(activation)(y)
+    return y
+
+
 def maxout(x, factor, axis=1):
     """Maxout over groups of ``factor`` consecutive feature maps.
 

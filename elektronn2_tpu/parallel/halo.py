@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from elektronn2_tpu.ops.conv import conv as ops_conv, pooling as ops_pooling
+from elektronn2_tpu.ops.conv import (conv as ops_conv, apply_layer,
+                                     pooling as ops_pooling)
 from elektronn2_tpu.ops.activations import get_activation
 
 
@@ -82,15 +83,16 @@ def _stack_forward(x_loc, layers, axis_name):
     shrink = 0
     for layer in layers:
         w = layer["w"]
-        x_loc = cp_conv_z(x_loc, w, layer.get("b"), axis_name,
-                          layer.get("activation"))
-        shrink += w.shape[2] - 1
         pool = layer.get("pool")
-        if pool is not None and any(p > 1 for p in pool):
-            if pool[0] != 1:
-                raise ValueError("z-pooling under z-sharding is unsupported; "
-                                 "pool in x/y or restructure the mesh")
-            x_loc = ops_pooling(x_loc, pool)
+        if pool is not None and any(p > 1 for p in pool) and pool[0] != 1:
+            raise ValueError("z-pooling under z-sharding is unsupported; "
+                             "pool in x/y or restructure the mesh")
+        xg = halo_gather(x_loc, w.shape[2] - 1, axis_name)
+        # canonical layer order (conv+bias -> pool -> activation), shared
+        # with the node graph via ops.conv.apply_layer
+        x_loc = apply_layer(xg, w, layer.get("b"), layer.get("activation"),
+                            pool)
+        shrink += w.shape[2] - 1
         # x/y valid shrink happens locally; no halo needed off the z axis
     return x_loc, shrink
 

@@ -1,10 +1,20 @@
 """Pipeline parallelism (GPipe schedule) over a ``pipe`` mesh axis.
 
 The reference is single-GPU and has no pipeline parallelism (SURVEY.md
-§3.7); this is the TPU-native capability for conv stacks DEEPER than one
-chip's HBM: contiguous layer chunks ("stages") live on successive devices
-of a ``pipe`` mesh axis, microbatches stream through the stages, and
-activations hop between neighbours over ICI via ``lax.ppermute``.
+§3.7). Here, contiguous layer chunks ("stages") of a conv stack execute on
+successive devices of a ``pipe`` mesh axis, microbatches stream through
+the stages, and activations hop between neighbours over ICI via
+``lax.ppermute``.
+
+What this distributes: the ACTIVATION working set and the compute — each
+device materialises only its own stage's in-flight microbatch activations
+(the dominant memory cost for volumetric EM nets, where parameters are
+~100 KB but whole-volume activations are GBs). Parameters and microbatch
+inputs are REPLICATED across the pipe axis (`in_specs=P()`): with
+heterogeneous stage shapes there is no homogeneous stacked-params axis to
+shard, and at this family's parameter sizes replication is free. For
+parameter-dominated models a per-stage-params variant (homogeneous stages,
+params sharded over ``pipe``) would be the next step — not needed here.
 
 Everything is ONE SPMD program (idiomatic for XLA/TPU — no per-stage
 programs, no host orchestration):
@@ -33,8 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from elektronn2_tpu.ops.conv import conv as ops_conv, pooling as ops_pooling
-from elektronn2_tpu.ops.activations import get_activation
+from elektronn2_tpu.ops.conv import apply_layer
 
 
 def microbatch(x, n_micro):
@@ -45,21 +54,10 @@ def microbatch(x, n_micro):
     return x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:])
 
 
-def _layer_apply(x, w, b, activation, pool):
-    y = ops_conv(x, w)
-    if b is not None:
-        y = y + b.reshape((1, -1) + (1,) * (y.ndim - 2))
-    if activation is not None:
-        y = get_activation(activation)(y)
-    if pool is not None and any(p > 1 for p in pool):
-        y = ops_pooling(y, pool)
-    return y
-
-
 def _stage_apply(meta, params, idxs, x):
     for i in idxs:
-        x = _layer_apply(x, params[i]["w"], params[i].get("b"),
-                         meta[i]["activation"], meta[i]["pool"])
+        x = apply_layer(x, params[i]["w"], params[i].get("b"),
+                        meta[i]["activation"], meta[i]["pool"])
     return x
 
 
@@ -103,13 +101,14 @@ def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
         raise ValueError(f"{S} pipeline stages for {len(layers)} layers")
     meta, params = extract_params(layers)
     stage_idxs = [list(c) for c in np.array_split(range(len(layers)), S)]
+    dtype = params[0]["w"].dtype      # buffer/compute dtype (bf16-capable)
 
     # stage-boundary shapes (static): input of stage 0 is the microbatch
     bounds = [tuple(int(v) for v in mb_input_shape)]
     for k in range(S):
         out = jax.eval_shape(
             lambda x, k=k: _stage_apply(meta, params, stage_idxs[k], x),
-            jax.ShapeDtypeStruct(bounds[-1], jnp.float32))
+            jax.ShapeDtypeStruct(bounds[-1], dtype))
         bounds.append(tuple(out.shape))
     buf_shape = tuple(int(max(b[d] for b in bounds))
                       for d in range(len(bounds[0])))
@@ -137,18 +136,19 @@ def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
             recv, acc = carry
             xin = lax.dynamic_index_in_dim(
                 x_micro, jnp.clip(t, 0, M - 1), 0, keepdims=False)
-            buf = jnp.where(s == 0, _pad_to(xin, buf_shape), recv)
+            buf = jnp.where(s == 0, _pad_to(xin.astype(dtype), buf_shape),
+                            recv)
             out = lax.switch(s, branches, (buf, params))
             m = t - (S - 1)
             yt = lax.dynamic_index_in_dim(
                 y_micro, jnp.clip(m, 0, M - 1), 0, keepdims=False)
             pred = out[tuple(slice(0, d) for d in out_shape)]
-            l_mb = loss_fn(pred, yt)
+            l_mb = loss_fn(pred, yt).astype(jnp.float32)
             valid = (s == S - 1) & (m >= 0) & (m < M)
             acc = acc + jnp.where(valid, l_mb, 0.0)
             return (lax.ppermute(out, axis_name, perm), acc), None
 
-        carry0 = (jnp.zeros(buf_shape, jnp.float32), jnp.float32(0))
+        carry0 = (jnp.zeros(buf_shape, dtype), jnp.float32(0))
         (_, acc), _ = lax.scan(tick, carry0, jnp.arange(T))
         return lax.psum(acc, axis_name) / M
 
@@ -172,8 +172,10 @@ def gpipe_reference_loss(layers, loss_fn, x_micro, y_micro):
 def layers_from_model(model, params=None):
     """Extract the {w, b, activation, pool} layer list from a LINEAR chain
     of plain ``Conv`` nodes (the encoder family ``gpipe_stack`` and
-    ``spatial_cp_stack`` pipeline). Raises on branches, MFP, BN or dropout
-    — those graphs need the full Model execution paths instead.
+    ``spatial_cp_stack`` pipeline). Raises on branches, MFP, BN, dropout,
+    prelu, and on chains interrupted by non-Conv nodes (a trailing
+    Softmax/loss head after the last Conv is fine) — those graphs need the
+    full Model execution paths instead.
     """
     from elektronn2_tpu.neuromancer import neural
     params = model.params if params is None else params
@@ -190,6 +192,13 @@ def layers_from_model(model, params=None):
         if node.mfp or node.batch_normalisation or node.dropout_rate:
             raise ValueError(f"Conv {node.name!r} uses mfp/BN/dropout — "
                              "not supported by the layer-list pipeline")
+        if node.activation_func == "prelu" or (
+                isinstance(node.activation_func, str)
+                and node.activation_func.startswith("maxout")):
+            raise ValueError(f"Conv {node.name!r} uses "
+                             f"{node.activation_func!r} — parameterised/"
+                             "shape-changing activations are not supported "
+                             "by the layer-list pipeline")
         layers.append({
             "w": params[node.name]["w"],
             "b": params[node.name]["b"],
@@ -198,4 +207,13 @@ def layers_from_model(model, params=None):
         })
     if not layers:
         raise ValueError("no Conv chain found below the input node")
+    # the walk stops at the first non-Conv child; any Conv beyond it means
+    # the chain was interrupted (e.g. a standalone Pool or a decoder) and a
+    # silent prefix would train/serve the wrong network
+    n_convs = sum(isinstance(n, neural.Conv) for n in model.nodes.values())
+    if n_convs != len(layers):
+        raise ValueError(
+            f"extracted {len(layers)} of {n_convs} Conv nodes: the chain is "
+            f"interrupted after {node.name!r} by a non-Conv node — the "
+            "layer-list pipeline supports only uninterrupted Conv chains")
     return layers

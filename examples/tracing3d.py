@@ -73,6 +73,22 @@ def create_model():
     return model
 
 
+def rollout_demo(model, n_agents=8, max_steps=64):
+    """Post-training inference: batched agent rollout fused on device
+    (one dispatch for the whole batch — see DeviceTracer)."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    vol = _data.train_d[0]          # the (f, Z, X, Y) training cube
+    tracer = DeviceTracer(model, np.asarray(vol, np.float32),
+                          max_steps=max_steps)
+    rng = np.random.RandomState(2)
+    seeds = rng.uniform(12, 36, size=(n_agents, 3))
+    traces = tracer.trace_batch(seeds)
+    for i, t in enumerate(traces):
+        print(f"agent {i}: {len(t.coords)} points, "
+              f"end={np.round(t.coords[-1], 1)}")
+    return traces
+
+
 if __name__ == "__main__":
     from elektronn2_tpu.scripts.train import main
     import sys

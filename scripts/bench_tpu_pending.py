@@ -219,11 +219,14 @@ def bench_tracing_rollout():
 def main():
     import jax
     print("devices:", jax.devices(), flush=True)
+    benches = {"aug": bench_augmentation, "train": bench_fused_training,
+               "unet": bench_unet_dense, "tracing": bench_tracing_rollout}
     only = set(sys.argv[1:])
-    for name, fn in (("aug", bench_augmentation),
-                     ("train", bench_fused_training),
-                     ("unet", bench_unet_dense),
-                     ("tracing", bench_tracing_rollout)):
+    unknown = only - set(benches)
+    if unknown:
+        raise SystemExit(f"unknown bench name(s) {sorted(unknown)}; "
+                         f"valid: {sorted(benches)}")
+    for name, fn in benches.items():
         if not only or name in only:
             fn()
     print(json.dumps(RESULTS, indent=1))

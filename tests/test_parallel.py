@@ -91,15 +91,11 @@ def test_halo_cp_stack_equals_unsharded(rng):
     fn = spatial_cp_stack(layers, mesh)
     got = np.asarray(fn(x))
 
-    # unsharded reference
-    from elektronn2_tpu.ops.conv import conv, pooling
-    from elektronn2_tpu.ops.activations import get_activation
+    # unsharded reference (canonical order: conv+bias -> pool -> activation)
+    from elektronn2_tpu.ops.conv import apply_layer
     h = x
     for l in layers:
-        h = conv(h, l["w"]) + l["b"].reshape(1, -1, 1, 1, 1)
-        h = get_activation(l["activation"])(h)
-        if l.get("pool"):
-            h = pooling(h, l["pool"])
+        h = apply_layer(h, l["w"], l["b"], l["activation"], l.get("pool"))
     want = np.asarray(h)
     assert got.shape[2] >= want.shape[2]
     np.testing.assert_allclose(got[:, :, :want.shape[2]], want,
@@ -449,3 +445,27 @@ def test_gpipe_from_neuromancer_model(rng):
     np.testing.assert_allclose(
         float(jax.jit(loss_of)(pp, xm, ym)),
         float(gpipe_reference_loss(layers, loss_fn, xm, ym)), rtol=1e-5)
+
+
+def test_gpipe_bf16(rng):
+    """Mixed-precision stacks run through the pipeline (buffer dtype
+    follows the weights)."""
+    from elektronn2_tpu.parallel import gpipe_stack, microbatch
+    layers = [
+        {"w": (rng.randn(4, 1, 3, 3, 3) * 0.1).astype(jnp.bfloat16),
+         "b": np.zeros(4, np.float32).astype(jnp.bfloat16),
+         "activation": "relu"},
+        {"w": (rng.randn(2, 4, 1, 1, 1) * 0.1).astype(jnp.bfloat16),
+         "b": np.zeros(2, np.float32).astype(jnp.bfloat16),
+         "activation": None},
+    ]
+    mesh = make_mesh({"pipe": 2}, devices=jax.devices()[:2])
+    loss_of, _, params = gpipe_stack(
+        layers, mesh,
+        lambda p, t: jnp.mean((p.astype(jnp.float32) - t) ** 2),
+        mb_input_shape=(1, 1, 8, 10, 10), n_micro=2)
+    xm = microbatch(jnp.asarray(rng.rand(2, 1, 8, 10, 10), jnp.bfloat16), 2)
+    ym = jnp.zeros((2, 1, 2, 6, 8, 8), jnp.float32)
+    l, g = jax.jit(jax.value_and_grad(loss_of))(params, xm, ym)
+    assert np.isfinite(float(l))
+    assert g[0]["w"].dtype == jnp.bfloat16

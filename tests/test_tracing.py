@@ -318,22 +318,25 @@ def test_device_tracer_batched_equals_single(rng):
 
 
 def test_device_tracer_oob_freeze(rng):
-    """An agent marching at a wall stops at the margin and freezes."""
+    """An agent marching at a wall stops right after crossing the margin
+    — and matches the host Tracer point-for-point (the reference records
+    the final out-of-margin position, THEN breaks)."""
     from elektronn2_tpu.data.tracing_utils import DeviceTracer
     patch = (5, 5, 5)
     m = _ff_step_model(w=np.zeros((int(np.prod(patch)), 3), np.float32),
                        b=np.array([3.0, 0.0, 0.0], np.float32))
     vol = rng.rand(1, 24, 24, 24).astype(np.float32)
-    dt = DeviceTracer(m, vol, max_steps=10)
-    tr = dt.trace([12.0, 12.0, 12.0])
-    pts = tr.coords
-    # stopped well before max_steps; every point respects the margin
-    assert len(pts) < 11
+    host = Tracer(m, vol, max_steps=10).trace([12.0, 12.0, 12.0])
+    dev = DeviceTracer(m, vol, max_steps=10).trace([12.0, 12.0, 12.0])
+    np.testing.assert_allclose(dev.coords, host.coords, atol=1e-4)
+    pts = dev.coords
+    assert len(pts) < 11                      # stopped before max_steps
     margin = np.asarray(patch) / 2 + 1
-    assert np.all(pts >= margin - 1e-6)
-    assert np.all(pts < 24 - margin + 1e-6)
-    # frozen: the final point is the last in-bounds position
-    assert pts[-1][0] < 24 - margin[0]
+    # all points except possibly the LAST respect the margin; the last one
+    # is the recorded exit step (host-parity), after which the agent froze
+    assert np.all(pts[:-1] >= margin - 1e-6)
+    assert np.all(pts[:-1] < 24 - margin + 1e-6)
+    assert pts[-1][0] >= 24 - margin[0] - 1e-6   # it DID record the exit
 
 
 def test_device_tracer_recurrent_rollout(rng):
@@ -390,3 +393,56 @@ def test_shotgun_registry_batched_drain(rng):
     assert reg.next_seed() is None          # drained
     for t in traces:
         assert len(t.coords) >= 1
+
+
+def test_layers_from_model_nonmonotonic_activation_parity(rng):
+    """pool-before-activation ordering: extracted stack == model.predict
+    for an activation that does NOT commute with max-pooling."""
+    from elektronn2_tpu.parallel.pipeline import (layers_from_model,
+                                                  _stage_apply,
+                                                  extract_params)
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset(seed=9)
+    inp = nm.Input([2, 1, 6, 12, 12], "b,f,z,x,y", name="raw")
+    h = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), activation_func="abs",
+                name="e0")
+    out = nm.Conv(h, 2, 1, 1, activation_func="lin", name="cls")
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=out)
+    layers = layers_from_model(m)
+    x = rng.randn(2, 1, 6, 12, 12).astype(np.float32)
+    ref = np.asarray(m.predict(x))
+    meta, params = extract_params(layers)
+    got = np.asarray(_stage_apply(meta, params, range(2), jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_layers_from_model_rejects_interrupted_chain(rng):
+    """A standalone Pool between Convs must raise, not silently truncate."""
+    from elektronn2_tpu.parallel.pipeline import layers_from_model
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset(seed=10)
+    inp = nm.Input([1, 1, 8, 12, 12], "b,f,z,x,y", name="raw")
+    h = nm.Conv(inp, 4, (3, 3, 3), (1, 1, 1), name="e0")
+    h = nm.Pool(h, (1, 2, 2), name="p0")
+    h = nm.Conv(h, 4, (1, 3, 3), (1, 1, 1), name="e1")
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=h)
+    with pytest.raises(ValueError, match="interrupted"):
+        layers_from_model(m)
+
+
+def test_shotgun_batched_drain_pads_partial_batch(rng):
+    """The final partial batch is padded to batch_size (no recompile) and
+    the padding traces are discarded."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.3, 0.2, 0.1], np.float32))
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=4)
+    seeds = [[12.0, 12.0, 12.0], [13.0, 11.0, 12.0], [11.0, 13.0, 13.0]]
+    reg = ShotgunRegistry(seeds, radius=0.1)
+    traces = reg.run(dt, batch_size=2)        # 2 + (1 padded to 2)
+    assert len(traces) == 3
+    assert reg.next_seed() is None
