@@ -452,30 +452,36 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     fov = list(pred.shape.fov)
 
     # fast path: à-trous dilated formulation (one fused program, no tiling)
-    try:
-        if pad_raw:
-            pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2)
-                               for f in fov]
-            vol_p = jnp.pad(vol, pads, mode="reflect")
-        else:
-            vol_p = vol
-        impl = getattr(model, "_dilated_impl", "direct")
-        fn = model._dilated_fns.get(("dense", impl))
-        if fn is None:
-            fn = jax.jit(lambda p, s, v: dilated_dense_forward(
-                model, v, params=p, state=s, impl=impl))
-            model._dilated_fns[("dense", impl)] = fn
-        # NOTE: for models with non-MFP (decimating) pools this is a strict
-        # improvement over the host path: genuinely dense stride-1 output
-        # where predict_dense nearest-repeats the strided map. Voxels at the
-        # strided positions are identical.
-        return fn(model.params, model.state, vol_p)
-    except ValueError:
-        pass  # unsupported graph → try the convolutional path below
+    # (a graph rejected once is remembered — without the negative cache a
+    # stream of volumes through an unsupported graph would re-trace just to
+    # re-raise on every call; cleared with _dilated_fns on re-designation)
+    if ("dense_unsupported",) not in model._dilated_fns:
+        try:
+            if pad_raw:
+                pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2)
+                                   for f in fov]
+                vol_p = jnp.pad(vol, pads, mode="reflect")
+            else:
+                vol_p = vol
+            impl = getattr(model, "_dilated_impl", "direct")
+            fn = model._dilated_fns.get(("dense", impl))
+            if fn is None:
+                fn = jax.jit(lambda p, s, v: dilated_dense_forward(
+                    model, v, params=p, state=s, impl=impl))
+                model._dilated_fns[("dense", impl)] = fn
+            # NOTE: for models with non-MFP (decimating) pools this is a
+            # strict improvement over the host path: genuinely dense
+            # stride-1 output where predict_dense nearest-repeats the
+            # strided map. Voxels at the strided positions are identical.
+            return fn(model.params, model.state, vol_p)
+        except ValueError:
+            model._dilated_fns[("dense_unsupported",)] = True
 
     # decoder (U-Net) graphs with stride-1 output: whole-volume
     # convolutional application (seam-free, one fused program)
     try:
+        if ("conv_unsupported",) in model._dilated_fns:
+            raise TypeError("conv dense path previously rejected")
         check_conv_dense_supported(pred)
         key = ("conv", tuple(int(s) for s in vol.shape), bool(pad_raw))
         fn = model._dilated_fns.get(key)
@@ -491,7 +497,8 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             model._dilated_fns[key] = fn
         return fn(model.params, model.state, vol)
     except (ValueError, TypeError):
-        pass  # → overlap-tiled fallback below
+        model._dilated_fns[("conv_unsupported",)] = True
+        # → overlap-tiled fallback below
 
     V_orig = list(vol.shape[1:])
     if pad_raw:
@@ -526,38 +533,50 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     origins_arr = np.asarray(origins, np.int32).reshape(-1, tb, nsp)
 
     feed_name = inp.name
-    params, state = model.params, model.state
     cdtype = getattr(model, "_compute_dtype", None)
 
-    def tile_fn(vol, origin):
-        start = jnp.concatenate([jnp.zeros(1, jnp.int32), origin])
-        tile = jax.lax.dynamic_slice(vol, start,
-                                     (vol.shape[0], *tile_in))
-        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
-        ctx = TraceCtx(params, {feed_name: tile[None]}, None, train=False,
-                       state_in=state, node_index=model._node_index,
-                       compute_dtype=cdtype)
-        y = ctx.get(pred)
-        return fragments2dense(y, pred.shape.mfp_offsets)[0]
+    # cache the jitted sweep per (tile batch, padded volume shape) — the
+    # tiling geometry is a pure function of those — with params/state as
+    # traced ARGUMENTS (re-creating the jit per call would recompile the
+    # whole fori_loop program for every volume; closing over params would
+    # bake them into the HLO). set_compute_dtype / designate_nodes clear
+    # this cache.
+    cache_key = ("tiled", tb, tuple(V))
+    sweep = model._dilated_fns.get(cache_key)
+    if sweep is None:
+        def tile_fn(params, state, vol, origin):
+            start = jnp.concatenate([jnp.zeros(1, jnp.int32), origin])
+            tile = jax.lax.dynamic_slice(vol, start,
+                                         (vol.shape[0], *tile_in))
+            from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+            ctx = TraceCtx(params, {feed_name: tile[None]}, None,
+                           train=False, state_in=state,
+                           node_index=model._node_index,
+                           compute_dtype=cdtype)
+            y = ctx.get(pred)
+            return fragments2dense(y, pred.shape.mfp_offsets)[0]
 
-    @jax.jit
-    def sweep(vol, origins):
-        out = jnp.zeros((f_out, *out_total), jnp.float32)
+        @jax.jit
+        def sweep(params, state, vol, origins):
+            out = jnp.zeros((f_out, *out_total), jnp.float32)
 
-        def body(i, out):
-            group = origins[i]                       # (tb, nsp)
-            dense = jax.vmap(lambda o: tile_fn(vol, o))(group)
-            o_out = group // jnp.asarray(g, jnp.int32)
-            for b in range(tb):                      # static unroll
-                out = jax.lax.dynamic_update_slice(
-                    out, dense[b], (jnp.int32(0),
-                                    *tuple(o_out[b, d]
-                                           for d in range(nsp))))
-            return out
+            def body(i, out):
+                group = origins[i]                   # (tb, nsp)
+                dense = jax.vmap(
+                    lambda o: tile_fn(params, state, vol, o))(group)
+                o_out = group // jnp.asarray(g, jnp.int32)
+                for b in range(tb):                  # static unroll
+                    out = jax.lax.dynamic_update_slice(
+                        out, dense[b], (jnp.int32(0),
+                                        *tuple(o_out[b, d]
+                                               for d in range(nsp))))
+                return out
 
-        return jax.lax.fori_loop(0, origins.shape[0], body, out)
+            return jax.lax.fori_loop(0, origins.shape[0], body, out)
 
-    out = sweep(vol, jnp.asarray(origins_arr))
+        model._dilated_fns[cache_key] = sweep
+
+    out = sweep(model.params, model.state, vol, jnp.asarray(origins_arr))
     for d in range(nsp):
         if g[d] > 1:   # align with predict_dense: repeat-upsample strided out
             out = jnp.repeat(out, g[d], axis=1 + d)

@@ -50,9 +50,10 @@ class Softmax(Node):
                                axis=ax)
 
 
-def _resolve_aux(value, parents_list):
-    """Allow class/example weights to be given as arrays (static) or Nodes
-    (schedulable); Node values become extra parents."""
+def _resolve_aux(value):
+    """Normalise a class/example-weight argument: arrays become static
+    floatX constants; Node instances pass through unchanged (the caller
+    registers them as extra parents so they stay schedulable)."""
     if value is None or isinstance(value, Node):
         return value
     return np.asarray(value, dtype=floatX)
@@ -73,9 +74,9 @@ class MultinoulliNLL(Node):
                  class_weights=None, example_weights=None,
                  mask_class_labeled=None, name="nll", print_repr=True):
         parents = [pred, target]
-        self.class_weights = _resolve_aux(class_weights, parents)
-        self.example_weights = _resolve_aux(example_weights, parents)
-        self.mask_class_labeled = _resolve_aux(mask_class_labeled, parents)
+        self.class_weights = _resolve_aux(class_weights)
+        self.example_weights = _resolve_aux(example_weights)
+        self.mask_class_labeled = _resolve_aux(mask_class_labeled)
         for aux in (self.class_weights, self.example_weights,
                     self.mask_class_labeled):
             if isinstance(aux, Node):
@@ -126,6 +127,12 @@ class MultinoulliNLL(Node):
                               axis=f_ax)
                 nll = nll * lab
         if ew is not None:
+            # per-example weights are (b,); broadcast over the spatial loss
+            # map from the left (trailing-dim numpy broadcasting would
+            # misalign or fail against (b, *spatial))
+            ew = jnp.asarray(ew)
+            if ew.ndim < nll.ndim:
+                ew = ew.reshape(ew.shape + (1,) * (nll.ndim - ew.ndim))
             nll = nll * ew
         return nll
 

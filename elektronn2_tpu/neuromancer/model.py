@@ -81,6 +81,14 @@ class Model:
                         loss_node=None, prediction_node=None,
                         prediction_ext_node=None, error_node=None,
                         debug_outputs=None, extra_inputs=None):
+        # re-designation invalidates every compiled function: a cached jit
+        # executable keyed only on feed shapes would silently keep training
+        # the OLD loss / skip a newly-designated error node
+        self._step_fn = None
+        self._step_raw = None
+        self._loss_fn = None
+        self._predict_fns = {}
+        self._dilated_fns = {}
         self.input_node = input_node
         self.target_node = target_node
         self.loss_node = loss_node
@@ -560,13 +568,8 @@ class Model:
             for k, v in st.items():
                 payload[f"state/{nname}/{k}"] = np.asarray(v)
         if self.optimiser is not None:
-            meta = {"cls": type(self.optimiser).__name__,
-                    "hyper": self.optimiser.hyperparams,
-                    "nesterov": bool(getattr(self.optimiser, "nesterov",
-                                             False)),
-                    "step_count": self._step_count}
             payload["__opt__"] = np.frombuffer(
-                json.dumps(meta).encode(), np.uint8)
+                json.dumps(self._opt_meta()).encode(), np.uint8)
             leaves = jax.tree_util.tree_leaves(self.opt_state)
             for i, v in enumerate(leaves):
                 payload[f"opt/{i}"] = np.asarray(v)
@@ -700,7 +703,15 @@ def modelload(fname, override_mfp_to_active=False, imposed_patch_size=None,
 
 
 def params_from_model_file(fname):
-    """Extract just the parameter arrays from a model file."""
+    """Extract just the parameter arrays from a model file (.npz or an
+    orbax checkpoint directory — the same formats ``modelload`` accepts)."""
+    if os.path.isdir(fname):
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            tree = ckptr.restore(os.path.join(os.path.abspath(fname),
+                                              "arrays"))
+        return {n: {p: np.asarray(v) for p, v in d.items()}
+                for n, d in tree.get("params", {}).items()}
     params = {}
     with np.load(fname, allow_pickle=False) as z:
         for k in z.files:
@@ -758,7 +769,11 @@ def rebuild_model(model, override_mfp_to_active=False,
             loss_node=pick("loss_node"),
             prediction_node=pick("prediction_node"),
             prediction_ext_node=pick("prediction_ext_node"),
-            error_node=pick("error_node"))
+            error_node=pick("error_node"),
+            debug_outputs=[gm.nodes[n] for n in
+                           gm.designations.get("debug_outputs", [])],
+            extra_inputs=[gm.nodes[n] for n in
+                          gm.designations.get("extra_inputs", [])])
         return new
 
     descriptors, arrays = model.gm.get_descriptors()
@@ -797,6 +812,23 @@ def rebuild_model(model, override_mfp_to_active=False,
                         and new.params[nname][pname].shape == v.shape):
                     new.params[nname][pname] = v
     new.state = {k: dict(v) for k, v in model.state.items()}
+    # carry over the optimiser: params are patch-size-invariant, so the
+    # restored slot state (Adam moments etc.) transfers — dropping it here
+    # would silently restart a resumed run's moments from zero
+    if model.optimiser is not None:
+        meta = model._opt_meta()
+        new.set_opt(meta["cls"], **meta["hyper"])
+        if meta.get("nesterov"):
+            new.optimiser.nesterov = True
+        new._step_count = model._step_count
+        old_leaves, _ = jax.tree_util.tree_flatten(model.opt_state)
+        new_leaves, treedef = jax.tree_util.tree_flatten(new.opt_state)
+        if len(old_leaves) == len(new_leaves):
+            merged = [o if getattr(o, "shape", None) == n.shape else n
+                      for o, n in zip(old_leaves, new_leaves)]
+            new.opt_state = jax.tree_util.tree_unflatten(treedef, merged)
+    new._compute_dtype = model._compute_dtype
+    new._remat = model._remat
     return new
 
 

@@ -140,13 +140,19 @@ class Perceptron(Node, _BNMixin):
             x = x.reshape(x.shape[0], -1)
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
+        # mixed precision: matmul operands in compute_dtype (bf16 on the
+        # MXU), elementwise tail back in f32 — same policy as Conv
+        cd = ctx.compute_dtype
+        xm = x.astype(cd) if cd is not None else x
         if x.ndim == 2 or (self._f_ax is not None
                            and self._f_ax == x.ndim - 1):
-            y = jnp.dot(x, w.astype(x.dtype),
-                        preferred_element_type=x.dtype) + b
+            y = jnp.dot(xm, w.astype(xm.dtype),
+                        preferred_element_type=xm.dtype)
+            y = (y.astype(jnp.float32) if cd is not None else y) + b
         else:
             ax = 1 if self._f_ax is None else self._f_ax
-            y = ops_dot(x, w, axis=ax) \
+            y = ops_dot(xm, w, axis=ax)
+            y = (y.astype(jnp.float32) if cd is not None else y) \
                 + b.reshape((1,) * ax + (-1,) + (1,) * (x.ndim - ax - 1))
         f_ax = (1 if self.flatten else self._f_ax)
         if self.batch_normalisation:
@@ -635,17 +641,22 @@ class GRU(Node):
                             wd_mult=0.0)
 
     def _compute(self, ctx, x, h):
+        # mixed precision: fused-gate matmuls in compute_dtype, f32 state
+        cd = ctx.compute_dtype
+
+        def mm(a, wname):
+            am = a.astype(cd) if cd is not None else a
+            y = jnp.dot(am, ctx.param(self, wname).astype(am.dtype),
+                        preferred_element_type=am.dtype)
+            return y.astype(jnp.float32) if cd is not None else y
+
         xh = jnp.concatenate([x, h], axis=-1)
-        gates = jax.nn.sigmoid(
-            jnp.dot(xh, ctx.param(self, "w_gates"),
-                    preferred_element_type=x.dtype)
-            + ctx.param(self, "b_gates"))
+        gates = jax.nn.sigmoid(mm(xh, "w_gates")
+                               + ctx.param(self, "b_gates"))
         z, r = jnp.split(gates, 2, axis=-1)
         xrh = jnp.concatenate([x, r * h], axis=-1)
         cand = get_activation(self.activation_func)(
-            jnp.dot(xrh, ctx.param(self, "w_cand"),
-                    preferred_element_type=x.dtype)
-            + ctx.param(self, "b_cand"))
+            mm(xrh, "w_cand") + ctx.param(self, "b_cand"))
         return (1.0 - z) * h + z * cand
 
 
@@ -678,8 +689,12 @@ class LSTM(Node):
     def _compute(self, ctx, x, hc):
         h, c = jnp.split(hc, 2, axis=-1)
         xh = jnp.concatenate([x, h], axis=-1)
-        z = jnp.dot(xh, ctx.param(self, "w"),
-                    preferred_element_type=x.dtype) + ctx.param(self, "b")
+        cd = ctx.compute_dtype      # matmul in bf16, f32 cell state
+        xhm = xh.astype(cd) if cd is not None else xh
+        z = jnp.dot(xhm, ctx.param(self, "w").astype(xhm.dtype),
+                    preferred_element_type=xhm.dtype)
+        z = (z.astype(jnp.float32) if cd is not None else z) \
+            + ctx.param(self, "b")
         i, f, g, o = jnp.split(z, 4, axis=-1)
         act = get_activation(self.activation_func)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * act(g)

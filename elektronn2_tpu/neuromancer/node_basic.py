@@ -378,20 +378,32 @@ class InitialState_like(Node):
 
 @register_node_class
 class Split(Node):
-    """One output slice of ``split`` (below)."""
+    """One output slice of ``split`` (below). With
+    ``strip_singleton_dims``, a size-1 slice drops its axis (reference
+    semantics of ``split(..., strip_singleton_dims=True)``)."""
 
     def __init__(self, parent, axis, start, stop, name="split",
-                 print_repr=True):
+                 print_repr=True, strip_singleton_dims=False):
         super().__init__(parent, name, print_repr)
         ax = parent.shape.tag2index(axis) if isinstance(axis, str) else axis
         self.axis, self.start, self.stop = ax, int(start), int(stop)
+        self.strip_singleton_dims = bool(strip_singleton_dims)
         tag = parent.shape.tags[ax]
-        self.shape = parent.shape.updateshape(tag, self.stop - self.start)
+        self._strip = (self.strip_singleton_dims
+                       and self.stop - self.start == 1)
+        if self._strip:
+            self.shape = parent.shape.delaxis(ax)
+        else:
+            self.shape = parent.shape.updateshape(tag,
+                                                  self.stop - self.start)
 
     def _compute(self, ctx, x):
         idx = [slice(None)] * x.ndim
         idx[self.axis] = slice(self.start, self.stop)
-        return x[tuple(idx)]
+        y = x[tuple(idx)]
+        if self._strip:
+            y = jnp.squeeze(y, axis=self.axis)
+        return y
 
 
 @register_node_class
@@ -448,7 +460,8 @@ def split(node, axis="f", index=None, n_out=None, strip_singleton_dims=False,
     else:
         edges = [0] + list(index) + [size]
         bounds = list(zip(edges[:-1], edges[1:]))
-    return [Split(node, axis, a, b, name=f"{name}{i}")
+    return [Split(node, axis, a, b, name=f"{name}{i}",
+                  strip_singleton_dims=strip_singleton_dims)
             for i, (a, b) in enumerate(bounds)]
 
 

@@ -731,3 +731,135 @@ def test_fused_chunk_schedules_fire_per_step(rng, tmp_path):
     tr.run()
     # decays at steps 5 and 10 → lr = 1e-3 * 0.25
     assert abs(m.optimiser.hyperparams["lr"] - 1e-3 * 0.25) < 1e-9
+
+
+# ---- session-3 review batch: model/loss/node fixes ----------------------
+
+def _tiny_model(batch=2, with_err=False):
+    model_manager.reset(seed=21)
+    inp = nm.Input([batch, 1, 8, 8], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 1, name="c")
+    probs = nm.Softmax(nm.Conv(c, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([batch, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True)
+    loss = nm.AggregateLoss(nll)
+    err = nm.Errors(probs, tgt, target_is_sparse=True) if with_err else None
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs, error_node=err)
+    return m, probs, tgt, loss
+
+
+def test_redesignation_invalidates_compiled_step(rng):
+    """Adding an error node AFTER the first trainingstep must take effect
+    (stale jit caches previously kept the old aux structure)."""
+    m, probs, tgt, loss = _tiny_model()
+    m.set_opt("SGD", lr=1e-2, mom=0.0)
+    x = rng.rand(2, 1, 8, 8).astype(np.float32)
+    y = (rng.rand(2, 6, 6) > 0.5).astype(np.int32)
+    l1, aux1 = m.trainingstep(x, y)
+    assert "error" not in aux1
+    err = nm.Errors(probs, tgt, target_is_sparse=True)
+    m.designate_nodes(input_node=m.input_node, target_node=tgt,
+                      loss_node=loss, prediction_node=probs,
+                      error_node=err)
+    l2, aux2 = m.trainingstep(x, y)
+    assert "error" in aux2 and np.isfinite(float(aux2["error"]))
+
+
+def test_rebuild_model_keeps_optimiser_state(rng, tmp_path):
+    """modelload(..., imposed_patch_size) must carry restored Adam slots
+    and the step counter through rebuild_model."""
+    from elektronn2_tpu.neuromancer.model import modelload
+    m, *_ = _tiny_model()
+    m.set_opt("Adam", lr=1e-3)
+    x = rng.rand(2, 1, 8, 8).astype(np.float32)
+    y = (rng.rand(2, 6, 6) > 0.5).astype(np.int32)
+    for _ in range(3):
+        m.trainingstep(x, y)
+    f = str(tmp_path / "m.mdl")
+    m.save(f)
+    m2 = modelload(f, imposed_patch_size=[12, 12])
+    assert m2.optimiser is not None
+    assert type(m2.optimiser).__name__ == "Adam"
+    assert m2._step_count == 3
+    # Adam slots transferred (param shapes are patch-size invariant)
+    l_old = jax.tree_util.tree_leaves(m.opt_state)
+    l_new = jax.tree_util.tree_leaves(m2.opt_state)
+    moments_match = sum(
+        o.shape == n.shape and np.allclose(np.asarray(o), np.asarray(n))
+        for o, n in zip(l_old, l_new))
+    assert moments_match >= len(l_old) - 1   # all but possibly step scalar
+    assert tuple(m2.input_node.shape.spatial_shape) == (12, 12)
+
+
+def test_example_weights_per_example_shape(rng):
+    """example_weights of shape (b,) broadcasts over the spatial loss map."""
+    model_manager.reset(seed=22)
+    inp = nm.Input([3, 1, 8, 8], "b,f,x,y", name="raw")
+    probs = nm.Softmax(nm.Conv(inp, 2, 3, 1, activation_func="lin"))
+    tgt = nm.Input([3, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    ew = np.array([1.0, 0.0, 2.0], np.float32)
+    nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True,
+                            example_weights=ew, name="nll")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt,
+                      loss_node=nm.AggregateLoss(nll),
+                      prediction_node=probs)
+    x = rng.rand(3, 1, 8, 8).astype(np.float32)
+    y = (rng.rand(3, 6, 6) > 0.5).astype(np.int32)
+    outs, _ = m._apply([nll], m.params, m.state,
+                       {"raw": x, "target": y}, None, train=False)
+    per_vox = np.asarray(outs[0])
+    assert per_vox.shape == (3, 6, 6)
+    assert np.all(per_vox[1] == 0.0)          # weight 0 zeroes example 1
+    assert per_vox[2].mean() > per_vox[0].mean()   # weight 2 doubles
+
+
+def test_split_strip_singleton_dims(rng):
+    model_manager.reset(seed=23)
+    inp = nm.Input([2, 3, 5, 5], "b,f,x,y", name="raw")
+    parts = nm.split(inp, axis="f", n_out=3, strip_singleton_dims=True)
+    assert tuple(parts[0].shape) == (2, 5, 5)
+    x = rng.rand(2, 3, 5, 5).astype(np.float32)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=parts[1])
+    out = np.asarray(m.predict(x))
+    np.testing.assert_allclose(out, x[:, 1])
+
+
+def test_compute_dtype_reaches_dense_and_recurrent(rng):
+    """set_compute_dtype('bfloat16') must affect Perceptron/GRU matmuls
+    (previously a silent no-op outside Conv)."""
+    model_manager.reset(seed=24)
+    T, B = 3, 2
+    seq = nm.Input([T, B, 1, 4, 4, 4], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, 4, 4, 4], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    out = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=seq, prediction_node=out)
+    x = rng.rand(T, B, 1, 4, 4, 4).astype(np.float32)
+    full = np.asarray(m.predict(x))
+    m.set_compute_dtype("bfloat16")
+    mixed = np.asarray(m.predict(x))
+    assert np.isfinite(mixed).all()
+    diff = np.abs(full - mixed).max()
+    assert 0 < diff < 0.1      # bf16 rounding visible but bounded
+
+
+def test_params_from_model_file_orbax(tmp_path):
+    from elektronn2_tpu.neuromancer.model import params_from_model_file
+    m, *_ = _tiny_model()
+    d = str(tmp_path / "ckpt")
+    m.save(d, backend="orbax")
+    params = params_from_model_file(d)
+    assert "c" in params and "w" in params["c"]
+    np.testing.assert_allclose(params["c"]["w"],
+                               np.asarray(m.params["c"]["w"]))
