@@ -121,6 +121,11 @@ class ShotgunRegistry:
         drain's semantics, bounded by ``radius``).
         """
         batch_size = int(batch_size)
+        if batch_size > 1 and not hasattr(tracer, "trace_batch"):
+            logger.warning(
+                f"batch_size={batch_size} requested but {type(tracer).__name__} "
+                "has no trace_batch — draining serially (use DeviceTracer "
+                "for batched rollouts)")
         if batch_size > 1 and hasattr(tracer, "trace_batch"):
             while True:
                 seeds = []
@@ -175,7 +180,10 @@ class DeviceTracer:
         from elektronn2_tpu.neuromancer.various import ScanN
 
         self.model = model
-        self.volume = jnp.asarray(volume)
+        # float32 like the host path (warp_slice interpolates and returns
+        # float32): an integer volume would truncate the trilinear
+        # fractions to zero and silently degrade to nearest sampling
+        self.volume = jnp.asarray(volume, jnp.float32)
         if self.volume.ndim != 4:
             raise ValueError("DeviceTracer volume must be (f, Z, X, Y), "
                              f"got {self.volume.shape}")
@@ -254,11 +262,14 @@ class DeviceTracer:
         new_carry = tuple(ctx.get(o) for o in scan.out_memory)
         if model.prediction_node is scan:
             return cell_out, new_carry
-        # head nodes downstream of the scan see the per-step cell output
+        # head nodes downstream of the scan were built against the
+        # time-stacked (s, b, ...) scan shape — their static axis indices
+        # (Perceptron f-axis, prelu/maxout axes) assume that rank, so the
+        # per-step cell output is injected as a length-1 sequence
         ctx2 = TraceCtx(params, {}, rng=None, train=False, state_in=state,
                         node_index=model._node_index)
-        ctx2.values[scan.name] = cell_out
-        return ctx2.get(model.prediction_node), new_carry
+        ctx2.values[scan.name] = cell_out[None]
+        return ctx2.get(model.prediction_node)[0], new_carry
 
     def _init_carry(self, params, state, batch):
         """Initial carried state, re-broadcast from the model's design

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 
 def make_fused_trainstep(model, augmenter, batch_size, n_inner, warp=0.5,
                          grey=True):
-    """Build ``fused(params, opt_state, state, key, hyper) ->
-    (losses(K,), errors(K,) | None, params, opt_state, state)``.
+    """Build ``fused(params, opt_state, state, key, hyper, raws, labels)
+    -> (losses(K,), errors(K,) | None, params, opt_state, state)``.
+    ``raws``/``labels`` are the augmenter's cube stacks, passed through
+    the jit boundary as runtime buffers (see ``fused`` below).
 
     ``hyper`` is traced, so live-mutated optimiser hyperparams (schedules,
     console) apply at chunk granularity with zero recompiles. Buffers are

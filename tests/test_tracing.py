@@ -446,3 +446,44 @@ def test_shotgun_batched_drain_pads_partial_batch(rng):
     traces = reg.run(dt, batch_size=2)        # 2 + (1 padded to 2)
     assert len(traces) == 3
     assert reg.next_seed() is None
+
+
+def test_device_tracer_uint8_volume_matches_host(rng):
+    """Integer EM raw volumes: device trilinear must match the host
+    (previously the fraction truncated to 0 on int dtypes)."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.0005).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.11, 0.37, 0.23], np.float32))
+    vol = (rng.rand(1, 28, 28, 28) * 255).astype(np.uint8)
+    K = 8
+    host = Tracer(m, vol, max_steps=K).trace([13.0, 12.5, 11.0])
+    dev = DeviceTracer(m, vol, max_steps=K).trace([13.0, 12.5, 11.0])
+    assert len(dev.coords) == len(host.coords)
+    np.testing.assert_allclose(dev.coords, host.coords, atol=1e-2)
+
+
+def test_device_tracer_prelu_head(rng):
+    """Axis-sensitive head (prelu Perceptron over the scan output) works:
+    the per-step cell output is injected as a length-1 sequence."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    import elektronn2_tpu.neuromancer as nm
+    patch = (5, 5, 5)
+    T = 3
+    nm.model_manager.reset(seed=13)
+    seq = nm.Input([T, 1, 1, *patch], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([1, 1, *patch], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    mid = nm.Perceptron(scan, 6, activation_func="prelu", name="mid")
+    out = nm.Perceptron(mid, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=seq, prediction_node=out)
+    m.params["step"]["b"] = jnp.asarray([0.3, 0.2, 0.1], np.float32)
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    tr = DeviceTracer(m, vol, max_steps=4).trace([13.0, 13.0, 13.0])
+    assert len(tr.coords) == 5
+    assert np.isfinite(tr.coords).all()
