@@ -29,11 +29,15 @@ class Config:
         self.use_ui = True
         for p in RC_PATHS:
             if os.path.exists(p):
+                # ONE namespace for globals and locals: separate dicts
+                # break rc-file helper functions and comprehensions that
+                # reference other rc-level names (class bodies/exec treat
+                # the locals dict as non-enclosing scope)
                 ns = {}
                 with open(p) as f:
-                    exec(compile(f.read(), p, "exec"), {}, ns)
+                    exec(compile(f.read(), p, "exec"), ns)
                 for k, v in ns.items():
-                    if not k.startswith("_"):
+                    if not k.startswith("_") and k != "__builtins__":
                         setattr(self, k, v)
                 logger.debug(f"loaded machine config from {p}")
                 break

@@ -231,10 +231,13 @@ def malis_weights(affinity_pred, seg_gt, nhood=None, unrestrict_neg=True,
     seg_gt = np.asarray(seg_gt, dtype=np.int32)
     if nhood is None:
         nhood = default_nhood(seg_gt.ndim)
+    nhood = np.asarray(nhood, dtype=np.int32)
     aff_gt = (np.asarray(aff_gt, dtype=np.float32) if aff_gt is not None
               else np.asarray(seg_to_affgraph(seg_gt, nhood),
                               dtype=np.float32))
-    if _malis_cpp is not None:
+    # the C core is written for 3D volumes with (E, 3) neighbourhoods; any
+    # other rank routes to the N-D numpy implementation (same results)
+    if _malis_cpp is not None and seg_gt.ndim == 3 and nhood.shape[1] == 3:
         pos = _malis_cpp.malis_pass(np.minimum(affinity_pred, aff_gt),
                                     seg_gt, nhood, True)
         neg_aff = (affinity_pred if unrestrict_neg

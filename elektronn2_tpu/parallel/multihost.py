@@ -27,17 +27,35 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     On Cloud TPU pods the arguments are auto-detected from the environment;
     pass them explicitly for bring-your-own clusters.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    # NOTE: must run BEFORE any other JAX call — touching jax.devices()/
+    # process_count() here would initialise the local-only backend and make
+    # distributed init impossible. Idempotence is handled by catching the
+    # runtime's own already-initialised error below.
     kwargs = {}
     if coordinator_address:
+        if num_processes is None or process_id is None:
+            raise ValueError("coordinator_address requires num_processes "
+                             "and process_id")
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=int(num_processes),
                       process_id=int(process_id))
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception as e:  # single-host / already-initialised
-        logger.debug(f"jax.distributed.initialize skipped: {e}")
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg:
+            logger.debug("jax.distributed already initialised")
+        elif kwargs:
+            # an explicit multi-host request that failed is an error, not
+            # a debug line — silently continuing would train N independent
+            # un-synchronised copies
+            raise
+        else:
+            logger.warning(f"jax.distributed.initialize failed "
+                           f"(single-host run assumed): {e}")
+    except ValueError as e:
+        # auto-detect found no cluster env: plain single-host run
+        logger.debug(f"jax.distributed auto-detect: {e}")
     logger.info(f"process {jax.process_index()}/{jax.process_count()}, "
                 f"{jax.local_device_count()} local / "
                 f"{jax.device_count()} global devices")

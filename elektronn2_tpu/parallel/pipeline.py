@@ -143,9 +143,15 @@ def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
             yt = lax.dynamic_index_in_dim(
                 y_micro, jnp.clip(m, 0, M - 1), 0, keepdims=False)
             pred = out[tuple(slice(0, d) for d in out_shape)]
-            l_mb = loss_fn(pred, yt).astype(jnp.float32)
             valid = (s == S - 1) & (m >= 0) & (m < M)
-            acc = acc + jnp.where(valid, l_mb, 0.0)
+            # lax.cond, not a where-mask: loss_fn on warm-up/non-final-
+            # stage garbage can produce inf, and masked inf still poisons
+            # the gradient (d/dx of 0*inf = NaN through the scan transpose)
+            l_mb = lax.cond(
+                valid,
+                lambda: loss_fn(pred, yt).astype(jnp.float32),
+                lambda: jnp.float32(0))
+            acc = acc + l_mb
             return (lax.ppermute(out, axis_name, perm), acc), None
 
         carry0 = (jnp.zeros(buf_shape, dtype), jnp.float32(0))

@@ -88,6 +88,13 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
     def local_step(params, opt_state, state, data, target, rng, hyper):
         z_loc = data.shape[2]
         r_space = jax.lax.axis_index(space_axis)
+        # decorrelate stochastic nodes (dropout) across ranks: the key is
+        # replicated in, so fold both mesh coordinates into it — otherwise
+        # every batch/z shard draws the identical mask
+        if rng is not None:
+            rng = jax.random.fold_in(
+                jax.random.fold_in(rng, jax.lax.axis_index(data_axis)),
+                r_space)
         # globally-valid output rows: z_global < Z_total - (fov_z - 1)
         row = r_space * z_loc + jnp.arange(z_loc)
         valid = (row < z_total - (fov_z - 1)).astype(jnp.float32)

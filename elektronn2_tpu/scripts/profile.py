@@ -72,6 +72,11 @@ def main(argv=None):
                     f"({mvox:.1f} Mvox/s)"
                     + (f", train {row['trainingstep_s'] * 1e3:.1f} ms"
                        if "trainingstep_s" in row else ""))
+    if not rows:
+        raise SystemExit(
+            "no size in the sweep produced a measurable model (all "
+            "rebuilds failed — sizes below the minimum valid patch?); "
+            f"not writing {args.out}")
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

@@ -48,26 +48,42 @@ def main(argv=None):
     tkwargs = dict(cfg.pop("trainer_kwargs", {}) or {})
     data = cfg.pop("data_instance", None)
     trainer = trainer_cls(None, data=data, **cfg, **tkwargs)
-    if args.profile:
-        from elektronn2_tpu.utils import profiling
+    if not args.profile:
+        trainer.run()
+        return
 
-        orig_step = trainer.model.trainingstep
-        state = {"n": 0, "active": False}
+    # trace a post-warmup window; counts both per-step and fused-chunk
+    # dispatch units so fused_steps configs are covered, and always stops
+    # the trace on exit (a run shorter than the window would otherwise
+    # leave the trace unterminated/unusable)
+    state = {"n": 0, "active": False}
 
-        def traced_step(*a, **kw):
+    def wrap(obj, attr):
+        orig = getattr(obj, attr)
+
+        def traced(*a, **kw):
             state["n"] += 1
-            if state["n"] == 5 and not state["active"]:
+            if state["n"] == 3 and not state["active"]:
                 jax.profiler.start_trace(args.profile)
                 state["active"] = True
-            out = orig_step(*a, **kw)
-            if state["n"] == 15 and state["active"]:
+            out = orig(*a, **kw)
+            if state["n"] == 13 and state["active"]:
                 jax.profiler.stop_trace()
                 state["active"] = False
                 logger.info(f"device trace written to {args.profile}")
             return out
 
-        trainer.model.trainingstep = traced_step
-    trainer.run()
+        setattr(obj, attr, traced)
+
+    wrap(trainer.model, "trainingstep")
+    from elektronn2_tpu.training import fused_loop
+    wrap(fused_loop.FusedTrainLoop, "run_chunk")
+    try:
+        trainer.run()
+    finally:
+        if state["active"]:
+            jax.profiler.stop_trace()
+            logger.info(f"device trace written to {args.profile}")
 
 
 if __name__ == "__main__":

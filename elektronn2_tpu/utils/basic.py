@@ -137,7 +137,12 @@ class DynamicKDT:
 
     def _ensure_tree(self):
         from scipy.spatial import cKDTree
-        if self._tree is None or self._pending > 0:
+        # deferred rebuild: only fold pending points into the tree once
+        # ``rebuild_thresh`` of them accumulate — pending points are
+        # brute-force scanned at query time, so interleaved append/query
+        # (the tracing loop) stays O(log n + thresh) per query instead of
+        # rebuilding the whole tree every step
+        if self._tree is None or self._pending >= self._thresh:
             if len(self._points) == 0:
                 raise ValueError("empty KD-tree")
             self._tree = cKDTree(self._points.data)
@@ -145,9 +150,25 @@ class DynamicKDT:
 
     def get_knn(self, query, k=None):
         """(distances, points, indices) of the k nearest neighbours."""
-        self._ensure_tree()
         k = k or self.k
-        dist, idx = self._tree.query(np.asarray(query, np.float64), k=k)
+        q = np.asarray(query, np.float64)
+        if q.ndim > 1 and self._pending:
+            self._pending = self._thresh      # batch query: fold pending in
+        self._ensure_tree()
+        dist, idx = self._tree.query(q, k=k)
+        if self._pending and q.ndim == 1:
+            # merge the not-yet-indexed tail by brute force (scalar query)
+            n_tree = int(self._tree.n)
+            tail = self._points.data[n_tree:]
+            td = np.linalg.norm(tail - q.reshape(1, -1), axis=1)
+            all_d = np.concatenate([np.atleast_1d(np.asarray(
+                dist, np.float64)), td])
+            all_i = np.concatenate([np.atleast_1d(np.asarray(idx)),
+                                    np.arange(n_tree, len(self._points))])
+            order = np.argsort(all_d)[:k]
+            dist, idx = all_d[order], all_i[order]
+            if k == 1:
+                dist, idx = dist[0], idx[0]
         return dist, self._points.data[idx], idx
 
     def __len__(self):

@@ -57,20 +57,34 @@ def load_legacy_params(fname):
 
 
 def import_params(model, arrays, strict=False):
-    """Map name→array onto a model's params by suffix/shape matching."""
+    """Map name→array onto a model's params by name, then shape matching.
+
+    Each legacy array is consumed at most once: shape-only fallback
+    assigns arrays in file order, so several same-shaped layers get
+    DISTINCT arrays (re-using the first match for all of them would
+    silently duplicate one layer's weights across the net).
+    """
     n_loaded = 0
+    consumed = set()
     for nname, pdict in model.params.items():
         for pname, cur in pdict.items():
             want_shape = tuple(np.shape(cur))
-            match = None
+            match_key = None
             for k, v in arrays.items():
-                if v.shape == want_shape and (pname in k or nname in k
-                                              or match is None):
-                    match = v
-                    if pname in k or nname in k:
-                        break
-            if match is not None and match.shape == want_shape:
-                model.params[nname][pname] = np.asarray(match,
+                if k in consumed or v.shape != want_shape:
+                    continue
+                if pname in k or nname in k:
+                    match_key = k
+                    break
+                if match_key is None:
+                    match_key = k     # shape-only candidate; keep looking
+            if match_key is not None:
+                if not (pname in match_key or nname in match_key):
+                    logger.warning(
+                        f"legacy import: {nname}/{pname} matched "
+                        f"{match_key!r} by shape only — verify the mapping")
+                consumed.add(match_key)
+                model.params[nname][pname] = np.asarray(arrays[match_key],
                                                         np.float32)
                 n_loaded += 1
             elif strict:

@@ -32,6 +32,36 @@ class FileLock:
         self._contents = lock_file_contents or f"pid={os.getpid()}"
         self.is_locked = False
 
+    def _break_if_stale(self):
+        """Remove a lock whose recorded owner pid is dead (crashed/killed
+        holder never ran release — exactly the crash-recovery scenario in
+        which the trainer auto-resumes and must be able to save again)."""
+        try:
+            with open(self.lockfile) as f:
+                contents = f.read()
+        except OSError:
+            return False        # raced with the owner's release
+        if "pid=" not in contents:
+            return False        # foreign lock format: leave it alone
+        try:
+            pid = int(contents.split("pid=")[1].split()[0])
+        except (ValueError, IndexError):
+            return False
+        if pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)     # signal 0: existence check only
+            return False        # owner alive
+        except ProcessLookupError:
+            pass                # owner dead → stale
+        except PermissionError:
+            return False        # alive, other user
+        try:
+            os.unlink(self.lockfile)
+            return True
+        except FileNotFoundError:
+            return True
+
     def acquire(self):
         deadline = time.monotonic() + self.timeout
         while True:
@@ -45,6 +75,8 @@ class FileLock:
             except OSError as e:
                 if e.errno != errno.EEXIST:
                     raise
+                if self._break_if_stale():
+                    continue
                 if time.monotonic() > deadline:
                     raise FileLockException(
                         f"could not acquire {self.lockfile} within "

@@ -863,3 +863,106 @@ def test_params_from_model_file_orbax(tmp_path):
     assert "c" in params and "w" in params["c"]
     np.testing.assert_allclose(params["c"]["w"],
                                np.asarray(m.params["c"]["w"]))
+
+
+# ---- session-3 review batch 2: utils/parallel/malis/config --------------
+
+def test_filelock_breaks_stale_lock(tmp_path):
+    """A lock left by a dead pid is broken instead of blocking forever."""
+    from elektronn2_tpu.utils.locking import FileLock
+    target = str(tmp_path / "model.mdl")
+    # fabricate a lock owned by a certainly-dead pid
+    with open(target + ".lock", "w") as f:
+        f.write("pid=999999999")
+    import time
+    t0 = time.monotonic()
+    with FileLock(target, timeout=5.0):
+        pass
+    assert time.monotonic() - t0 < 2.0      # broke the stale lock fast
+
+
+def test_filelock_respects_live_lock(tmp_path):
+    from elektronn2_tpu.utils.locking import FileLock, FileLockException
+    import os
+    target = str(tmp_path / "model.mdl")
+    with open(target + ".lock", "w") as f:
+        f.write(f"pid={os.getpid()}")        # our own pid = alive
+    with pytest.raises(FileLockException):
+        FileLock(target, timeout=0.3).acquire()
+    os.unlink(target + ".lock")
+
+
+def test_legacy_import_distinct_arrays_for_same_shape(rng):
+    """Shape-only fallback must hand out DISTINCT legacy arrays to
+    same-shaped layers (no silent duplication)."""
+    from elektronn2_tpu.utils.legacy import import_params
+    model_manager.reset(seed=31)
+    inp = nm.Input([1, 4, 8, 8], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, name="c1")
+    c2 = nm.Conv(c1, 4, 3, 1, name="c2")     # same w shape as c1
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=c2)
+    a0 = rng.randn(4, 4, 3, 3).astype(np.float32)
+    a1 = rng.randn(4, 4, 3, 3).astype(np.float32)
+    arrays = {"arr0": a0, "arr1": a1,
+              "bias0": np.zeros(4, np.float32),
+              "bias1": np.ones(4, np.float32)}
+    import_params(m, arrays)
+    w1 = np.asarray(m.params["c1"]["w"])
+    w2 = np.asarray(m.params["c2"]["w"])
+    assert not np.allclose(w1, w2)           # distinct arrays consumed
+
+
+def test_malis_2d_routes_to_numpy(rng):
+    """2D inputs must not hit the 3D-only C core."""
+    from elektronn2_tpu.malis import malis_weights, seg_to_affgraph, \
+        default_nhood
+    seg = np.zeros((6, 6), np.int32)
+    seg[:3] = 1
+    seg[4:] = 2
+    nhood = default_nhood(2)
+    pred = rng.rand(nhood.shape[0], 6, 6).astype(np.float32)
+    pos, neg = malis_weights(pred, seg, nhood)
+    assert pos.shape == pred.shape and np.isfinite(pos).all()
+    assert neg.shape == pred.shape and np.isfinite(neg).all()
+
+
+def test_dynamic_kdt_deferred_rebuild(rng):
+    from elektronn2_tpu.utils.basic import DynamicKDT
+    kdt = DynamicKDT(points=rng.rand(10, 3) * 10, rebuild_thresh=50)
+    d0, p0, i0 = kdt.get_knn([5.0, 5.0, 5.0])
+    tree_before = kdt._tree
+    # appends below the threshold must NOT rebuild, yet queries must see
+    # the new points
+    kdt.append([5.0, 5.0, 5.01])
+    d1, p1, i1 = kdt.get_knn([5.0, 5.0, 5.0])
+    assert kdt._tree is tree_before          # deferred
+    assert abs(float(d1) - 0.01) < 1e-9      # pending point found
+    np.testing.assert_allclose(p1, [5.0, 5.0, 5.01])
+    # batch query folds pending in
+    d, p, i = kdt.get_knn(np.array([[5.0, 5.0, 5.0], [0.0, 0.0, 0.0]]),
+                          k=1)
+    assert d.shape == (2,)
+    assert abs(float(d[0]) - 0.01) < 1e-9
+
+
+def test_rc_file_single_namespace(tmp_path, monkeypatch):
+    """rc files may use helpers/comprehensions referencing rc globals."""
+    rc = tmp_path / "rc.py"
+    rc.write_text("base = '/data'\n"
+                  "suffixes = ['a', 'b']\n"
+                  "paths = [base + '/' + s for s in suffixes]\n"
+                  "def _helper():\n"
+                  "    return base\n"
+                  "save_path = _helper() + '/runs'\n")
+    import elektronn2_tpu.config as cfgmod
+    monkeypatch.setattr(cfgmod, "RC_PATHS", [str(rc)])
+    c = cfgmod.Config()
+    assert c.save_path == "/data/runs"
+    assert c.paths == ["/data/a", "/data/b"]
+
+
+def test_multihost_explicit_args_validated():
+    from elektronn2_tpu.parallel import multihost
+    with pytest.raises(ValueError, match="num_processes"):
+        multihost.initialize(coordinator_address="1.2.3.4:9999")
