@@ -169,7 +169,12 @@ class Trainer:
             d, t = self.data.getbatch(self.monitor_batch_size, source=source,
                                       **{**self.data_batch_args,
                                          "warp": False})
-        except (ValueError, RuntimeError):
+        except (ValueError, RuntimeError) as e:
+            if not getattr(self, "_warned_no_valid", False):
+                self._warned_no_valid = True
+                logger.warning(
+                    f"no {source!r} data available ({e}) — validation "
+                    "skipped (configure valid_cubes for held-out metrics)")
             return np.nan, np.nan
         loss, err = self.model.test_error(d, t)
         return (float(loss), float(err) if err is not None else np.nan)
@@ -290,8 +295,9 @@ class Trainer:
                                                 tr_err, last_loss, last_err)
                     self._tb_scalars(loss_f, tr_err, last_loss,
                                      last_err)
-                    logger.info(f"validation: loss={last_loss:.4f} "
-                                f"err={last_err:.4f}")
+                    if np.isfinite(last_loss):
+                        logger.info(f"validation: loss={last_loss:.4f} "
+                                    f"err={last_err:.4f}")
                 if self.preview_freq and self.step % self.preview_freq == 0:
                     self.preview_prediction()
                 if self.save_freq and self.step % self.save_freq == 0:
@@ -399,8 +405,9 @@ class Trainer:
                     self.history.update_history(
                         self.step, float(losses[-1]), tr_err, last_loss,
                         last_err)
-                    logger.info(f"validation: loss={last_loss:.4f} "
-                                f"err={last_err:.4f}")
+                    if np.isfinite(last_loss):
+                        logger.info(f"validation: loss={last_loss:.4f} "
+                                    f"err={last_err:.4f}")
                 if self.preview_freq and self.step % self.preview_freq \
                         < n_inner:
                     self.preview_prediction()
