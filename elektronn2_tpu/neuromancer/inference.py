@@ -388,45 +388,56 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
 
     halo_lo = [(f - 1) // 2 for f in fov]
     halo_hi = [f - 1 - h for f, h in zip(fov, halo_lo)]
-    done = 0
-    for z0 in range(0, rshape[0], step[0]):
-        for x0 in range(0, rshape[1], step[1]):
-            for y0 in range(0, rshape[2], step[2]):
-                o = (z0, x0, y0)
-                # stage slab + halo, clamped to dataset bounds (missing
-                # halo at the edges is reflect-padded below)
-                lo_cut = [max(0, -(region[d][0] + o[d] - halo_lo[d]))
-                          for d in range(3)]
-                sub = [slice(max(0, region[d][0] + o[d] - halo_lo[d]),
-                             min(region[d][0] + o[d] + step[d] + halo_hi[d],
-                                 karr.shape[-3:][d])) for d in range(3)]
-                slab = np.asarray(karr[tuple(sub)] if karr.ndim == 3
-                                  else karr[(slice(None),) + tuple(sub)])
-                if slab.ndim == 3:
-                    slab = slab[None]
-                if slab.dtype == np.uint8:
-                    slab = slab.astype(np.float32) / 255.0
-                # reflect-pad any missing halo at dataset edges
-                pads = [(0, 0)]
-                want = [step[d] + fov[d] - 1 for d in range(3)]
-                for d in range(3):
-                    have = slab.shape[1 + d]
-                    pads.append((lo_cut[d], max(0, want[d] - have
-                                                - lo_cut[d])))
-                if any(p != (0, 0) for p in pads):
-                    slab = np.pad(slab, pads, mode="reflect")
-                if mesh is not None:
-                    dense = np.asarray(model.predict_dense_sharded(
-                        jnp.asarray(slab), mesh, axis_name=axis_name))
-                else:
-                    dense = np.asarray(model.predict_dense_device(
-                        jnp.asarray(slab)))
-                n = [min(step[d], rshape[d] - o[d]) for d in range(3)]
-                out[:, o[0]:o[0] + n[0], o[1]:o[1] + n[1],
-                    o[2]:o[2] + n[2]] = dense[:, :n[0], :n[1], :n[2]]
-                done += 1
-                if verbose:
-                    logger.info(f"sweep_knossos: slab {done}")
+    origins = [(z0, x0, y0)
+               for z0 in range(0, rshape[0], step[0])
+               for x0 in range(0, rshape[1], step[1])
+               for y0 in range(0, rshape[2], step[2])]
+
+    def stage(o):
+        """Read slab + halo from the backing store, clamped to dataset
+        bounds (missing halo at the edges is reflect-padded)."""
+        lo_cut = [max(0, -(region[d][0] + o[d] - halo_lo[d]))
+                  for d in range(3)]
+        sub = [slice(max(0, region[d][0] + o[d] - halo_lo[d]),
+                     min(region[d][0] + o[d] + step[d] + halo_hi[d],
+                         karr.shape[-3:][d])) for d in range(3)]
+        slab = np.asarray(karr[tuple(sub)] if karr.ndim == 3
+                          else karr[(slice(None),) + tuple(sub)])
+        if slab.ndim == 3:
+            slab = slab[None]
+        if slab.dtype == np.uint8:
+            slab = slab.astype(np.float32) / 255.0
+        pads = [(0, 0)]
+        want = [step[d] + fov[d] - 1 for d in range(3)]
+        for d in range(3):
+            have = slab.shape[1 + d]
+            pads.append((lo_cut[d], max(0, want[d] - have - lo_cut[d])))
+        if any(p != (0, 0) for p in pads):
+            slab = np.pad(slab, pads, mode="reflect")
+        return slab
+
+    # double-buffered host prefetch: slab i+1 is read from disk (one
+    # worker thread) while slab i runs on device — the reference's
+    # KnossosArray prefetch workers, reduced to the one thread this
+    # producer/consumer pattern needs
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(stage, origins[0])
+        for i, o in enumerate(origins):
+            slab = fut.result()
+            if i + 1 < len(origins):
+                fut = pool.submit(stage, origins[i + 1])
+            if mesh is not None:
+                dense = np.asarray(model.predict_dense_sharded(
+                    jnp.asarray(slab), mesh, axis_name=axis_name))
+            else:
+                dense = np.asarray(model.predict_dense_device(
+                    jnp.asarray(slab)))
+            n = [min(step[d], rshape[d] - o[d]) for d in range(3)]
+            out[:, o[0]:o[0] + n[0], o[1]:o[1] + n[1],
+                o[2]:o[2] + n[2]] = dense[:, :n[0], :n[1], :n[2]]
+            if verbose:
+                logger.info(f"sweep_knossos: slab {i + 1}/{len(origins)}")
     return out
 
 
