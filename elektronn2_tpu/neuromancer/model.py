@@ -804,14 +804,18 @@ def rebuild_model(model, override_mfp_to_active=False,
                     if "b" in tags:
                         shape[tags.index("b")] = int(pred_ts["b"])
             new = _build(descriptors, arrays)
-    # copy over params and aux state where shapes still match
+    # copy over params and aux state where shapes still match — DEEP
+    # copies: trainingstep donates its buffers, so sharing array refs
+    # between old and new model would let training one invalidate the
+    # other ("Array has been deleted")
     for nname, pdict in model.params.items():
         if nname in new.params:
             for pname, v in pdict.items():
                 if (pname in new.params[nname]
                         and new.params[nname][pname].shape == v.shape):
-                    new.params[nname][pname] = v
-    new.state = {k: dict(v) for k, v in model.state.items()}
+                    new.params[nname][pname] = jnp.array(v)
+    new.state = {k: {sk: jnp.array(sv) for sk, sv in v.items()}
+                 for k, v in model.state.items()}
     # carry over the optimiser: params are patch-size-invariant, so the
     # restored slot state (Adam moments etc.) transfers — dropping it here
     # would silently restart a resumed run's moments from zero
@@ -824,7 +828,8 @@ def rebuild_model(model, override_mfp_to_active=False,
         old_leaves, _ = jax.tree_util.tree_flatten(model.opt_state)
         new_leaves, treedef = jax.tree_util.tree_flatten(new.opt_state)
         if len(old_leaves) == len(new_leaves):
-            merged = [o if getattr(o, "shape", None) == n.shape else n
+            merged = [jnp.array(o)     # copy: donation safety (see above)
+                      if getattr(o, "shape", None) == n.shape else n
                       for o, n in zip(old_leaves, new_leaves)]
             new.opt_state = jax.tree_util.tree_unflatten(treedef, merged)
     new._compute_dtype = model._compute_dtype

@@ -44,12 +44,35 @@ def main(argv=None):
 
     base = modelload(args.model)
     nsp = len(base.input_node.shape.spatial_axes)
+
+    def snap_valid(size):
+        """Snap a requested size to the closest cnncalculator-valid input
+        (per spatial dim) for the model's Conv chain, like the reference
+        workflow; fall back to the raw size if the chain is irregular."""
+        from elektronn2_tpu.neuromancer import neural
+        from elektronn2_tpu.utils.cnncalculator import \
+            get_cloesest_valid_patch_size
+        try:
+            convs = [n for n in base.nodes.values()
+                     if isinstance(n, neural.Conv)]
+            sizes = []
+            for d in range(nsp):
+                filters = [c.filter_shape[d] for c in convs]
+                pools = [c.pool_shape[d] for c in convs]
+                sizes.append(int(get_cloesest_valid_patch_size(
+                    filters, pools, size, mfp=any(c.mfp for c in convs),
+                    ndim=1)))
+            return sizes
+        except Exception:
+            return [size] * nsp
+
     rows = []
     for size in [int(s) for s in args.sizes.split(",")]:
+        patch = snap_valid(size)
+        if patch != [size] * nsp:
+            logger.info(f"size {size}: snapped to valid patch {patch}")
         try:
-            from elektronn2_tpu.utils.cnncalculator import \
-                get_cloesest_valid_patch_size
-            model = rebuild_model(base, imposed_patch_size=[size] * nsp)
+            model = rebuild_model(base, imposed_patch_size=patch)
         except Exception as e:
             logger.warning(f"size {size}: rebuild failed ({e})")
             continue

@@ -966,3 +966,25 @@ def test_multihost_explicit_args_validated():
     from elektronn2_tpu.parallel import multihost
     with pytest.raises(ValueError, match="num_processes"):
         multihost.initialize(coordinator_address="1.2.3.4:9999")
+
+
+def test_rebuild_model_donation_safety(rng):
+    """Training a rebuilt model must not invalidate the source model's
+    arrays (trainingstep donates buffers; rebuild must deep-copy)."""
+    from elektronn2_tpu.neuromancer.model import rebuild_model
+    m, *_ = _tiny_model()
+    m.set_opt("SGD", lr=1e-2, mom=0.9)
+    x = rng.rand(2, 1, 8, 8).astype(np.float32)
+    y = (rng.rand(2, 6, 6) > 0.5).astype(np.int32)
+    m.trainingstep(x, y)                     # create momentum slots
+    m2 = rebuild_model(m, imposed_patch_size=[10, 10])
+    x2 = rng.rand(2, 1, 10, 10).astype(np.float32)
+    y2 = (rng.rand(2, 8, 8) > 0.5).astype(np.int32)
+    m2.trainingstep(x2, y2)                  # donates m2's buffers
+    # the ORIGINAL model must still be fully usable
+    l, _ = m.trainingstep(x, y)
+    assert np.isfinite(float(l))
+    # and vice versa: rebuild from m again after m trained
+    m3 = rebuild_model(m, imposed_patch_size=[12, 12])
+    out = m3.predict(rng.rand(2, 1, 12, 12).astype(np.float32))
+    assert np.isfinite(np.asarray(out)).all()
