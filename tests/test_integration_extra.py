@@ -270,3 +270,29 @@ def test_knossos_sweep_sharded_matches_single(rng, tmp_path):
     sharded = m.sweep_knossos(ka, step=[12, 16, 16],
                               mesh=make_mesh({"space": 8}))
     np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+
+def test_neuro2d_example_config(tmp_path):
+    """The 2D example config trains with decreasing loss and predicts
+    densely (2D path of the config surface)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "neuro2d_cfg", "examples/neuro2d.py")
+    cfg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg)
+    from elektronn2_tpu.training.trainer import Trainer
+    tr = Trainer(model=cfg.create_model(),
+                 data=__import__("elektronn2_tpu.data", fromlist=["x"]
+                                 ).DeviceBatchAugmenter(
+                     **cfg.data_init_kwargs),
+                 batch_size=4, n_steps=30, history_freq=0, save_freq=0,
+                 n_workers=0, save_path=str(tmp_path), save_name="n2d",
+                 data_batch_args={"warp": 0.3})
+    hist = tr.run()
+    losses = [row[2] for row in hist.timeline]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    # 2D dense prediction over a larger image
+    img = np.random.RandomState(0).rand(1, 128, 128).astype(np.float32)
+    out = tr.model.predict_dense(img, pad_raw=True)
+    assert out.shape[1:] == (128, 128)
+    assert np.isfinite(np.asarray(out)).all()

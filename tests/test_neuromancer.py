@@ -518,3 +518,46 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
     assert np.isfinite(float(l))
     with pytest.raises(ValueError):
         m.save(str(tmp_path / "x"), backend="bogus")
+
+
+def test_spec_roundtrip_fuzz(rng, tmp_path):
+    """Property-style sweep: randomly assembled graphs from the node zoo
+    must survive save -> load -> replay with bit-identical predictions."""
+    from elektronn2_tpu.neuromancer.model import modelload
+
+    for trial in range(6):
+        trng = np.random.RandomState(100 + trial)
+        model_manager.reset(seed=200 + trial)
+        nsp = trng.choice([2, 3])
+        tags = "b,f,z,x,y" if nsp == 3 else "b,f,x,y"
+        sp = [int(trng.randint(9, 14)) for _ in range(nsp)]
+        inp = nm.Input([1, 2, *sp], tags, name="raw")
+        h = inp
+        n_layers = trng.randint(1, 4)
+        for i in range(n_layers):
+            kind = trng.choice(["conv", "pool", "bn", "dropout", "lrn"])
+            if kind == "conv" and min(h.shape.spatial_shape) >= 3:
+                act = str(trng.choice(["relu", "tanh", "abs", "prelu"]))
+                h = nm.Conv(h, int(trng.randint(2, 5)), 3, 1,
+                            activation_func=act, name=f"c{i}")
+            elif kind == "pool" and all(
+                    s % 2 == 0 for s in h.shape.spatial_shape):
+                h = nm.Pool(h, 2, name=f"p{i}")
+            elif kind == "bn":
+                h = nm.BatchNorm(h, name=f"bn{i}")
+            elif kind == "dropout":
+                h = nm.Dropout(h, 0.3, name=f"dr{i}")
+            else:
+                h = nm.LRN(h, name=f"lrn{i}")
+        out = nm.Conv(h, 2, 1, 1, activation_func="lin", name="cls")
+        probs = nm.Softmax(out, name="probs")
+        m = model_manager.getmodel(f"fuzz{trial}")
+        m.designate_nodes(input_node=inp, prediction_node=probs)
+
+        x = trng.rand(1, 2, *sp).astype(np.float32)
+        want = np.asarray(m.predict(x))
+        f = str(tmp_path / f"fuzz{trial}.mdl")
+        m.save(f)
+        m2 = modelload(f)
+        got = np.asarray(m2.predict(x))
+        np.testing.assert_array_equal(got, want), f"trial {trial}"
