@@ -79,7 +79,7 @@ def extract_params(layers):
 
 
 def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
-                axis_name="pipe"):
+                axis_name="pipe", data_axis=None):
     """Build a pipelined, differentiable loss function for a conv stack.
 
     ``layers``: halo.py-style list of dicts {w, b, activation, pool}; the
@@ -88,6 +88,12 @@ def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
     on the last stage (its MEAN over microbatches is returned, matching
     the unpipelined loss of the full batch for mean-style losses).
     ``mb_input_shape``: shape of ONE microbatch input (b_mb, f, *spatial).
+
+    With ``data_axis``, DP composes with PP: each microbatch's batch dim
+    is additionally sharded over that mesh axis (every data shard runs
+    its own pipeline; gradients sum across shards through the replicated-
+    params transpose) — ``loss_fn`` must be a MEAN over its local batch
+    and ``mb_input_shape`` stays the GLOBAL per-microbatch shape.
 
     Returns ``(loss_of(params, x_micro, y_micro), meta, params)`` where
     x_micro/y_micro carry a leading (n_micro,) axis (see ``microbatch``).
@@ -102,8 +108,15 @@ def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
     meta, params = extract_params(layers)
     stage_idxs = [list(c) for c in np.array_split(range(len(layers)), S)]
     dtype = params[0]["w"].dtype      # buffer/compute dtype (bf16-capable)
+    n_data = mesh.shape[data_axis] if data_axis else 1
+    if mb_input_shape[0] % n_data:
+        raise ValueError(f"microbatch batch dim {mb_input_shape[0]} not "
+                         f"divisible by {data_axis}={n_data}")
+    mb_input_shape = ((mb_input_shape[0] // n_data,)
+                      + tuple(mb_input_shape[1:]))
 
-    # stage-boundary shapes (static): input of stage 0 is the microbatch
+    # stage-boundary shapes (static): input of stage 0 is the (per-data-
+    # shard) microbatch
     bounds = [tuple(int(v) for v in mb_input_shape)]
     for k in range(S):
         out = jax.eval_shape(
@@ -156,11 +169,13 @@ def gpipe_stack(layers, mesh, loss_fn, mb_input_shape, n_micro,
 
         carry0 = (jnp.zeros(buf_shape, dtype), jnp.float32(0))
         (_, acc), _ = lax.scan(tick, carry0, jnp.arange(T))
-        return lax.psum(acc, axis_name) / M
+        axes = (axis_name,) + ((data_axis,) if data_axis else ())
+        return lax.psum(acc, axes) / (M * n_data)
 
+    io_spec = P(None, data_axis) if data_axis else P()
     loss_of = jax.shard_map(
-        sharded, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
-        check_vma=False)
+        sharded, mesh=mesh, in_specs=(P(), io_spec, io_spec),
+        out_specs=P(), check_vma=False)
     return loss_of, meta, params
 
 

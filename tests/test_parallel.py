@@ -469,3 +469,46 @@ def test_gpipe_bf16(rng):
     l, g = jax.jit(jax.value_and_grad(loss_of))(params, xm, ym)
     assert np.isfinite(float(l))
     assert g[0]["w"].dtype == jnp.bfloat16
+
+
+def test_gpipe_composes_with_dp(rng):
+    """DP×PP: microbatch batch dims sharded over 'data' while stages
+    pipeline over 'pipe' — loss and grads == the sequential stack."""
+    from elektronn2_tpu.parallel import (gpipe_stack, microbatch,
+                                         gpipe_reference_loss)
+    from elektronn2_tpu.parallel.pipeline import (_stage_apply,
+                                                  extract_params)
+    layers = _pp_layers(rng)
+
+    def loss_fn(pred, tgt):
+        return jnp.mean((pred - tgt) ** 2)
+
+    M, b_mb = 2, 4                     # global microbatch of 4, 2 shards
+    x = rng.rand(M * b_mb, 1, 12, 20, 20).astype(np.float32)
+    xm = microbatch(jnp.asarray(x), M)
+    meta, params = extract_params(layers)
+    y0 = _stage_apply(meta, params, range(len(layers)), xm[0])
+    ym = jnp.stack([jnp.full_like(y0, 0.5)] * M)
+
+    mesh = make_mesh({"data": 2, "pipe": 2},
+                     devices=jax.devices()[:4])
+    loss_of, _, params_p = gpipe_stack(
+        layers, mesh, loss_fn, mb_input_shape=(b_mb, 1, 12, 20, 20),
+        n_micro=M, data_axis="data")
+    l_pipe = float(jax.jit(loss_of)(params_p, xm, ym))
+    l_ref = float(gpipe_reference_loss(layers, loss_fn, xm, ym))
+    np.testing.assert_allclose(l_pipe, l_ref, rtol=1e-5)
+
+    g_pipe = jax.jit(jax.grad(loss_of))(params_p, xm, ym)
+
+    def ref_loss(p):
+        ls = [loss_fn(_stage_apply(meta, p, range(len(layers)), xm[m]),
+                      ym[m]) for m in range(M)]
+        return jnp.mean(jnp.stack(ls))
+
+    g_ref = jax.grad(ref_loss)(params)
+    for gp, gr in zip(g_pipe, g_ref):
+        for k in gr:
+            np.testing.assert_allclose(np.asarray(gp[k]),
+                                       np.asarray(gr[k]),
+                                       rtol=1e-4, atol=1e-6)
