@@ -495,6 +495,29 @@ class TracingTrainer(Trainer):
         return self.data.get_tracing_batch(self.batch_size,
                                            n_steps=self.n_scan_steps)
 
+    def preview_rollout(self, n_agents=16, max_steps=128, seeds=None,
+                        cube=0):
+        """Roll the current model out as a batched on-device agent
+        (``DeviceTracer``) over a training cube — the tracing analog of
+        the dense-prediction preview. Returns the traces and logs simple
+        quality statistics (mean length, mean tortuosity)."""
+        from elektronn2_tpu.data.tracing_utils import DeviceTracer
+        vol = np.asarray(self.data.train_d[int(cube)], np.float32)
+        tracer = DeviceTracer(self.model, vol, max_steps=int(max_steps))
+        if seeds is None:
+            rng = np.random.RandomState(self.step)
+            margin = np.asarray(tracer.patch_size) / 2 + 2
+            lo, hi = margin, np.asarray(vol.shape[1:]) - margin
+            seeds = rng.uniform(lo, hi, size=(int(n_agents), 3))
+        traces = tracer.trace_batch(seeds)
+        lens = [len(t.coords) for t in traces]
+        torts = [t.tortuosity() for t in traces if len(t.coords) > 2]
+        logger.info(
+            f"rollout preview @step {self.step}: {len(traces)} agents, "
+            f"mean length {np.mean(lens):.1f}, mean tortuosity "
+            f"{np.mean(torts) if torts else float('nan'):.2f}")
+        return traces
+
     def run(self):
         # tracing batches come from get_tracing_batch instead of getbatch
         orig = self.data.getbatch if self.data is not None else None

@@ -487,3 +487,42 @@ def test_device_tracer_prelu_head(rng):
     tr = DeviceTracer(m, vol, max_steps=4).trace([13.0, 13.0, 13.0])
     assert len(tr.coords) == 5
     assert np.isfinite(tr.coords).all()
+
+
+def test_tracing_trainer_preview_rollout(rng, tmp_path):
+    """TracingTrainer.preview_rollout drives DeviceTracer over a training
+    cube with the in-training model."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data.cnndata import AgentData
+    from elektronn2_tpu.training.trainer import TracingTrainer
+
+    vol = rng.rand(1, 32, 32, 32).astype(np.float32)
+    lab = (vol[0] > 0.5).astype(np.int16)
+    ad = AgentData(input_data=[vol], target_data=[lab])
+    ad.set_geometry((5, 5, 5))
+    ad.skeletons = [line_skeleton(n=12, step=1.5)]
+
+    T, B = 3, 2
+    nm.model_manager.reset(seed=6)
+    seq = nm.Input([T, B, 1, 5, 5, 5], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, 5, 5, 5], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    out = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    tgt = nm.Input([T, B, 3], "s,b,f", name="tgt")
+    loss = nm.AggregateLoss(nm.SquaredLoss(out, tgt))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=seq, target_node=tgt, loss_node=loss,
+                      prediction_node=out)
+    m.params["step"]["b"] = jnp.asarray([0.3, 0.2, 0.1], np.float32)
+
+    tr = TracingTrainer(model=m, data=ad, batch_size=B, n_steps=2,
+                        n_scan_steps=T, history_freq=0, save_freq=0,
+                        n_workers=0, save_path=str(tmp_path),
+                        save_name="pv")
+    traces = tr.preview_rollout(n_agents=4, max_steps=6)
+    assert len(traces) == 4
+    assert all(np.isfinite(t.coords).all() for t in traces)
