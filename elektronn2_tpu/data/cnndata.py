@@ -321,11 +321,15 @@ class GridData(BatchCreatorImage):
         self.point_radius = float(point_radius)
         if grid_points:
             r = int(np.ceil(self.point_radius))
+            # ONE label id for the point class across ALL cubes (a per-cube
+            # max+1 would rasterise the same semantic class under different
+            # ids in cubes whose existing label ranges differ)
+            lab = (point_label if point_label is not None
+                   else int(max(int(c.max()) for c in self._all_labels))
+                   + 1)
             # pair with cubes in the ORIGINAL order the user supplied
             # (train/valid splitting reorders train_l/valid_l)
             for cube_l, pts in zip(self._all_labels, self.grid_points):
-                lab = (point_label if point_label is not None
-                       else int(cube_l.max()) + 1)
                 sh = cube_l.shape[-3:]
                 for p in np.asarray(pts, np.float64).reshape(-1, 3):
                     lo = np.maximum(np.floor(p - r).astype(int), 0)
@@ -357,4 +361,5 @@ class AgentData(BatchCreatorImage):
 
     def get_tracing_batch(self, batch_size=1, n_steps=8, source="train"):
         from elektronn2_tpu.data.skeleton import sample_tracing_batch
-        return sample_tracing_batch(self, batch_size, n_steps, self.rng)
+        return sample_tracing_batch(self, batch_size, n_steps, self.rng,
+                                    source=source)

@@ -133,6 +133,17 @@ class KnossosArray:
         if self._pool is None:
             return
         with self._lock:
+            # fold completed-but-never-read prefetches into the LRU cache
+            # first — only _get_cube pops _pending, so skipped positions
+            # would otherwise accumulate there unboundedly past max_ram
+            for key in [k for k, f in self._pending.items() if f.done()]:
+                fut = self._pending.pop(key)
+                try:
+                    self._cache[key] = fut.result()
+                except Exception as e:   # surface IO errors, don't swallow
+                    logger.warning(f"prefetch of cube {key} failed: {e}")
+            while len(self._cache) > self._max_cubes:
+                self._cache.popitem(last=False)
             for key in keys:
                 if key not in self._cache and key not in self._pending:
                     self._pending[key] = self._pool.submit(self._load_cube,

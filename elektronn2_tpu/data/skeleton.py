@@ -282,22 +282,31 @@ def clear_skeleton_registry():
 
 # ------------------------------------------------------- tracing batches
 
-def sample_tracing_batch(agent_data, batch_size, n_steps, rng):
+def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
+                         source="train"):
     """(patches, directions, states) for TracingTrainer.
 
     For each sample: pick a skeleton + walk; at each step cut the image
     patch at the current position and compute the direction target. Returns
     sequences shaped (n_steps, b, ...) for ScanN consumption.
+    ``source='valid'`` cuts patches from the held-out cubes so validation
+    metrics are genuinely out-of-sample.
     """
     from elektronn2_tpu.data.transformations import warp_slice, WarpingOOBError
     if not agent_data.skeletons:
         raise ValueError("AgentData has no skeletons loaded")
+    if source == "valid":
+        vols = agent_data.valid_d
+        if not vols:
+            raise ValueError("no validation cubes configured")
+    else:
+        vols = agent_data.train_d
     ps = agent_data.patch_size
     seq_d = np.zeros((n_steps, batch_size, agent_data.n_ch, *ps), np.float32)
     seq_t = np.zeros((n_steps, batch_size, 3), np.float32)
     for b in range(batch_size):
         sk = agent_data.skeletons[rng.randint(len(agent_data.skeletons))]
-        vol = agent_data.train_d[rng.randint(len(agent_data.train_d))]
+        vol = vols[rng.randint(len(vols))]
         path = sk.walk(sk.sample_node(rng), n_steps, rng)
         for t in range(n_steps):
             pos = sk.positions[path[t]]

@@ -43,7 +43,16 @@ def conv(x, w, border_mode="valid", stride=None, dilation=None,
         raise ValueError(f"weight rank {w.ndim} does not match input rank {x.ndim}")
     stride = (1,) * nsp if stride is None else tuple(stride)
     dilation = (1,) * nsp if dilation is None else tuple(dilation)
-    pad = "VALID" if border_mode == "valid" else "SAME"
+    if border_mode == "valid":
+        pad = "VALID"
+    elif border_mode == "same":
+        pad = "SAME"
+    elif border_mode == "full":
+        # reference Theano 'full' convolution: output = input + k - 1
+        pad = [(k - 1, k - 1) for k in w.shape[2:]]
+    else:
+        raise ValueError(f"border_mode={border_mode!r}: expected 'valid', "
+                         "'same' or 'full'")
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=pad,
         rhs_dilation=dilation, dimension_numbers=_dim_numbers(nsp),

@@ -397,10 +397,17 @@ def random_elastic_fields(key, batch_size, patch_size, grid=4, sigma=3.0):
     (``jax.image.resize``).
     """
     coarse = jax.random.normal(key, (batch_size, 3, grid, grid, grid)) * sigma
-    return jax.image.resize(coarse,
-                            (batch_size, 3) + tuple(int(p)
-                                                    for p in patch_size),
-                            method="trilinear")
+    fields = jax.image.resize(coarse,
+                              (batch_size, 3) + tuple(int(p)
+                                                      for p in patch_size),
+                              method="trilinear")
+    # singleton axes (2D data promoted to z=1) get NO displacement: a
+    # nonzero z-component would sample the zero padding around the single
+    # real plane and black out patch regions
+    for d, p in enumerate(patch_size):
+        if int(p) == 1:
+            fields = fields.at[:, d].set(0.0)
+    return fields
 
 
 def grey_augment(key, x, channels=None):
@@ -413,14 +420,16 @@ def grey_augment(key, x, channels=None):
     alpha = 1.0 + jax.random.uniform(kc, (B, F), minval=-0.3, maxval=0.3)
     beta = jax.random.uniform(kb, (B, F), minval=-0.15, maxval=0.15)
     gamma = 2.0 ** jax.random.uniform(kg, (B, F), minval=-1.0, maxval=1.0)
-    if channels is not None:
-        mask = jnp.zeros(F, bool).at[jnp.asarray(channels)].set(True)
-        alpha = jnp.where(mask, alpha, 1.0)
-        beta = jnp.where(mask, beta, 0.0)
-        gamma = jnp.where(mask, gamma, 1.0)
     shape = (B, F) + (1,) * (x.ndim - 2)
     y = x * alpha.reshape(shape) + beta.reshape(shape)
-    return jnp.clip(y, 0.0, 1.0) ** gamma.reshape(shape)
+    y = jnp.clip(y, 0.0, 1.0) ** gamma.reshape(shape)
+    if channels is not None:
+        # excluded channels pass through UNTOUCHED (the host greyAugment
+        # never reads them) — even the [0,1] clip would corrupt channels
+        # holding e.g. signed distance features
+        mask = jnp.zeros(F, bool).at[jnp.asarray(channels)].set(True)
+        y = jnp.where(mask.reshape((1, F) + (1,) * (x.ndim - 2)), y, x)
+    return y
 
 
 # ------------------------------------------------------- batched pipeline

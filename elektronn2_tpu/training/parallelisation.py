@@ -122,6 +122,7 @@ class BackgroundProc:
         elif mode == "thread":
             self.q = queue.Queue(maxsize=queue_size)
             self._stop = threading.Event()
+            self._target_lock = threading.Lock()
             self._workers = [
                 threading.Thread(target=self._thread_work, daemon=True,
                                  name=f"bgproc-{i}")
@@ -135,7 +136,15 @@ class BackgroundProc:
         while not self._stop.is_set():
             try:
                 t0 = time.perf_counter()
-                item = self.target(*self.target_args, **self.target_kwargs)
+                # one target call at a time: data sources draw from a
+                # shared np.RandomState, which is NOT thread-safe —
+                # unlocked concurrent getbatch can emit duplicated
+                # batches. (Thread mode still overlaps batch prep with
+                # the main loop; process mode reseeds per worker and
+                # runs truly parallel.)
+                with self._target_lock:
+                    item = self.target(*self.target_args,
+                                       **self.target_kwargs)
                 if self.profile:
                     logger.debug(f"bgproc item in "
                                  f"{time.perf_counter() - t0:.3f}s")

@@ -245,7 +245,10 @@ class Trainer:
             while self.step < self.n_steps:
                 if self.console.paused:
                     time.sleep(0.2)
-                    self.console.poll()
+                    # poll() returns False on 'q' — honour it while paused
+                    # too, or quit-from-pause spins forever
+                    if not self.console.poll():
+                        break
                     continue
                 batch = (self._bg.get() if use_bg
                          else data.getbatch(self.batch_size,
@@ -358,7 +361,10 @@ class Trainer:
             while self.step < self.n_steps:
                 if self.console.paused:
                     time.sleep(0.2)
-                    self.console.poll()
+                    # poll() returns False on 'q' — honour it while paused
+                    # too, or quit-from-pause spins forever
+                    if not self.console.poll():
+                        break
                     continue
                 if self.n_steps - self.step < n_inner:
                     # tail shorter than a chunk: finish with plain steps so

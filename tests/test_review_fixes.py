@@ -988,3 +988,96 @@ def test_rebuild_model_donation_safety(rng):
     m3 = rebuild_model(m, imposed_patch_size=[12, 12])
     out = m3.predict(rng.rand(2, 1, 12, 12).astype(np.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---- session-3 review batch 3: ops/data/training whole-module pass ------
+
+def test_elastic_zero_on_singleton_axes(rng):
+    """2D data (z promoted to 1): elastic fields must not displace along
+    the singleton axis (it would sample the zero padding)."""
+    import jax
+    from elektronn2_tpu.ops.warp import (random_elastic_fields,
+                                         DeviceBatchAugmenter)
+    f = random_elastic_fields(jax.random.PRNGKey(0), 2, (1, 16, 16),
+                              grid=3, sigma=4.0)
+    assert float(jnp.abs(f[:, 0]).max()) == 0.0
+    assert float(jnp.abs(f[:, 1:]).max()) > 0.0
+    # end-to-end: 2D augmenter with elastic keeps patches in data range
+    raws = [np.full((1, 40, 40), 0.7, np.float32) for _ in range(2)]
+    labs = [np.ones((40, 40), np.int16) for _ in range(2)]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(16, 16),
+                               elastic_sigma=3.0, seed=0)
+    d, t = aug.getbatch(batch_size=4, warp=1.0)
+    d = np.asarray(d)
+    # constant-0.7 volume: any 0-ish voxel means zero padding leaked in
+    assert d.min() > 0.5, f"zero padding sampled: min={d.min()}"
+
+
+def test_grey_augment_excluded_channels_untouched(rng):
+    import jax
+    from elektronn2_tpu.ops.warp import grey_augment
+    x = np.stack([rng.rand(1, 8, 8, 8).astype(np.float32)[0],
+                  (rng.rand(8, 8, 8) * 10 - 5).astype(np.float32)])[None]
+    y = np.asarray(grey_augment(jax.random.PRNGKey(1), jnp.asarray(x),
+                                channels=[0]))
+    np.testing.assert_array_equal(y[:, 1], x[:, 1])    # untouched
+    assert not np.allclose(y[:, 0], x[:, 0])           # augmented
+
+
+def test_tracing_batch_valid_source(rng):
+    """source='valid' cuts patches from held-out cubes only."""
+    from elektronn2_tpu.data.cnndata import AgentData
+    from test_tracing import line_skeleton
+    v_train = np.zeros((1, 28, 28, 28), np.float32)
+    v_valid = np.ones((1, 28, 28, 28), np.float32)
+    ad = AgentData(input_data=[v_train, v_valid],
+                   target_data=[np.zeros((28, 28, 28), np.int16)] * 2,
+                   valid_cubes=[1])
+    ad.set_geometry((5, 5, 5))
+    ad.skeletons = [line_skeleton(n=10, step=1.5)]
+    d, t = ad.get_tracing_batch(2, n_steps=3, source="valid")
+    assert d.min() >= 0.99           # all-ones cube → valid split used
+    d2, _ = ad.get_tracing_batch(2, n_steps=3, source="train")
+    assert d2.max() <= 0.01          # zeros cube → train split used
+
+
+def test_griddata_consistent_point_label(rng):
+    from elektronn2_tpu.data.cnndata import GridData
+    r = [rng.rand(1, 16, 16, 16).astype(np.float32) for _ in range(2)]
+    l0 = np.zeros((16, 16, 16), np.int16); l0[:2] = 1       # max 1
+    l1 = np.zeros((16, 16, 16), np.int16); l1[:2] = 2       # max 2
+    gd = GridData(input_data=r, target_data=[l0, l1],
+                  grid_points=[[[8, 8, 8]], [[8, 8, 8]]], point_radius=2)
+    lab0 = gd._all_labels[0][8, 8, 8]
+    lab1 = gd._all_labels[1][8, 8, 8]
+    assert lab0 == lab1 == 3         # one global id (max over cubes + 1)
+
+
+def test_knossos_preload_pending_bounded(rng, tmp_path):
+    from test_data import write_knossos
+    from elektronn2_tpu.data.knossos_array import KnossosArray
+    vol = (rng.rand(16, 16, 16) * 255).astype(np.uint8)
+    ka = KnossosArray(write_knossos(tmp_path, vol, cube_edge=8))
+    keys = [(z, x, y) for z in range(2) for x in range(2)
+            for y in range(2)]
+    ka.preload(keys)
+    import time
+    for _ in range(50):
+        with ka._lock:
+            if all(f.done() for f in ka._pending.values()):
+                break
+        time.sleep(0.05)
+    # a later preload folds the completed-but-unread futures into the LRU
+    ka.preload([])
+    assert len(ka._pending) == 0
+
+
+def test_conv_border_modes(rng):
+    from elektronn2_tpu.ops.conv import conv
+    x = jnp.asarray(rng.rand(1, 1, 8, 8).astype(np.float32))
+    w = jnp.asarray(rng.rand(2, 1, 3, 3).astype(np.float32))
+    assert conv(x, w, border_mode="valid").shape == (1, 2, 6, 6)
+    assert conv(x, w, border_mode="same").shape == (1, 2, 8, 8)
+    assert conv(x, w, border_mode="full").shape == (1, 2, 10, 10)
+    with pytest.raises(ValueError, match="border_mode"):
+        conv(x, w, border_mode="wrap")
