@@ -94,3 +94,77 @@ class FusedTrainLoop:
         m._step_count += self.n_inner
         return (np.asarray(losses),
                 np.asarray(errs) if self._has_err else None)
+
+
+def make_fused_hostfed_trainstep(model, n_inner):
+    """Fused K-step program for HOST-fed batches: ``fused(params,
+    opt_state, state, feeds, keys, hyper)`` where every array in the
+    ``feeds`` dict carries a leading (K,) axis (K stacked host batches).
+    One dispatch + one loss readback per K steps — the host-data
+    counterpart of ``make_fused_trainstep`` (which also samples/augments
+    on device)."""
+    if model._step_fn is None:
+        model._build_step()
+    step_raw = model._step_raw
+    has_err = model.error_node is not None
+
+    def fused(params, opt_state, state, feeds, keys, hyper):
+        def body(carry, xs):
+            params, opt_state, state = carry
+            feed, kr = xs
+            loss, aux, gnorm, params, opt_state, state = step_raw(
+                params, opt_state, state, feed, kr, hyper)
+            err = aux[0][0] if has_err else jnp.float32(0)
+            return (params, opt_state, state), (loss, err)
+
+        (params, opt_state, state), (losses, errs) = jax.lax.scan(
+            body, (params, opt_state, state), (feeds, keys),
+            length=n_inner)
+        return losses, errs, params, opt_state, state
+
+    return jax.jit(fused, donate_argnums=(0, 1))
+
+
+class HostFedFusedLoop:
+    """``FusedTrainLoop`` interface over a host data source: draws K
+    batches from ``data.getbatch``, stacks them, and runs one fused
+    K-step dispatch. Removes the per-step dispatch AND loss-readback
+    floor for pipelines whose batches are produced on the host (tracing
+    patches, BatchCreatorImage) — through a high-latency link the
+    readback floor dominates wall time."""
+
+    def __init__(self, model, data, batch_size, n_inner, batch_args=None,
+                 seed=0):
+        if int(n_inner) < 1:
+            raise ValueError(f"n_inner must be >= 1, got {n_inner}")
+        self.model = model
+        self.data = data
+        self.batch_size = int(batch_size)
+        self.n_inner = int(n_inner)
+        self.batch_args = dict(batch_args or {})
+        self._fn = make_fused_hostfed_trainstep(model, self.n_inner)
+        self._key = jax.random.PRNGKey(int(seed))
+        self._has_err = model.error_node is not None
+
+    def run_chunk(self):
+        m = self.model
+        inp = m.input_node.name
+        tgt = m.target_node.name if m.target_node is not None else None
+        ds, ts = [], []
+        for _ in range(self.n_inner):
+            b = self.data.getbatch(self.batch_size, **self.batch_args)
+            b = b if isinstance(b, (tuple, list)) else (b,)
+            ds.append(np.asarray(b[0]))
+            if tgt is not None:
+                ts.append(np.asarray(b[1]))
+        feeds = {inp: np.stack(ds)}
+        if tgt is not None:
+            feeds[tgt] = np.stack(ts)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, self.n_inner)
+        hyper = m.optimiser.current_hyper()
+        losses, errs, m.params, m.opt_state, m.state = self._fn(
+            m.params, m.opt_state, m.state, feeds, keys, hyper)
+        m._step_count += self.n_inner
+        return (np.asarray(losses),
+                np.asarray(errs) if self._has_err else None)

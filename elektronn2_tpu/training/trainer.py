@@ -187,10 +187,12 @@ class Trainer:
         self.console = ConsoleControl(self)
         fused = int(self.cfg.get("fused_steps", 0) or 0)
         if fused > 1:
-            if not hasattr(data, "device_batch"):
-                raise ValueError(
-                    "fused_steps requires a device-resident data source "
-                    "with .device_batch (DeviceBatchAugmenter)")
+            if data is None:
+                raise ValueError("fused_steps requires a data source")
+            # device-resident sources fuse sampling+augmentation into the
+            # chunk; host sources get the host-fed variant (K stacked
+            # batches per dispatch — still one dispatch + one readback
+            # per K steps)
             return self._run_fused(fused, t_start)
         use_bg = data is not None and self.n_workers > 0
         if use_bg and type(data).__name__ == "DeviceBatchAugmenter":
@@ -334,27 +336,34 @@ class Trainer:
         """Dispatch-minimised loop: ``fused_steps`` training steps per
         device call (``training.fused_loop``). Schedules/hyperparams apply
         at chunk granularity; TBPTT-style step kwargs are unsupported."""
-        # structural check: a subclass overriding the per-step hooks (e.g.
-        # TracingTrainer's TBPTT state carry) cannot run inside the fused
-        # scan — checking _step_kwargs() at runtime would pass vacuously
-        # before the first step populates any carry
-        if (type(self)._step_kwargs is not Trainer._step_kwargs
-                or type(self)._post_step is not Trainer._post_step):
+        # structural check: per-step feed/post hooks (TBPTT state carry)
+        # cannot run inside the fused scan — checking _step_kwargs() at
+        # runtime would pass vacuously before the first step populates any
+        # carry, so subclasses declare incompatibility structurally
+        if self._fused_incompatible():
             raise ValueError(
                 "fused_steps is incompatible with trainers that inject "
                 "per-step feed overrides or post-step hooks "
-                f"({type(self).__name__})")
-        from elektronn2_tpu.training.fused_loop import FusedTrainLoop
+                f"({type(self).__name__}; e.g. carry_state=True)")
+        from elektronn2_tpu.training.fused_loop import (FusedTrainLoop,
+                                                        HostFedFusedLoop)
         model = self.model
-        warp = self.data_batch_args.get("warp", 0.5)
         # fold the starting step in so a resumed run draws fresh batches
         loop_seed = (int(self.cfg.get("seed", 0))
                      + self.step * 2654435761) % (2 ** 31)
-        loop = FusedTrainLoop(model, self.data, self.batch_size, n_inner,
-                              warp=warp, seed=loop_seed)
-        logger.info(f"training {model.name}: {self.n_steps} steps in fused "
-                    f"chunks of {n_inner}, batch {self.batch_size}, "
-                    f"{model.param_count} params")
+        if hasattr(self.data, "device_batch"):
+            warp = self.data_batch_args.get("warp", 0.5)
+            loop = FusedTrainLoop(model, self.data, self.batch_size,
+                                  n_inner, warp=warp, seed=loop_seed)
+            mode = "device-sampled"
+        else:
+            loop = HostFedFusedLoop(model, self.data, self.batch_size,
+                                    n_inner, batch_args=self.data_batch_args,
+                                    seed=loop_seed)
+            mode = "host-fed"
+        logger.info(f"training {model.name}: {self.n_steps} steps in "
+                    f"{mode} fused chunks of {n_inner}, batch "
+                    f"{self.batch_size}, {model.param_count} params")
         last_loss, last_err = np.nan, np.nan
         t_chunk = time.time()
         try:
@@ -445,6 +454,12 @@ class Trainer:
     def _post_step(self, aux):
         """Per-step hook after trainingstep (subclasses: state carry)."""
 
+    def _fused_incompatible(self):
+        """True when this trainer's per-step hooks preclude the fused
+        scan. Subclasses whose hooks are conditionally inert override."""
+        return (type(self)._step_kwargs is not Trainer._step_kwargs
+                or type(self)._post_step is not Trainer._post_step)
+
     def save_history(self):
         prefix = os.path.join(self.save_path, self.save_name)
         self.history.save(prefix)
@@ -500,6 +515,11 @@ class TracingTrainer(Trainer):
     def debug_getbatch(self):
         return self.data.get_tracing_batch(self.batch_size,
                                            n_steps=self.n_scan_steps)
+
+    def _fused_incompatible(self):
+        # the per-step hooks only matter when TBPTT state carry is active;
+        # plain tracing runs fuse fine (host-fed chunks)
+        return self.carry_state
 
     def preview_rollout(self, n_agents=16, max_steps=128, seeds=None,
                         cube=0):

@@ -248,17 +248,14 @@ def test_trainer_fused_steps(rng, tmp_path):
     assert np.isfinite(losses).all()
 
 
-def test_trainer_fused_requires_device_source(rng, tmp_path):
+def test_trainer_fused_requires_data(rng, tmp_path):
+    """fused_steps without any data source raises; host sources are
+    accepted (routed to the host-fed fused loop — tested below)."""
     from elektronn2_tpu.training.trainer import Trainer
     m, aug = _fused_setup(rng)
-
-    class HostData:
-        def getbatch(self, *a, **k):
-            raise AssertionError
-
-    tr = Trainer(model=m, data=HostData(), batch_size=2, n_steps=4,
+    tr = Trainer(model=m, data=None, batch_size=2, n_steps=4,
                  fused_steps=2, save_path=str(tmp_path), save_name="x")
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="data source"):
         tr.run()
 
 
@@ -313,3 +310,108 @@ def test_trainer_async_loss_lag_records_all_steps(rng, tmp_path):
     assert steps == list(range(1, 8)), steps
     losses = [row[2] for row in hist.timeline]
     assert np.isfinite(losses).all()
+
+
+def test_hostfed_fused_matches_sequential(rng):
+    """K host-fed fused steps == K sequential steps on the same batches."""
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.training.fused_loop import (
+        make_fused_hostfed_trainstep)
+    m, aug = _fused_setup(rng)
+    K, B = 3, 2
+    batches = [aug.getbatch(B, warp=0.0) for _ in range(K)]
+    feeds = {"raw": np.stack([np.asarray(b[0]) for b in batches]),
+             "target": np.stack([np.asarray(b[1]) for b in batches])}
+    fn = make_fused_hostfed_trainstep(m, K)
+    p0 = jax.tree_util.tree_map(jnp.copy, m.params)
+    o0 = jax.tree_util.tree_map(jnp.copy, m.opt_state)
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, K)
+    hyper = m.optimiser.current_hyper()
+    losses, errs, pK, oK, sK = fn(
+        jax.tree_util.tree_map(jnp.copy, p0),
+        jax.tree_util.tree_map(jnp.copy, o0), dict(m.state), feeds, keys,
+        hyper)
+
+    params, opt_state, state = p0, o0, dict(m.state)
+    seq = []
+    for k, b in zip(keys, batches):
+        feed = {"raw": jnp.asarray(b[0]), "target": jnp.asarray(b[1])}
+        loss, aux, gn, params, opt_state, state = m._step_raw(
+            params, opt_state, state, feed, k, hyper)
+        seq.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), seq, rtol=2e-5)
+    for n in params:
+        for pn in params[n]:
+            np.testing.assert_allclose(np.asarray(pK[n][pn]),
+                                       np.asarray(params[n][pn]),
+                                       atol=1e-6)
+
+
+def test_trainer_hostfed_fused(rng, tmp_path):
+    """fused_steps with a HOST data source (BatchCreatorImage-style) runs
+    through the host-fed fused loop."""
+    from elektronn2_tpu.training.trainer import Trainer
+    from elektronn2_tpu.data.cnndata import BatchCreatorImage
+    m, _ = _fused_setup(rng)
+    raws = [rng.rand(1, 24, 40, 40).astype(np.float32)]
+    labs = [(rng.rand(24, 40, 40) > 0.5).astype(np.int16)]
+    data = BatchCreatorImage(input_data=raws, target_data=labs)
+    data.link_model_geometry(m)
+    tr = Trainer(model=m, data=data, batch_size=2, n_steps=8,
+                 fused_steps=4, history_freq=0, save_freq=0, n_workers=0,
+                 save_path=str(tmp_path), save_name="hf",
+                 data_batch_args={"warp": 0.0})
+    hist = tr.run()
+    assert tr.step == 8
+    losses = [row[2] for row in hist.timeline]
+    assert np.isfinite(losses).all()
+
+
+def test_tracing_trainer_fused(rng, tmp_path):
+    """TracingTrainer without state carry runs fused (host-fed chunks);
+    with carry_state=True it refuses."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data.cnndata import AgentData
+    from elektronn2_tpu.training.trainer import TracingTrainer
+    from test_tracing import line_skeleton
+
+    vol = rng.rand(1, 32, 32, 32).astype(np.float32)
+    lab = (vol[0] > 0.5).astype(np.int16)
+    ad = AgentData(input_data=[vol], target_data=[lab])
+    ad.set_geometry((5, 5, 5))
+    ad.skeletons = [line_skeleton(n=12, step=1.5)]
+
+    def build():
+        T, B = 3, 2
+        nm.model_manager.reset(seed=6)
+        seq = nm.Input([T, B, 1, 5, 5, 5], "s,b,f,z,x,y", name="seq")
+        x_t = nm.Input([B, 1, 5, 5, 5], "b,f,z,x,y", name="x_t")
+        enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+        h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+        gru = nm.GRU(enc, h0, n_f=8, name="gru")
+        scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t,
+                        in_iterate_0=seq, n_steps=T, name="scan")
+        out = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+        tgt = nm.Input([T, B, 3], "s,b,f", name="tgt")
+        loss = nm.AggregateLoss(nm.SquaredLoss(out, tgt))
+        m = nm.model_manager.getmodel()
+        m.designate_nodes(input_node=seq, target_node=tgt, loss_node=loss,
+                          prediction_node=out)
+        return m
+
+    tr = TracingTrainer(model=build(), data=ad, batch_size=2, n_steps=6,
+                        n_scan_steps=3, fused_steps=3, history_freq=0,
+                        save_freq=0, n_workers=0, save_path=str(tmp_path),
+                        save_name="tf")
+    hist = tr.run()
+    assert tr.step == 6
+    assert np.isfinite([row[2] for row in hist.timeline]).all()
+
+    tr2 = TracingTrainer(model=build(), data=ad, batch_size=2, n_steps=6,
+                         n_scan_steps=3, fused_steps=3, carry_state=True,
+                         history_freq=0, save_freq=0, n_workers=0,
+                         save_path=str(tmp_path), save_name="tf2")
+    with pytest.raises(ValueError, match="carry_state"):
+        tr2.run()
