@@ -48,8 +48,10 @@ def conv(x, w, border_mode="valid", stride=None, dilation=None,
     elif border_mode == "same":
         pad = "SAME"
     elif border_mode == "full":
-        # reference Theano 'full' convolution: output = input + k - 1
-        pad = [(k - 1, k - 1) for k in w.shape[2:]]
+        # reference Theano 'full' convolution: output extends by the full
+        # (dilated) kernel footprint minus one on each side
+        pad = [(d * (k - 1), d * (k - 1))
+               for d, k in zip(dilation, w.shape[2:])]
     else:
         raise ValueError(f"border_mode={border_mode!r}: expected 'valid', "
                          "'same' or 'full'")

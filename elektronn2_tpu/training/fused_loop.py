@@ -134,7 +134,7 @@ class HostFedFusedLoop:
     readback floor dominates wall time."""
 
     def __init__(self, model, data, batch_size, n_inner, batch_args=None,
-                 seed=0):
+                 seed=0, prefetch=True):
         if int(n_inner) < 1:
             raise ValueError(f"n_inner must be >= 1, got {n_inner}")
         self.model = model
@@ -145,8 +145,16 @@ class HostFedFusedLoop:
         self._fn = make_fused_hostfed_trainstep(model, self.n_inner)
         self._key = jax.random.PRNGKey(int(seed))
         self._has_err = model.error_node is not None
+        # one prefetch thread: chunk N+1's K batches are prepared while
+        # chunk N runs on device (the main thread blocks on the loss
+        # readback) — without it, host prep and device compute serialise
+        self._pool = None
+        self._next = None
+        if prefetch:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=1)
 
-    def run_chunk(self):
+    def _draw_feeds(self):
         m = self.model
         inp = m.input_node.name
         tgt = m.target_node.name if m.target_node is not None else None
@@ -160,11 +168,30 @@ class HostFedFusedLoop:
         feeds = {inp: np.stack(ds)}
         if tgt is not None:
             feeds[tgt] = np.stack(ts)
+        return feeds
+
+    def run_chunk(self):
+        m = self.model
+        if self._next is not None:
+            feeds = self._next.result()
+        else:
+            feeds = self._draw_feeds()
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, self.n_inner)
         hyper = m.optimiser.current_hyper()
         losses, errs, m.params, m.opt_state, m.state = self._fn(
             m.params, m.opt_state, m.state, feeds, keys, hyper)
+        if self._pool is not None:      # prep next chunk during readback
+            self._next = self._pool.submit(self._draw_feeds)
         m._step_count += self.n_inner
         return (np.asarray(losses),
                 np.asarray(errs) if self._has_err else None)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            self._next = None
+
+    def __del__(self):
+        self.close()

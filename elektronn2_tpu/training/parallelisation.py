@@ -123,6 +123,11 @@ class BackgroundProc:
             self.q = queue.Queue(maxsize=queue_size)
             self._stop = threading.Event()
             self._target_lock = threading.Lock()
+            if n_proc > 1:
+                logger.warning(
+                    f"thread mode serialises target calls (shared RNG is "
+                    f"not thread-safe): n_proc={n_proc} threads add no "
+                    "prep parallelism — use process mode for that")
             self._workers = [
                 threading.Thread(target=self._thread_work, daemon=True,
                                  name=f"bgproc-{i}")
@@ -135,7 +140,6 @@ class BackgroundProc:
     def _thread_work(self):
         while not self._stop.is_set():
             try:
-                t0 = time.perf_counter()
                 # one target call at a time: data sources draw from a
                 # shared np.RandomState, which is NOT thread-safe —
                 # unlocked concurrent getbatch can emit duplicated
@@ -143,6 +147,7 @@ class BackgroundProc:
                 # the main loop; process mode reseeds per worker and
                 # runs truly parallel.)
                 with self._target_lock:
+                    t0 = time.perf_counter()   # prep time, not lock wait
                     item = self.target(*self.target_args,
                                        **self.target_kwargs)
                 if self.profile:

@@ -438,6 +438,8 @@ class Trainer:
             logger.info("interrupted — saving and exiting")
         finally:
             self.console.quit = True
+            if hasattr(loop, "close"):
+                loop.close()            # stop the host-fed prefetch thread
             if self._tb is not None:
                 self._tb.close()
             path = self.save_model()

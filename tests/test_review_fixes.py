@@ -1081,3 +1081,39 @@ def test_conv_border_modes(rng):
     assert conv(x, w, border_mode="full").shape == (1, 2, 10, 10)
     with pytest.raises(ValueError, match="border_mode"):
         conv(x, w, border_mode="wrap")
+
+
+def test_conv_full_mode_dilated(rng):
+    """'full' border mode pads by the DILATED kernel footprint."""
+    from elektronn2_tpu.ops.conv import conv
+    x = jnp.asarray(rng.rand(1, 1, 8, 8).astype(np.float32))
+    w = jnp.asarray(rng.rand(2, 1, 3, 3).astype(np.float32))
+    out = conv(x, w, border_mode="full", dilation=(2, 2))
+    assert out.shape == (1, 2, 12, 12)       # in + d*(k-1)
+
+
+def test_hostfed_prefetch_overlap(rng, tmp_path):
+    """The prefetch thread draws chunk N+1 while chunk N computes; the
+    training result matches prefetch=False exactly (same batches/keys)."""
+    from test_training import _fused_setup
+    import jax
+    from elektronn2_tpu.training.fused_loop import HostFedFusedLoop
+    m1, aug1 = _fused_setup(np.random.RandomState(5))
+    aug1.reseed(7)
+    loop1 = HostFedFusedLoop(m1, aug1, batch_size=2, n_inner=3,
+                             batch_args={"warp": 0.0}, seed=3,
+                             prefetch=True)
+    l1a, _ = loop1.run_chunk()
+    l1b, _ = loop1.run_chunk()
+    loop1.close()
+
+    from elektronn2_tpu.neuromancer import model_manager
+    m2, aug2 = _fused_setup(np.random.RandomState(5))
+    aug2.reseed(7)
+    loop2 = HostFedFusedLoop(m2, aug2, batch_size=2, n_inner=3,
+                             batch_args={"warp": 0.0}, seed=3,
+                             prefetch=False)
+    l2a, _ = loop2.run_chunk()
+    l2b, _ = loop2.run_chunk()
+    np.testing.assert_allclose(l1a, l2a, rtol=1e-6)
+    np.testing.assert_allclose(l1b, l2b, rtol=1e-6)
