@@ -54,6 +54,11 @@ def _watchdog():
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
+    from elektronn2_tpu.utils.profiling import enable_compile_cache
+    # persistent compile cache (repo-local so repeated driver/CI runs hit
+    # it): the two A/B programs compile for minutes cold, <1 s cached
+    enable_compile_cache(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".jax_cache"))
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_model
 

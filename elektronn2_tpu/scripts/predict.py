@@ -35,6 +35,8 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from elektronn2_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()    # persistent XLA cache (minutes -> <1 s)
     from elektronn2_tpu.log import logger
     from elektronn2_tpu.neuromancer.model import modelload, rebuild_model
     from elektronn2_tpu.utils.basic import h5save, h5load

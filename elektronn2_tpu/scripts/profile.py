@@ -38,6 +38,8 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from elektronn2_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()    # persistent XLA cache (minutes -> <1 s)
     import numpy as np
     from elektronn2_tpu.log import logger
     from elektronn2_tpu.neuromancer.model import modelload, rebuild_model

@@ -28,6 +28,8 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from elektronn2_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()    # persistent XLA cache (minutes -> <1 s)
 
     from elektronn2_tpu.config import ExperimentConfig
     from elektronn2_tpu.training.trainer import Trainer

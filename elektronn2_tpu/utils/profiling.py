@@ -73,3 +73,25 @@ def benchmark(fn, *args, n_warmup=2, n_runs=10, sync=None):
 def flops_per_second(fn, flops, *args, **bench_kwargs):
     dt = benchmark(fn, *args, **bench_kwargs)
     return flops / dt, dt
+
+
+def enable_compile_cache(cache_dir=None, min_compile_secs=2.0):
+    """Enable JAX's persistent compilation cache (works through the axon
+    remote-compile path too: measured 0.6 s vs minutes for the dilated
+    dense program in a fresh process). Call BEFORE the first compile.
+
+    Default dir: $ELEKTRONN2_COMPILE_CACHE, else ~/.cache/elektronn2_tpu/xla.
+    """
+    import os
+    import jax
+    cache_dir = (cache_dir or os.environ.get("ELEKTRONN2_COMPILE_CACHE")
+                 or os.path.expanduser("~/.cache/elektronn2_tpu/xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        logger.debug(f"persistent compilation cache: {cache_dir}")
+    except Exception as e:  # never fail the caller over a cache
+        logger.warning(f"compilation cache unavailable: {e}")
+    return cache_dir
