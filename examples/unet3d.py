@@ -16,7 +16,8 @@ history_freq = 200
 save_freq = 0
 optimiser = "Adam"
 optimiser_params = {"lr": 1e-3, "clip": 10.0}
-n_workers = 2
+n_workers = 0
+fused_steps = 8        # host-fed fused chunks: one dispatch per 8 steps
 data_class = "BatchCreatorImage"
 data_batch_args = {"warp": 0.3}
 
