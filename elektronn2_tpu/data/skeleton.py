@@ -318,3 +318,34 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
                 pass  # keep zeros for degenerate geometry
             seq_t[t, b] = sk.direction_target(pos)
     return seq_d, seq_t
+
+
+def skeleton_distance_field(skeletons, shape, oversample=2.0):
+    """(n_skel, Z, X, Y) float32 stack of SQUARED distances to each
+    skeleton's rasterised curve — the device-side substitute for the
+    KD-tree in ``skel_loss_callback`` (see ``SkelLossField``): computed
+    once on the host (EDT), then resident in HBM where trilinear sampling
+    makes the loss differentiable with zero callbacks.
+
+    Edges are rasterised with ``oversample`` points per voxel of edge
+    length, so the field measures distance to the skeleton CURVE (the
+    continuous version of the callback's nearest-node distance).
+    """
+    from scipy import ndimage
+    shape = tuple(int(s) for s in shape)
+    fields = []
+    for sk in skeletons:
+        mask = np.zeros(shape, bool)
+        pts_all = [sk.positions]
+        for a, b in sk.edges:
+            pa, pb = sk.positions[a], sk.positions[b]
+            n = max(2, int(np.ceil(np.linalg.norm(pb - pa) * oversample)))
+            t = np.linspace(0.0, 1.0, n)[:, None]
+            pts_all.append(pa[None] + t * (pb - pa)[None])
+        pts = np.concatenate(pts_all, axis=0)
+        ijk = np.clip(np.round(pts).astype(int), 0,
+                      np.asarray(shape) - 1)
+        mask[tuple(ijk.T)] = True
+        d = ndimage.distance_transform_edt(~mask)
+        fields.append((d.astype(np.float32)) ** 2)
+    return np.stack(fields)

@@ -21,7 +21,8 @@ from elektronn2_tpu.neuromancer.loss import (
     AggregateLoss, Errors, MalisNLL,
 )
 from elektronn2_tpu.neuromancer.various import (
-    GaussianRV, ScanN, SkelLoss, SkelPrior, SkelGetBatch,
+    GaussianRV, ScanN, SkelLoss, SkelLossField, SkelPrior,
+    SkelGetBatch,
 )
 from elektronn2_tpu.neuromancer.model import (
     Model, modelload, rebuild_model, simple_cnn, params_from_model_file,
@@ -37,7 +38,8 @@ __all__ = [
     "LRN", "FragmentsToDense", "FaithlessMerge", "GRU", "LSTM", "BatchNorm",
     "Softmax", "MultinoulliNLL", "BinaryNLL", "GaussianNLL", "SquaredLoss",
     "AbsLoss", "AggregateLoss", "Errors", "MalisNLL",
-    "GaussianRV", "ScanN", "SkelLoss", "SkelPrior", "SkelGetBatch",
+    "GaussianRV", "ScanN", "SkelLoss", "SkelLossField", "SkelPrior",
+    "SkelGetBatch",
     "Model", "modelload", "rebuild_model", "simple_cnn",
     "params_from_model_file", "optimiser",
 ]

@@ -160,6 +160,61 @@ class SkelLoss(Node):
 
 
 @register_node_class
+class SkelLossField(Node):
+    """Device-side skeleton distance loss: zero host callbacks.
+
+    Same objective as ``SkelLoss`` — squared distance of the landing
+    position (current position + predicted step) to the skeleton — but the
+    distance lives in a precomputed SQUARED-distance field stack (one
+    (Z, X, Y) volume per skeleton, from
+    ``data.skeleton.skeleton_distance_field``) resident in HBM as a
+    non-trainable parameter. The loss trilinearly samples the field at the
+    landing point, which is differentiable wrt the prediction through the
+    interpolation weights — so the whole training step stays ONE device
+    program (it fuses into ``fused_steps`` scans and sharded steps, where
+    ``SkelLoss``'s per-step ``pure_callback`` would cost a host round-trip
+    each iteration). Distance is measured to the rasterised skeleton
+    CURVE (the continuous version of the callback's nearest-node
+    distance; they agree for densely-noded skeletons).
+
+    Inputs: ``pred`` (b, 3) step vectors; ``skel_data`` (b, 4) rows of
+    [skel_id, z, x, y] current positions (same feed as ``SkelLoss``).
+    """
+
+    def __init__(self, pred, skel_data, fields, name="skel_loss_field",
+                 print_repr=True):
+        super().__init__([pred, skel_data], name, print_repr)
+        fields = np.asarray(fields, np.float32)
+        if fields.ndim != 4:
+            raise ValueError("fields must be (n_skel, Z, X, Y) squared-"
+                             f"distance volumes, got {fields.shape}")
+        self.shape = TaggedShape((pred.shape["b"],), ("b",))
+        self.register_param("fields", fields, trainable=False)
+
+    def _compute(self, ctx, pred, skel):
+        fields = ctx.param(self, "fields")
+        dims = jnp.asarray(fields.shape[1:], jnp.float32)
+        landing = skel[:, 1:4] + pred.astype(jnp.float32)
+        sid = skel[:, 0].astype(jnp.int32)
+
+        def sample(fid, p):
+            f = jax.lax.dynamic_index_in_dim(fields, fid, 0,
+                                             keepdims=False)
+            # clamp so the 2³ interpolation cell stays inside the volume
+            p = jnp.clip(p, 0.0, dims - 1.0 - 1e-4)
+            base = jnp.floor(p)
+            frac = p - base
+            b = base.astype(jnp.int32)
+            cell = jax.lax.dynamic_slice(f, (b[0], b[1], b[2]), (2, 2, 2))
+            wz = jnp.stack([1.0 - frac[0], frac[0]])
+            wx = jnp.stack([1.0 - frac[1], frac[1]])
+            wy = jnp.stack([1.0 - frac[2], frac[2]])
+            return jnp.einsum("i,j,k,ijk->", wz, wx, wy, cell)
+
+        return jax.vmap(sample)(sid, landing)
+
+
+@register_node_class
 class SkelPrior(Node):
     """Prior pulling predicted steps toward plausible step lengths/angles.
 

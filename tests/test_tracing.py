@@ -526,3 +526,110 @@ def test_tracing_trainer_preview_rollout(rng, tmp_path):
     traces = tr.preview_rollout(n_agents=4, max_steps=6)
     assert len(traces) == 4
     assert all(np.isfinite(t.coords).all() for t in traces)
+
+
+# ----------------------------------------------------------- SkelLossField
+
+def test_skel_loss_field_matches_callback(rng):
+    """Field-sampled squared distance ≈ the host KD-tree callback (densely
+    noded skeleton → curve distance == node distance)."""
+    from elektronn2_tpu.data.skeleton import (skeleton_distance_field,
+                                              register_skeleton,
+                                              clear_skeleton_registry,
+                                              skel_loss_callback)
+    clear_skeleton_registry()
+    sk = line_skeleton(n=40, step=0.5)      # dense: nodes every 0.5 vox
+    sid = register_skeleton(sk)
+    fields = skeleton_distance_field([sk], (32, 32, 32))
+
+    pos = np.array([[sid, 5.0, 5.0, 10.0],
+                    [sid, 5.0, 5.0, 14.5]], np.float32)
+    pred = jnp.asarray([[0.0, 2.0, 0.0], [1.5, 0.0, 0.0]], np.float32)
+    host = np.asarray(skel_loss_callback(pred, jnp.asarray(pos)))
+
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    model_manager.reset(seed=40)
+    p_in = nm.Input([2, 3], "b,f", name="pred")
+    s_in = nm.GenericInput(name="skel")
+    sl = nm.SkelLossField(p_in, s_in, fields, name="slf")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=p_in, prediction_node=sl,
+                      extra_inputs=[s_in])
+    dev = np.asarray(m.predict(np.asarray(pred), extra=[pos]))
+    np.testing.assert_allclose(dev, host, atol=0.6)   # voxel quantisation
+
+    # gradient pulls the landing point toward the skeleton
+    outs_grad = jax.grad(
+        lambda pr: jnp.sum(m._apply([sl], m.params, m.state,
+                                    {"pred": pr, "skel": jnp.asarray(pos)},
+                                    None, train=False)[0][0]))(pred)
+    g = np.asarray(outs_grad)
+    # sample 0: off-line by +2 in x → x is the dominant positive component
+    # (the piecewise-linear field has unit-magnitude one-sided slopes on
+    # lattice planes, so the other components are only coarsely zero)
+    assert g[0, 1] > 2.0
+    assert abs(g[0, 0]) <= 1.5 and abs(g[0, 2]) <= 1.5
+    assert g[0, 1] > 2 * max(abs(g[0, 0]), abs(g[0, 2]))
+
+
+def test_skel_loss_field_trains_without_callbacks(rng):
+    """A tracing head trained on SkelLossField: loss decreases AND the
+    jitted step contains no host callback primitives."""
+    from elektronn2_tpu.data.skeleton import skeleton_distance_field
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    sk = line_skeleton(n=40, step=0.5)
+    fields = skeleton_distance_field([sk], (32, 32, 32))
+    model_manager.reset(seed=41)
+    feat = nm.Input([4, 8], "b,f", name="feat")
+    skel = nm.GenericInput(name="skel")
+    pred = nm.Perceptron(feat, 3, activation_func="lin", name="step")
+    sl = nm.SkelLossField(pred, skel, fields, name="slf")
+    loss = nm.AggregateLoss(sl)
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=feat, loss_node=loss,
+                      prediction_node=pred, extra_inputs=[skel])
+    m.set_opt("Adam", lr=5e-2)
+    x = rng.randn(4, 8).astype(np.float32)
+    skel_feed = np.array([[0, 5, 8, 10], [0, 5, 3, 12],
+                          [0, 5, 5, 6], [0, 5, 7, 15]], np.float32)
+    losses = []
+    for _ in range(40):
+        l, _ = m.trainingstep(x, None, extra=[skel_feed])
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.5
+
+    # no host callbacks anywhere in the step program
+    m._build_step()
+    jaxpr = jax.make_jaxpr(
+        lambda p, o, s, f, k, h: m._step_raw(p, o, s, f, k, h))(
+        m.params, m.opt_state, m.state,
+        {"feat": x, "skel": skel_feed}, jax.random.PRNGKey(0),
+        m.optimiser.current_hyper())
+    assert "callback" not in str(jaxpr)
+
+
+def test_skel_loss_field_roundtrip(rng, tmp_path):
+    """The field (a non-trainable param) survives save/load."""
+    from elektronn2_tpu.data.skeleton import skeleton_distance_field
+    from elektronn2_tpu.neuromancer.model import modelload
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+    sk = line_skeleton(n=10, step=2.0)
+    fields = skeleton_distance_field([sk], (16, 16, 16))
+    model_manager.reset(seed=42)
+    p_in = nm.Input([1, 3], "b,f", name="pred")
+    s_in = nm.GenericInput(name="skel")
+    sl = nm.SkelLossField(p_in, s_in, fields, name="slf")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=p_in, prediction_node=sl,
+                      extra_inputs=[s_in])
+    f = str(tmp_path / "slf.mdl")
+    m.save(f)
+    m2 = modelload(f)
+    feed = np.array([[0, 8.0, 8.0, 8.0]], np.float32)
+    pr = np.array([[0.5, 0.0, 0.0]], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(m2.predict(pr, extra=[feed])),
+        np.asarray(m.predict(pr, extra=[feed])), atol=1e-6)
