@@ -296,3 +296,27 @@ def test_neuro2d_example_config(tmp_path):
     out = tr.model.predict_dense(img, pad_raw=True)
     assert out.shape[1:] == (128, 128)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_malis3d_example_config(tmp_path):
+    """The MALIS affinity example: trains finite and decreasing through
+    the config surface (structured-loss workload end-to-end)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "malis3d_cfg", "examples/malis3d.py")
+    cfg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg)
+    from elektronn2_tpu.training.trainer import Trainer
+    from elektronn2_tpu.data import BatchCreatorImage
+    m = cfg.create_model()
+    data = BatchCreatorImage(**cfg.data_init_kwargs)
+    data.link_model_geometry(m)
+    tr = Trainer(model=m, data=data, batch_size=1, n_steps=40,
+                 history_freq=0, save_freq=0, n_workers=0,
+                 save_path=str(tmp_path), save_name="m3d",
+                 optimiser_params={"lr": 3e-3},
+                 data_batch_args={"warp": 0.0})
+    hist = tr.run()
+    losses = np.asarray([row[2] for row in hist.timeline])
+    assert np.isfinite(losses).all()
+    assert losses[-10:].mean() < losses[:10].mean()
