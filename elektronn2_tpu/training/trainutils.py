@@ -261,6 +261,8 @@ class ConsoleControl:
       ``lr <v>``       set learning rate  ``mom <v>``  set momentum
       ``wd <v>``       set weight decay   ``preview``  render preview
       ``save``         snapshot now       ``stat``     print param stats
+      ``ipython``      drop into an interactive shell (trainer/model in
+                       scope; training pauses until exit)
     """
 
     def __init__(self, trainer):
@@ -323,8 +325,23 @@ class ConsoleControl:
             elif cmd == "stat":
                 for k, v in t.model.paramstats().items():
                     logger.info(f"{k}: {v}")
+            elif cmd in ("ip", "ipython"):
+                # reference parity: drop into an interactive shell with the
+                # trainer/model in scope (``user_input``'s 'ipython' cmd);
+                # training is paused for the duration
+                was_paused, self.paused = self.paused, True
+                try:
+                    import IPython
+                    logger.info("console: IPython shell — `trainer`, "
+                                "`model` in scope; exit to resume")
+                    IPython.embed(user_ns={"trainer": t, "model": t.model})
+                except ImportError:
+                    import code
+                    code.interact(local={"trainer": t, "model": t.model})
+                self.paused = was_paused
             else:
                 logger.warning(f"console: unknown command {line!r} "
-                               "(q/pause/cont/lr/mom/wd/save/preview/stat)")
+                               "(q/pause/cont/lr/mom/wd/save/preview/"
+                               "stat/ipython)")
         except Exception as e:
             logger.warning(f"console command {line!r} failed: {e}")

@@ -184,3 +184,29 @@ def test_predict_cli(tmp_path, rng):
                  "-o", str(tmp_path / "out2.h5"),
                  "--knossos-out", kdir, "--cpu"]) == 0
     assert os.path.exists(os.path.join(kdir, "c0", "knossos.conf"))
+
+
+def test_console_ipython_command(monkeypatch, tmp_path):
+    """The 'ipython' console command embeds a shell with trainer/model in
+    scope and restores the pause state (shell mocked)."""
+    from elektronn2_tpu.training.trainutils import ConsoleControl
+
+    class FakeModel:
+        def paramstats(self):
+            return {}
+
+    class FakeTrainer:
+        model = FakeModel()
+
+    cc = ConsoleControl.__new__(ConsoleControl)
+    cc.trainer = FakeTrainer()
+    cc.paused = False
+    cc.quit = False
+    seen = {}
+
+    import IPython
+    monkeypatch.setattr(IPython, "embed",
+                        lambda user_ns=None: seen.update(user_ns or {}))
+    cc._handle("ipython")
+    assert "trainer" in seen and "model" in seen
+    assert cc.paused is False          # restored
