@@ -21,6 +21,13 @@ import jax
 from elektronn2_tpu.log import logger
 
 
+class UnsupportedGraphError(ValueError):
+    """Structural: this graph can never take the fused path (safe to
+    negative-cache). State/shape-dependent failures raise plain
+    ValueError and must NOT be cached — they may succeed later (BN stats
+    arrive, a bigger volume comes in)."""
+
+
 def _check_dense_geometry(pred):
     """Nodes whose alignment TaggedShape cannot express (padding makes the
     centred-fov model lie) are rejected for dense sweeps."""
@@ -77,8 +84,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     from elektronn2_tpu.neuromancer import neural, loss as loss_mod
     from elektronn2_tpu.neuromancer.node_basic import Input
     from elektronn2_tpu.ops.conv import (conv as ops_conv, conv_s2b,
-                                         pool_s2b, _dim_numbers)
-    from elektronn2_tpu.ops.conv import apply_activation
+                                         pool_s2b, apply_activation)
 
     # dilated-op lowering: 'direct' = rhs_dilation / window_dilation;
     # 's2b' = space-to-batch (phases batched, undilated ops) — exactly
@@ -169,26 +175,43 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             out = (y, dil)
         elif isinstance(node, loss_mod.Softmax):
             xin, dil = evaluate(node.parents[0])
-            out = (jax.nn.softmax(xin, axis=1), dil)
+            n_indep = int(getattr(node, "n_indep", 1))
+            if n_indep > 1:
+                # grouped softmax: independent groups along the f axis
+                parts = jnp.split(xin, n_indep, axis=1)
+                y = jnp.concatenate([jax.nn.softmax(p, axis=1)
+                                     for p in parts], axis=1)
+            else:
+                y = jax.nn.softmax(xin, axis=1)
+            out = (y, dil)
         elif isinstance(node, neural.BatchNorm):
             xin, dil = evaluate(node.parents[0])
             out = (_bn_affine(node, xin, model), dil)
         elif isinstance(node, neural.FragmentsToDense):
             out = evaluate(node.parents[0])  # already dense here
+        elif type(node).__name__ == "Dropout":
+            out = evaluate(node.parents[0])  # identity in eval mode
         elif type(node).__name__ in ("Concat",):
+            f_ax = node.parents[0].shape.tag2index("f")
+            if getattr(node, "axis", f_ax) not in (1, f_ax):
+                raise UnsupportedGraphError(
+                    "dilated dense path: Concat along a spatial axis is "
+                    "unsupported (feature-axis concat only)")
             parts = [evaluate(p) for p in node.parents]
             dils = {p[1] for p in parts}
             if len(dils) != 1:
-                raise ValueError("dilated dense path: Concat parents have "
-                                 "mismatched dilations")
+                raise UnsupportedGraphError(
+                    "dilated dense path: Concat parents have "
+                    "mismatched dilations")
             out = (jnp.concatenate([p[0] for p in parts], axis=1),
                    parts[0][1])
         elif type(node).__name__ == "ApplyFunc":
             xin, dil = evaluate(node.parents[0])
             out = (node.functor(xin, *node.args, **node.kwargs), dil)
         else:
-            raise ValueError(f"dilated dense path: unsupported node type "
-                             f"{type(node).__name__}")
+            raise UnsupportedGraphError(
+                f"dilated dense path: unsupported node type "
+                f"{type(node).__name__}")
         values[node.name] = out
         return out
 
@@ -407,6 +430,10 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
             slab = slab[None]
         if slab.dtype == np.uint8:
             slab = slab.astype(np.float32) / 255.0
+        elif not np.issubdtype(slab.dtype, np.floating):
+            # integer datasets (e.g. uint16 KNOSSOS): cast, else the conv
+            # would run in integer arithmetic with truncated weights
+            slab = slab.astype(np.float32)
         pads = [(0, 0)]
         want = [step[d] + fov[d] - 1 for d in range(3)]
         for d in range(3):
@@ -462,10 +489,20 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     g, n_off, dense_sp = _dense_geometry(pred.shape)
     fov = list(pred.shape.fov)
 
+    # a volume smaller than the fov would flow through the valid-mode
+    # dilated convs into a silent 0-size output — reject it up front
+    if not pad_raw and any(int(vol.shape[1 + d]) < fov[d]
+                           for d in range(nsp)):
+        raise ValueError(
+            f"volume spatial shape {tuple(vol.shape[1:])} smaller than "
+            f"the model fov {tuple(fov)}; pad_raw=True may help")
+
     # fast path: à-trous dilated formulation (one fused program, no tiling)
-    # (a graph rejected once is remembered — without the negative cache a
-    # stream of volumes through an unsupported graph would re-trace just to
-    # re-raise on every call; cleared with _dilated_fns on re-designation)
+    # (a STRUCTURALLY unsupported graph is remembered — without the
+    # negative cache a stream of volumes would re-trace just to re-raise
+    # every call; state/shape-dependent ValueErrors (missing BN stats,
+    # small volumes) are NOT cached since they may succeed later; cleared
+    # with _dilated_fns on re-designation)
     if ("dense_unsupported",) not in model._dilated_fns:
         try:
             if pad_raw:
@@ -485,15 +522,22 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             # stride-1 output where predict_dense nearest-repeats the
             # strided map. Voxels at the strided positions are identical.
             return fn(model.params, model.state, vol_p)
-        except ValueError:
+        except UnsupportedGraphError:
             model._dilated_fns[("dense_unsupported",)] = True
+        except ValueError:
+            pass    # state/shape-dependent: retry next call
 
     # decoder (U-Net) graphs with stride-1 output: whole-volume
     # convolutional application (seam-free, one fused program)
+    if ("conv_unsupported",) not in model._dilated_fns:
+        try:
+            check_conv_dense_supported(pred)
+        except (ValueError, TypeError):
+            # graph-level rejection: never eligible → cache the verdict
+            model._dilated_fns[("conv_unsupported",)] = True
     try:
         if ("conv_unsupported",) in model._dilated_fns:
-            raise TypeError("conv dense path previously rejected")
-        check_conv_dense_supported(pred)
+            raise TypeError("conv dense path rejected for this graph")
         key = ("conv", tuple(int(s) for s in vol.shape), bool(pad_raw))
         fn = model._dilated_fns.get(key)
         if fn is None:
@@ -508,8 +552,7 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             model._dilated_fns[key] = fn
         return fn(model.params, model.state, vol)
     except (ValueError, TypeError):
-        model._dilated_fns[("conv_unsupported",)] = True
-        # → overlap-tiled fallback below
+        pass    # shape-dependent failure or rejected graph → tiled fallback
 
     V_orig = list(vol.shape[1:])
     if pad_raw:
@@ -585,6 +628,10 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
 
             return jax.lax.fori_loop(0, origins.shape[0], body, out)
 
+        tiled_keys = [k for k in model._dilated_fns
+                      if isinstance(k, tuple) and k and k[0] == "tiled"]
+        if len(tiled_keys) >= 8:
+            model._dilated_fns.pop(tiled_keys[0])   # FIFO eviction
         model._dilated_fns[cache_key] = sweep
 
     out = sweep(model.params, model.state, vol, jnp.asarray(origins_arr))
@@ -642,7 +689,7 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
     if raw.dtype == np.uint8:
         raw = raw.astype(np.float32) / 255.0
     else:
-        raw = raw.astype(np.float32)
+        raw = raw.astype(np.float32, copy=False)
 
     if prefer_device:
         # peak footprint ≈ volume × widest feature map × f32 × (in+out live)

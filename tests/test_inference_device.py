@@ -385,3 +385,76 @@ def test_fuzz_random_unets_conv_dense(seed):
     vol = r.randn(1, V, V + pool).astype(np.float32)
     taus = [(0, 0), (pool, pool * 2)]
     _assert_dense_matches_aligned_patches(m, vol, taus)
+
+
+# -------------------------------------------- session-3 inference review
+
+def test_dilated_grouped_softmax(rng):
+    """Softmax(n_indep>1) in the dilated path applies per-group."""
+    model_manager.reset(seed=60)
+    inp = nm.Input([1, 1, 13, 13], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(c, n_indep=2, name="p")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = rng.rand(1, 21, 21).astype(np.float32)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    host = m.predict_dense(raw, prefer_device=False)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+    # each 2-channel group sums to 1
+    np.testing.assert_allclose(dev[:2].sum(0), 1.0, atol=1e-5)
+    np.testing.assert_allclose(dev[2:].sum(0), 1.0, atol=1e-5)
+
+
+def test_dilated_path_allows_dropout(rng):
+    """An explicit Dropout node (identity in eval) keeps the fast path."""
+    model_manager.reset(seed=61)
+    inp = nm.Input([1, 1, 13, 13], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    d = nm.Dropout(c, 0.5, name="dr")
+    probs = nm.Softmax(nm.Conv(d, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = rng.rand(1, 21, 21).astype(np.float32)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert ("dense_unsupported",) not in m._dilated_fns
+    host = m.predict_dense(raw, prefer_device=False)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_small_volume_raises_not_empty(rng):
+    """A volume below the fov raises instead of silently returning an
+    empty array through the device path."""
+    model_manager.reset(seed=62)
+    m = mfp_model()
+    fov = m.prediction_node.shape.fov[0]
+    small = rng.rand(1, fov - 2, fov - 2).astype(np.float32)
+    with pytest.raises(ValueError, match="fov"):
+        m.predict_dense_device(jnp.asarray(small))
+
+
+def test_bn_stats_do_not_poison_negative_cache(rng):
+    """A BatchNorm model queried for dense prediction BEFORE training must
+    regain the dilated fast path once running stats exist."""
+    model_manager.reset(seed=63)
+    inp = nm.Input([2, 1, 14, 14], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 2, batch_normalisation=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=1e-3)
+    raw = rng.rand(1, 21, 21).astype(np.float32)
+    # before training: no running stats → falls back, NOT cached negative
+    out = m.predict_dense(raw)          # works via tiled fallback
+    assert ("dense_unsupported",) not in m._dilated_fns
+    x = rng.rand(2, 1, 14, 14).astype(np.float32)
+    y = (rng.rand(2, *probs.shape.spatial_shape) > 0.5).astype(np.int32)
+    m.trainingstep(x, y)                # populates BN stats
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert ("dense", "direct") in m._dilated_fns    # fast path taken
+    assert np.isfinite(dev).all()
