@@ -28,6 +28,20 @@ import numpy as np
 WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "900"))
 _done = threading.Event()
 _best_so_far = {"value": 0.0, "impl": None}     # updated as impls complete
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _emit(payload):
+    # exactly ONE JSON line ever reaches stdout, even if the watchdog
+    # fires concurrently with the main thread's final print
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return False
+        _emitted = True
+        print(json.dumps(payload), flush=True)
+        return True
 
 
 def _watchdog():
@@ -40,14 +54,14 @@ def _watchdog():
     if _done.wait(WATCHDOG_S):
         return
     v = _best_so_far["value"]
-    print(json.dumps({
+    _emit({
         "metric": "mfp_dense_inference", "value": round(v, 2),
         "unit": "Mvox/s/chip", "vs_baseline": round(v, 2),
         "note": f"watchdog fired after {WATCHDOG_S}s"
                 + (f" — reporting completed impl={_best_so_far['impl']}"
                    if v else " with no completed measurement — see "
                    "BASELINE.md for the last good value (65 Mvox/s)"),
-    }), flush=True)
+    })
     os._exit(2)
 
 
@@ -86,16 +100,14 @@ def main():
         if mvox > best[0]:
             best = (mvox, impl)
             _best_so_far.update(value=mvox, impl=impl)
-    model.set_dilated_impl(best[1])   # leave the winner active
-
     _done.set()
-    print(json.dumps({
+    _emit({
         "metric": "mfp_dense_inference",
         "value": round(best[0], 2),
         "unit": "Mvox/s/chip",
         "vs_baseline": round(best[0] / 1.0, 2),
         "impl": best[1],
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -55,7 +55,9 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         so = os.path.join(td, "_malis_asan.so")
         cmd = ["g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
-               "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+               "-fsanitize=address,undefined",
+               "-fno-sanitize-recover=undefined",
+               "-fno-omit-frame-pointer",
                SRC, "-o", so]
         print("+", " ".join(cmd))
         subprocess.run(cmd, check=True)

@@ -27,7 +27,11 @@ Exit code 0 on parity within tolerance.
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -67,7 +71,8 @@ def main(argv=None):
     h = inp
     for i, ((w, b), flt, pool, act) in enumerate(zip(
             weights, spec["filters"], spec["pools"],
-            spec.get("activation", ["relu"] * len(weights)))):
+            spec.get("activation",
+                     ["relu"] * (len(weights) - 1) + ["lin"]))):
         h = nm.Conv(h, w.shape[0], flt, pool, activation_func=act,
                     mfp=spec.get("mfp", False), w=w, b=b, name=f"conv{i}")
     probs = nm.Softmax(h, name="probs")

@@ -42,6 +42,8 @@ def timed(fn, *args, reps=3):
 
 def main():
     import jax
+    from elektronn2_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()       # cost_analysis recompiles: make it a hit
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_model
     from elektronn2_tpu.neuromancer.inference import dilated_dense_forward
@@ -65,10 +67,12 @@ def main():
             mvox = float(np.prod(out.shape[1:])) / dt / 1e6
             key = f"{impl}/{dtype or 'f32'}"
             ca = cost_analysis(fn, model.params, model.state, vol)
-            tf = ca.get("flops", 0) / dt / 1e12 if ca else None
+            tf = (ca["flops"] / dt / 1e12
+                  if ca and "flops" in ca else None)
             results[key] = {"ms": round(dt * 1e3, 1),
                             "Mvox/s": round(mvox, 1),
-                            "TF/s": round(tf, 2) if tf else None}
+                            "TF/s": round(tf, 2) if tf is not None
+                            else None}
             print(key, results[key])
     model.set_compute_dtype(None)
 
