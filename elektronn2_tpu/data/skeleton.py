@@ -164,21 +164,36 @@ class SkeletonMFK:
             prev, cur = cur, nxt
         return path
 
-    def direction_target(self, position, lookahead=2):
+    def direction_target(self, position, lookahead=2, heading=None):
         """Unit direction from ``position`` toward the skeleton, then along
         it: the tracing training target (reference: next-step vector toward
-        / along the neurite)."""
+        / along the neurite).
+
+        A bare skeleton is undirected, so "along" is ambiguous; pass
+        ``heading`` (the agent's flight direction — e.g. the walk step in
+        ``sample_tracing_batch``) to pick the continuation aligned with
+        it. Without a heading the walk greedily maximises distance from
+        ``position``, which can point backward when the query sits just
+        past a node.
+        """
+        position = np.asarray(position, np.float64)
         idx, dist = self.get_closest_node(position)
         target_node = idx
         for _ in range(lookahead):
             nbrs = self._adj[target_node]
             if not nbrs:
                 break
-            # walk toward the neighbour farthest from current position
-            target_node = max(
-                nbrs, key=lambda n: np.linalg.norm(self.positions[n]
-                                                   - position))
-        vec = self.positions[target_node] - np.asarray(position)
+            if heading is not None:
+                h = np.asarray(heading, np.float64)
+                target_node = max(
+                    nbrs, key=lambda n: float(
+                        (self.positions[n] - position) @ h))
+            else:
+                # walk toward the neighbour farthest from current position
+                target_node = max(
+                    nbrs, key=lambda n: np.linalg.norm(self.positions[n]
+                                                       - position))
+        vec = self.positions[target_node] - position
         n = np.linalg.norm(vec)
         return vec / n if n > 0 else np.array([0.0, 0.0, 1.0])
 
@@ -316,7 +331,12 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
                 seq_d[t, b] = warp_slice(vol, ps, position=pos)
             except WarpingOOBError:
                 pass  # keep zeros for degenerate geometry
-            seq_t[t, b] = sk.direction_target(pos)
+            # target follows the FLIGHT direction (the walk's next hop) —
+            # the undirected nearest-node heuristic can point backward
+            nxt = sk.positions[path[min(t + 1, len(path) - 1)]]
+            head = nxt - sk.positions[path[t]]
+            seq_t[t, b] = sk.direction_target(
+                pos, heading=head if np.linalg.norm(head) > 0 else None)
     return seq_d, seq_t
 
 

@@ -82,8 +82,10 @@ def test_mixed_precision_close_to_f32(rng):
     full = m.predict_dense(raw)
     m.set_compute_dtype("bfloat16")
     half = m.predict_dense(raw)
-    # probabilities: bf16 operand rounding ⇒ small absolute deviation
-    assert np.abs(full - half).max() < 0.05
+    # probabilities: bf16 operand rounding ⇒ small but NONZERO deviation
+    # (exactly zero would mean set_compute_dtype is a silent no-op)
+    diff = np.abs(full - half).max()
+    assert 0 < diff < 0.05
     m.set_compute_dtype(None)
     again = m.predict_dense(raw)
     np.testing.assert_allclose(again, full, atol=1e-6)
@@ -319,7 +321,9 @@ def test_predict_dense_routes_to_device(rng):
     fast = m.predict_dense(raw)                       # routed
     host = m.predict_dense(raw, prefer_device=False)  # tiled oracle
     np.testing.assert_allclose(fast, host, atol=1e-6)
-    assert m._dilated_fns                             # device path was used
+    impl = getattr(m, "_dilated_impl", "direct")
+    assert ("dense", impl) in m._dilated_fns   # the FUSED dilated path ran
+    assert ("dense_unsupported",) not in m._dilated_fns
     # uint8 volumes and outputs keep their reference semantics
     r8 = (rng.rand(1, 33, 33) * 255).astype(np.uint8)
     f8 = m.predict_dense(r8, as_uint8=True)

@@ -560,7 +560,8 @@ def test_spec_roundtrip_fuzz(rng, tmp_path):
         m.save(f)
         m2 = modelload(f)
         got = np.asarray(m2.predict(x))
-        np.testing.assert_array_equal(got, want), f"trial {trial}"
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"trial {trial}")
 
 
 def test_spec_roundtrip_fuzz_decoder(rng, tmp_path):

@@ -360,6 +360,7 @@ def test_gpipe_matches_sequential(rng, n_stages):
         return jnp.mean(jnp.stack(ls))
 
     g_ref = jax.grad(ref_loss)(params)
+    assert len(g_pipe) == len(g_ref)        # zip must not truncate layers
     for gp, gr in zip(g_pipe, g_ref):
         for k in gr:
             np.testing.assert_allclose(np.asarray(gp[k]),
@@ -507,6 +508,7 @@ def test_gpipe_composes_with_dp(rng):
         return jnp.mean(jnp.stack(ls))
 
     g_ref = jax.grad(ref_loss)(params)
+    assert len(g_pipe) == len(g_ref)        # zip must not truncate layers
     for gp, gr in zip(g_pipe, g_ref):
         for k in gr:
             np.testing.assert_allclose(np.asarray(gp[k]),

@@ -459,10 +459,11 @@ def test_worker_error_flag_with_full_queue():
                         mode="process")
     import time
     time.sleep(1.0)     # let the worker fill the queue and then fail
+    first = bg.get(timeout=5)           # queued good item drains first
+    assert np.asarray(first).shape == (3,)
     with pytest.raises(RuntimeError):
-        bg.get(timeout=5)           # first item ok...
-        bg.get(timeout=5)           # ...then the error surfaces
         bg.get(timeout=5)
+        bg.get(timeout=5)               # error surfaces within 2 gets
     bg.shutdown()
 
 

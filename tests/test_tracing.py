@@ -39,8 +39,14 @@ def test_skeleton_walk_and_direction():
     path = sk.walk(0, 5, rng)
     assert len(path) == 6
     # direction target from a point near node 2 points along +y (the line)
-    v = sk.direction_target([5.0, 5.0, 8.0], lookahead=2)
+    v = sk.direction_target([5.0, 5.0, 8.0], lookahead=2,
+                            heading=[0.0, 0.0, 1.0])
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert v[2] > 0.9          # +y continuation (the heading direction)
+    assert abs(v[0]) < 0.3 and abs(v[1]) < 0.3
+    vb = sk.direction_target([5.0, 5.0, 8.0], lookahead=2,
+                             heading=[0.0, 0.0, -1.0])
+    assert vb[2] < -0.9        # heading flips the continuation
 
 
 def test_skeleton_local_frame_orthonormal():
@@ -387,9 +393,12 @@ def test_shotgun_registry_batched_drain(rng):
     dt = DeviceTracer(m, vol, max_steps=5)
     seeds = [[12.0, 12.0, 12.0], [13.0, 11.0, 12.0], [11.0, 13.0, 13.0],
              [12.5, 12.5, 11.5]]
-    reg = ShotgunRegistry(seeds, radius=0.5)
+    reg = ShotgunRegistry(seeds, radius=1.5)
     traces = reg.run(dt, batch_size=2)
-    assert 1 <= len(traces) <= 4
+    # radius 1.5 around the clustered seeds: dedup MUST fire for at least
+    # one later seed (they start within ~1.7 of the first trace) but the
+    # first batch always traces
+    assert 1 <= len(traces) <= 3
     assert reg.next_seed() is None          # drained
     for t in traces:
         assert len(t.coords) >= 1

@@ -26,10 +26,13 @@ def test_background_proc_produces_and_shuts_down(mode):
 
     with BackgroundProc(produce, n_proc=2, target_args=(4,),
                         mode=mode) as bg:
-        items = [bg.get(timeout=20) for _ in range(5)]
+        items = [bg.get(timeout=20) for _ in range(6)]
     assert all(it.shape == (4,) for it in items)
-    # forked workers must not produce identical batches (reseeded RNG)
-    assert not np.allclose(items[0], items[1])
+    # forked workers must not produce identical batches (reseeded RNG):
+    # with un-reseeded workers the 6 draws collapse into <= 3 distinct
+    # values (two identical interleaved streams)
+    distinct = {tuple(np.round(np.asarray(it), 6)) for it in items}
+    assert len(distinct) >= 4
 
 
 @pytest.mark.parametrize("mode", ["thread", "process"])
@@ -113,8 +116,9 @@ def test_trainer_end_to_end_neuro3d_config(tmp_path):
     assert np.isfinite(tl[:, 2]).all()
     # model snapshot written on exit
     assert any(f.endswith(".mdl") for f in os.listdir(tmp_path))
-    # loss should drop on this easy synthetic task within a few steps
-    assert tl[-1, 3] < tl[0, 3] * 1.05  # smoothed loss not exploding
+    # loss must actually DROP on this easy synthetic task (a flat curve
+    # means updates stopped flowing)
+    assert tl[-1, 3] < tl[0, 3] * 0.98
 
 
 def test_trainer_resume_from_snapshot(tmp_path):
@@ -292,9 +296,14 @@ def test_trainer_tensorboard_scalars(rng, tmp_path):
                  data_batch_args={"warp": 0.0})
     tr.run()
     tbdir = os.path.join(str(tmp_path), "tb", "tb")
-    files = os.listdir(tbdir)
-    assert any("tfevents" in f for f in files)
-    assert sum(os.path.getsize(os.path.join(tbdir, f)) for f in files) > 0
+    files = [f for f in os.listdir(tbdir) if "tfevents" in f]
+    assert files
+    # the events payload must contain actual scalar records, not just the
+    # writer's file header (tag names are stored verbatim in the stream)
+    blob = b"".join(open(os.path.join(tbdir, f), "rb").read()
+                    for f in files)
+    assert b"train/loss" in blob
+    assert b"train/lr" in blob
 
 
 def test_trainer_async_loss_lag_records_all_steps(rng, tmp_path):
