@@ -177,3 +177,96 @@ def test_forward_consistency_with_output():
     o //= 2
     o = o - 3 + 1
     assert calc.output == o
+
+
+def test_calculator_vs_runtime_shapes_fuzz():
+    """Property sweep: for random conv/pool stacks, cnncalculator's
+    input/output/pred_stride/fov must agree with both the TaggedShape
+    metadata AND the actual runtime array shapes (the three geometry
+    systems can never drift apart)."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+
+    for trial in range(8):
+        rng = np.random.RandomState(500 + trial)
+        n_layers = rng.randint(1, 4)
+        filters = [int(rng.choice([1, 3, 5])) for _ in range(n_layers)]
+        pools = [int(rng.choice([1, 2])) for _ in range(n_layers)]
+        mfp = bool(rng.rand() < 0.5) and any(p > 1 for p in pools)
+        calc = cnncalculator(filters, pools,
+                             desired_patch_size=int(rng.randint(18, 40)),
+                             mfp=mfp, ndim=1)
+        n = int(calc.input)
+
+        model_manager.reset(seed=600 + trial)
+        inp = nm.Input([1, 1, n, n], "b,f,x,y", name="raw")
+        h = inp
+        for i, (f, p) in enumerate(zip(filters, pools)):
+            h = nm.Conv(h, 3, f, p, mfp=mfp, name=f"c{i}")
+        m = model_manager.getmodel()
+        m.designate_nodes(input_node=inp, prediction_node=h)
+
+        # TaggedShape vs calculator. NOTE the domains: TaggedShape tracks
+        # the PRE-stitch fragment grid; the calculator reports the
+        # post-stitch EFFECTIVE stride — they relate through the fragment
+        # offsets (_dense_geometry), which is the invariant asserted here.
+        from elektronn2_tpu.neuromancer.inference import _dense_geometry
+        assert h.shape.spatial_shape[0] == int(calc.output), \
+            f"trial {trial}: tagged {h.shape.spatial_shape} calc {calc.output}"
+        g, n_off, _ = _dense_geometry(h.shape)
+        assert g[0] == int(calc.pred_stride), \
+            f"trial {trial}: effective stride {g[0]} calc {calc.pred_stride}"
+        assert h.shape.fov[0] == int(calc.fov), trial
+
+        # runtime vs TaggedShape
+        x = rng.rand(1, 1, n, n).astype(np.float32)
+        out = np.asarray(m.predict(x))
+        assert out.shape == tuple(h.shape), \
+            f"trial {trial}: runtime {out.shape} tagged {tuple(h.shape)}"
+
+
+def test_warp_host_device_parity_fuzz():
+    """Property sweep: host warp_slice == device warp_patch (gather) ==
+    device warp_patch_separable for random affine draws."""
+    import jax.numpy as jnp
+    from elektronn2_tpu.data.transformations import (warp_slice,
+                                                     WarpingOOBError)
+    from elektronn2_tpu.ops.warp import warp_patch, warp_patch_separable
+
+    from scipy import ndimage
+    checked = 0
+    for trial in range(12):
+        rng = np.random.RandomState(700 + trial)
+        # smooth EM-like content: the separable core's closeness claim is
+        # for band-limited volumes (white noise is the pathological case;
+        # the GATHER check below stays exact on it regardless)
+        vol = ndimage.gaussian_filter(
+            rng.rand(36, 36, 36), 1.2).astype(np.float32)[None]
+        ps = (9, 11, 11)
+        # random small affine: rotation about z + anisotropic scale
+        ang = rng.uniform(-0.4, 0.4)
+        sc = rng.uniform(0.85, 1.15, size=3)
+        M = np.eye(4)
+        M[1, 1], M[2, 2] = np.cos(ang) * sc[1], np.cos(ang) * sc[2]
+        M[1, 2], M[2, 1] = -np.sin(ang), np.sin(ang)
+        M[0, 0] = sc[0]
+        pos = rng.uniform(14, 22, size=3)
+        try:
+            host = warp_slice(vol, ps, M=M, position=pos)
+        except WarpingOOBError:
+            continue
+        dev_g = np.asarray(warp_patch(jnp.asarray(vol), jnp.asarray(M),
+                                      jnp.asarray(pos), ps))
+        np.testing.assert_allclose(dev_g, host, atol=1e-5,
+                                   err_msg=f"gather trial {trial}")
+        dev_s = np.asarray(warp_patch_separable(
+            jnp.asarray(vol), jnp.asarray(M), jnp.asarray(pos), ps,
+            amount_bound=1.0))
+        # separable core: same interpolation ORDER but a different
+        # factorisation — exact on affine-linear content (locked in
+        # test_warp_dev), bounded-close on white noise (worst case)
+        assert np.abs(dev_s - host).mean() < 0.02, f"separable trial {trial}"
+        c = np.corrcoef(dev_s.ravel(), host.ravel())[0, 1]
+        assert c > 0.98, f"separable trial {trial}: corr {c:.3f}"
+        checked += 1
+    assert checked >= 6          # the sweep must actually exercise draws
