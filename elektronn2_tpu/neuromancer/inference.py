@@ -415,6 +415,8 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
                for z0 in range(0, rshape[0], step[0])
                for x0 in range(0, rshape[1], step[1])
                for y0 in range(0, rshape[2], step[2])]
+    if not origins:     # degenerate region (a zero-size dimension)
+        return out
 
     def stage(o):
         """Read slab + halo from the backing store, clamped to dataset

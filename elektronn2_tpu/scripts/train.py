@@ -80,6 +80,7 @@ def main(argv=None):
     wrap(trainer.model, "trainingstep")
     from elektronn2_tpu.training import fused_loop
     wrap(fused_loop.FusedTrainLoop, "run_chunk")
+    wrap(fused_loop.HostFedFusedLoop, "run_chunk")
     try:
         trainer.run()
     finally:

@@ -145,6 +145,12 @@ class HostFedFusedLoop:
         self._fn = make_fused_hostfed_trainstep(model, self.n_inner)
         self._key = jax.random.PRNGKey(int(seed))
         self._has_err = model.error_node is not None
+        # data.getbatch is NOT thread-safe (one np.random.RandomState);
+        # the prefetch thread and any main-thread draw (validation,
+        # preview, chunk tail) must serialise on this lock — the Trainer
+        # takes it around its own getbatch calls while this loop is active
+        import threading
+        self.data_lock = threading.Lock()
         # one prefetch thread: chunk N+1's K batches are prepared while
         # chunk N runs on device (the main thread blocks on the loss
         # readback) — without it, host prep and device compute serialise
@@ -160,7 +166,8 @@ class HostFedFusedLoop:
         tgt = m.target_node.name if m.target_node is not None else None
         ds, ts = [], []
         for _ in range(self.n_inner):
-            b = self.data.getbatch(self.batch_size, **self.batch_args)
+            with self.data_lock:
+                b = self.data.getbatch(self.batch_size, **self.batch_args)
             b = b if isinstance(b, (tuple, list)) else (b,)
             ds.append(np.asarray(b[0]))
             if tgt is not None:

@@ -13,6 +13,7 @@ scalar loss (async device value) so the device never stalls on the host.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -163,12 +164,21 @@ class Trainer:
             logger.warning(f"preview plotting failed: {e}")
         return out
 
+    def _data_guard(self):
+        """Lock serialising data.getbatch against a fused loop's prefetch
+        thread (the RandomState inside a data source is not thread-safe);
+        nullcontext outside fused host-fed runs."""
+        lock = getattr(self, "_data_lock", None)
+        return lock if lock is not None else contextlib.nullcontext()
+
     def test_model(self, source="valid"):
         """Validation loss/error on one monitoring batch."""
         try:
-            d, t = self.data.getbatch(self.monitor_batch_size, source=source,
-                                      **{**self.data_batch_args,
-                                         "warp": False})
+            with self._data_guard():
+                d, t = self.data.getbatch(self.monitor_batch_size,
+                                          source=source,
+                                          **{**self.data_batch_args,
+                                             "warp": False})
         except (ValueError, RuntimeError) as e:
             if not getattr(self, "_warned_no_valid", False):
                 self._warned_no_valid = True
@@ -360,6 +370,7 @@ class Trainer:
             loop = HostFedFusedLoop(model, self.data, self.batch_size,
                                     n_inner, batch_args=self.data_batch_args,
                                     seed=loop_seed)
+            self._data_lock = loop.data_lock
             mode = "host-fed"
         logger.info(f"training {model.name}: {self.n_steps} steps in "
                     f"{mode} fused chunks of {n_inner}, batch "
@@ -379,8 +390,9 @@ class Trainer:
                     # tail shorter than a chunk: finish with plain steps so
                     # the optimiser runs EXACTLY n_steps updates
                     while self.step < self.n_steps:
-                        d, t = self.data.getbatch(self.batch_size,
-                                                  **self.data_batch_args)
+                        with self._data_guard():
+                            d, t = self.data.getbatch(self.batch_size,
+                                                      **self.data_batch_args)
                         lv, _ = model.trainingstep(d, t)
                         self.step += 1
                         self.history.update_timeline(self.step, float(lv))
@@ -440,6 +452,7 @@ class Trainer:
             self.console.quit = True
             if hasattr(loop, "close"):
                 loop.close()            # stop the host-fed prefetch thread
+            self._data_lock = None
             if self._tb is not None:
                 self._tb.close()
             path = self.save_model()

@@ -165,7 +165,13 @@ class DynamicKDT:
                 dist, np.float64)), td])
             all_i = np.concatenate([np.atleast_1d(np.asarray(idx)),
                                     np.arange(n_tree, len(self._points))])
-            order = np.argsort(all_d)[:k]
+            # when k > n_tree, cKDTree pads with (inf, n_tree) sentinels;
+            # drop them or the argsort merge can surface an index pointing
+            # at an arbitrary pending point (or out of range entirely)
+            real = np.isfinite(all_d)
+            all_d, all_i = all_d[real], all_i[real]
+            k_eff = min(k, len(self._points), len(all_d))
+            order = np.argsort(all_d)[:k_eff]
             dist, idx = all_d[order], all_i[order]
             if k == 1:
                 dist, idx = dist[0], idx[0]

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import errno
 import os
+import socket
 import time
 
 
@@ -29,13 +30,25 @@ class FileLock:
         self.lockfile = protected_file_path + ".lock"
         self.timeout = float(timeout)
         self.delay = float(delay)
-        self._contents = lock_file_contents or f"pid={os.getpid()}"
+        self._contents = (lock_file_contents or
+                          f"pid={os.getpid()} host={socket.gethostname()}")
         self.is_locked = False
 
     def _break_if_stale(self):
-        """Remove a lock whose recorded owner pid is dead (crashed/killed
-        holder never ran release — exactly the crash-recovery scenario in
-        which the trainer auto-resumes and must be able to save again)."""
+        """Atomically claim a lock whose recorded owner pid is dead
+        (crashed/killed holder never ran release — exactly the
+        crash-recovery scenario in which the trainer auto-resumes and must
+        be able to save again).
+
+        Two safety rules (multi-host shared storage, TOCTOU):
+        - pid liveness is only meaningful on the host that wrote the lock;
+          if the recorded hostname differs from ours, never break it
+          (``jax.distributed`` multi-host runs share the save directory).
+        - breaking is an atomic ``os.rename`` of the lockfile to a unique
+          temp name: of N contenders that all saw the same dead pid, only
+          the rename winner removes it, so a freshly re-created lock can
+          never be unlinked by a loser still acting on stale information.
+        """
         try:
             with open(self.lockfile) as f:
                 contents = f.read()
@@ -47,6 +60,10 @@ class FileLock:
             pid = int(contents.split("pid=")[1].split()[0])
         except (ValueError, IndexError):
             return False
+        if "host=" in contents:
+            host = contents.split("host=")[1].split()[0]
+            if host != socket.gethostname():
+                return False    # remote holder: cannot test liveness
         if pid == os.getpid():
             return False
         try:
@@ -56,11 +73,23 @@ class FileLock:
             pass                # owner dead → stale
         except PermissionError:
             return False        # alive, other user
+        grave = f"{self.lockfile}.stale.{os.getpid()}.{time.monotonic_ns()}"
         try:
-            os.unlink(self.lockfile)
-            return True
-        except FileNotFoundError:
-            return True
+            os.rename(self.lockfile, grave)   # atomic: one winner only
+        except OSError:
+            return True         # someone else broke it first — retry open
+        # Verify the corpse is the lock we diagnosed, not a fresh lock that
+        # replaced it between read and rename (rename would have claimed the
+        # new owner's lock); if so, reinstate it.
+        try:
+            with open(grave) as f:
+                if f.read() != contents:
+                    os.rename(grave, self.lockfile)
+                    return False
+            os.unlink(grave)
+        except OSError:
+            pass
+        return True
 
     def acquire(self):
         deadline = time.monotonic() + self.timeout
