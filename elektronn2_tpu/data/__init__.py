@@ -14,6 +14,7 @@ from elektronn2_tpu.data.cnndata import (
 from elektronn2_tpu.data.knossos_array import (
     KnossosArray, KnossosArrayMulti, save_knossos,
 )
+from elektronn2_tpu.data.skeleton import SkeletonMFK, Trace, trace_to_kzip
 from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
 
 __all__ = [
@@ -22,5 +23,6 @@ __all__ = [
     "map_coordinates_nearest", "greyAugment", "ids2barriers", "smearbarriers",
     "BatchCreatorImage", "GridData", "AgentData",
     "KnossosArray", "KnossosArrayMulti", "save_knossos",
+    "SkeletonMFK", "Trace", "trace_to_kzip",
     "DeviceBatchAugmenter",
 ]

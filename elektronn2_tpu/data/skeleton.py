@@ -83,6 +83,84 @@ def _parse_nml(data):
     return nodes, edges, radii
 
 
+def _build_nml(things, scale=(1.0, 1.0, 1.0), experiment="elektronn2_tpu"):
+    """Serialise skeleton graphs to KNOSSOS NML XML (the inverse of
+    ``_parse_nml``). ``things``: list of ``(positions (n,3) zxy, edges
+    (m,2) 0-based, radii (n,)|None, comment|None)``. Node ids are global
+    across things (KNOSSOS requires uniqueness file-wide); float
+    coordinates are written with ``repr`` so load(save(x)) round-trips
+    bit-exactly. Reference: ``skeleton.py::trace_to_kzip`` (SURVEY §3.2).
+    """
+    root = ET.Element("things")
+    params = ET.SubElement(root, "parameters")
+    ET.SubElement(params, "experiment", name=str(experiment))
+    ET.SubElement(params, "scale", x=repr(float(scale[1])),
+                  y=repr(float(scale[2])), z=repr(float(scale[0])))
+    next_id = 1
+    for t_id, (pos, edges, radii, comment) in enumerate(things, start=1):
+        pos = np.asarray(pos, np.float64).reshape(-1, 3)
+        attrs = {"id": str(t_id)}
+        if comment:
+            attrs["comment"] = str(comment)
+        thing = ET.SubElement(root, "thing", **attrs)
+        nodes_el = ET.SubElement(thing, "nodes")
+        base = next_id
+        for i, p in enumerate(pos):
+            r = 1.0 if radii is None else float(radii[i])
+            # framework order (z, x, y) → NML stores x, y, z
+            ET.SubElement(nodes_el, "node", id=str(base + i),
+                          radius=repr(r), x=repr(float(p[1])),
+                          y=repr(float(p[2])), z=repr(float(p[0])),
+                          inVp="0", inMag="1", time="0")
+        next_id = base + len(pos)
+        edges_el = ET.SubElement(thing, "edges")
+        for a, b in np.asarray(edges, np.int64).reshape(-1, 2):
+            ET.SubElement(edges_el, "edge", source=str(base + int(a)),
+                          target=str(base + int(b)))
+    ET.SubElement(root, "comments")
+    ET.SubElement(root, "branchpoints")
+    ET.indent(root)
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
+def _write_nml_file(fname, things, scale=(1.0, 1.0, 1.0),
+                    experiment="elektronn2_tpu", force_zip=False):
+    """Write NML — bare ``.nml``, or zipped as ``annotation.nml`` inside a
+    ``.k.zip``/``.zip`` (the KNOSSOS annotation container)."""
+    fname = os.fspath(fname)
+    data = _build_nml(things, scale=scale, experiment=experiment)
+    if force_zip or fname.endswith((".k.zip", ".zip")):
+        with zipfile.ZipFile(fname, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("annotation.nml", data)
+    else:
+        with open(fname, "wb") as f:
+            f.write(data)
+    return fname
+
+
+def trace_to_kzip(traces, fname, scale=(1.0, 1.0, 1.0),
+                  experiment="elektronn2_tpu", comments=None):
+    """Export tracing results as a KNOSSOS-loadable annotation.
+
+    ``traces``: ``Trace`` objects (or bare (n,3) coordinate arrays, z,x,y
+    order). Each trace becomes one ``thing`` whose nodes are chained by
+    consecutive edges — the flight path as a KNOSSOS skeleton. This closes
+    the reference's deployment loop (trace → inspect in KNOSSOS):
+    ``skeleton.py::trace_to_kzip`` (SURVEY §3.2).
+    """
+    things = []
+    for i, tr in enumerate(traces):
+        coords = tr.coords if isinstance(tr, Trace) else \
+            np.asarray(tr, np.float64).reshape(-1, 3)
+        n = len(coords)
+        edges = np.stack([np.arange(n - 1), np.arange(1, n)], 1) \
+            if n > 1 else np.zeros((0, 2), np.int64)
+        comment = comments[i] if comments else f"trace_{i}"
+        things.append((coords, edges, None, comment))
+    return _write_nml_file(fname, things, scale=scale,
+                           experiment=experiment)
+
+
 class SkeletonMFK:
     """A neurite skeleton graph with tracing geometry.
 
@@ -128,9 +206,24 @@ class SkeletonMFK:
         r = np.array([radii[i] for i in ids])
         return cls(pos, e, r)
 
-    def save(self, fname):
+    def save(self, fname, scale=(1.0, 1.0, 1.0)):
+        """Save as .npz (arrays), .nml (KNOSSOS XML), or .k.zip/.zip
+        (zipped NML) — format picked from the extension, so the skeleton
+        round-trips through KNOSSOS as well as numpy."""
+        fname = os.fspath(fname)
+        if fname.endswith((".nml", ".k.zip", ".zip")):
+            return _write_nml_file(
+                fname, [(self.positions, self.edges, self.radii, None)],
+                scale=scale)
         np.savez(fname, positions=self.positions, edges=self.edges,
                  radii=self.radii)
+        return fname
+
+    def to_kzip(self, fname, scale=(1.0, 1.0, 1.0)):
+        """Explicit KNOSSOS export (k.zip), regardless of extension."""
+        return _write_nml_file(
+            fname, [(self.positions, self.edges, self.radii, None)],
+            scale=scale, force_zip=True)
 
     # ------------------------------------------------------------- queries
     def get_closest_node(self, position):

@@ -110,7 +110,14 @@ class ShotgunRegistry:
             for p in trace.coords:
                 self._kdt.append(p)
 
-    def run(self, tracer, batch_size=1):
+    def save_kzip(self, fname, scale=(1.0, 1.0, 1.0)):
+        """Export every registered trace as a KNOSSOS annotation (one
+        ``thing`` per trace) — the deployment hand-off: trace → inspect
+        in KNOSSOS. Reference: ``skeleton.py::trace_to_kzip``."""
+        from elektronn2_tpu.data.skeleton import trace_to_kzip
+        return trace_to_kzip(self.traces, fname, scale=scale)
+
+    def run(self, tracer, batch_size=1, save_kzip=None):
         """Drain the registry through a tracer.
 
         With ``batch_size > 1`` and a batch-capable tracer
@@ -119,6 +126,9 @@ class ShotgunRegistry:
         are deduped against previously-registered traces only, not against
         each other's fresh paths (a documented relaxation of the serial
         drain's semantics, bounded by ``radius``).
+
+        ``save_kzip``: path — after the drain, write all traces as a
+        KNOSSOS .k.zip/.nml annotation (``save_kzip`` method).
         """
         batch_size = int(batch_size)
         if batch_size > 1 and not hasattr(tracer, "trace_batch"):
@@ -143,14 +153,16 @@ class ShotgunRegistry:
                 for t in tracer.trace_batch(seeds)[:n_real]:
                     self.register(t)
                 logger.info(f"traced a batch of {n_real} seeds")
-            return self.traces
-        while True:
-            seed = self.next_seed()
-            if seed is None:
-                break
-            t = tracer.trace(seed)
-            self.register(t)
-            logger.info(f"traced {len(t)} steps from {seed}")
+        else:
+            while True:
+                seed = self.next_seed()
+                if seed is None:
+                    break
+                t = tracer.trace(seed)
+                self.register(t)
+                logger.info(f"traced {len(t)} steps from {seed}")
+        if save_kzip:
+            self.save_kzip(save_kzip)
         return self.traces
 
 
@@ -332,8 +344,10 @@ class DeviceTracer:
 
         return jax.jit(rollout)
 
-    def trace_batch(self, seeds):
-        """Roll out a batch of agents; returns a list of ``Trace``."""
+    def trace_batch(self, seeds, save_kzip=None):
+        """Roll out a batch of agents; returns a list of ``Trace``.
+        ``save_kzip``: also write the traces as a KNOSSOS annotation
+        (``skeleton.trace_to_kzip``)."""
         import jax.numpy as jnp
         seeds = np.asarray(seeds, np.float32).reshape(-1, 3)
         if self._fn is None:
@@ -347,6 +361,9 @@ class DeviceTracer:
             pts = np.concatenate([seeds[b:b + 1].astype(np.float64),
                                   traj[b][alive[b]]], axis=0)
             traces.append(Trace(pts))
+        if save_kzip:
+            from elektronn2_tpu.data.skeleton import trace_to_kzip
+            trace_to_kzip(traces, save_kzip)
         return traces
 
     def trace(self, seed_position):

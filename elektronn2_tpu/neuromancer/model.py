@@ -112,11 +112,16 @@ class Model:
     # --------------------------------------------------------------- plumbing
     def set_dilated_impl(self, impl="direct"):
         """Choose the dilated-op lowering for the dense path: 'direct'
-        (rhs_dilation) or 's2b' (space-to-batch — exactly equivalent; which
-        is faster is hardware/XLA-version dependent, bench A/Bs them)."""
-        if impl not in ("direct", "s2b"):
-            raise ValueError(f"impl={impl!r}: expected 'direct' or 's2b'")
+        (rhs_dilation), 's2b' (per-op space-to-batch) or 's2bg' (GLOBAL
+        space-to-batch: one split at the dilation plateau, undilated tail,
+        one merge) — all exactly equivalent; which is faster is
+        hardware/XLA-version dependent, bench A/Bs them."""
+        if impl not in ("direct", "s2b", "s2bg"):
+            raise ValueError(f"impl={impl!r}: expected 'direct', 's2b' "
+                             "or 's2bg'")
         self._dilated_impl = impl
+        # the lowering is baked into the traced program: drop cached jits
+        self._dilated_fns = {}
         return self
 
     def set_remat(self, enabled=True):
@@ -488,13 +493,15 @@ class Model:
                                      pad_raw=pad_raw)
 
     def sweep_knossos(self, karr, region=None, step=None, out=None,
-                      verbose=False, mesh=None, axis_name="space"):
+                      verbose=False, mesh=None, axis_name="space",
+                      slab_batch=1):
         """Dense-predict a whole KNOSSOS dataset, slab by staged slab
-        (optionally z-sharded over a mesh — pod-scale serving)."""
+        (optionally z-sharded over a mesh — pod-scale serving; or
+        ``slab_batch`` slabs per dispatch with overlapped readback)."""
         from elektronn2_tpu.neuromancer.inference import sweep_knossos
         return sweep_knossos(self, karr, region=region, step=step, out=out,
                              verbose=verbose, mesh=mesh,
-                             axis_name=axis_name)
+                             axis_name=axis_name, slab_batch=slab_batch)
 
     # ------------------------------------------------------------------ stats
     @property

@@ -19,21 +19,29 @@ from elektronn2_tpu.neuromancer.node_basic import Node, TraceCtx
 class GaussianRV(Node):
     """Reparameterised Gaussian sample: mu + sig * eps (train mode);
     returns mu in eval mode. Reference: ``various.py::GaussianRV``.
-    ``n_samples`` is accepted for reference API parity; this implementation
-    always draws one sample per element (n_samples > 1 unimplemented).
+    ``n_samples > 1`` draws that many eps per element and averages them
+    (the Monte-Carlo mean — reduces sample variance by 1/n while keeping
+    the output shape, the reference's multi-sample semantics).
     """
 
     def __init__(self, mu, sig, n_samples=1, name="gaussian_rv",
                  print_repr=True):
         super().__init__([mu, sig], name, print_repr)
         self.n_samples = int(n_samples)
+        if self.n_samples < 1:
+            raise ValueError(f"n_samples must be >= 1, got {n_samples}")
         self.shape = mu.shape.copy()
 
     def _compute(self, ctx, mu, sig):
         if not ctx.train or ctx.rng is None:
             return mu
         key = ctx.rng_for(self)
-        eps = jax.random.normal(key, mu.shape, mu.dtype)
+        if self.n_samples == 1:
+            eps = jax.random.normal(key, mu.shape, mu.dtype)
+        else:
+            eps = jax.random.normal(
+                key, (self.n_samples,) + tuple(mu.shape), mu.dtype
+            ).mean(axis=0)
         return mu + sig * eps
 
 

@@ -25,11 +25,14 @@ from elektronn2_tpu.parallel.mesh import make_mesh, mesh_info
 from elektronn2_tpu.parallel.halo import (halo_gather, cp_conv_z,
                                           spatial_cp_stack)
 from elektronn2_tpu.parallel.spatial_train import (
-    make_spatial_dp_trainstep, pad_target_for_spatial)
+    make_spatial_dp_trainstep, pad_target_for_spatial, spatial_tp_shardings)
 from elektronn2_tpu.parallel.pipeline import (gpipe_stack, microbatch,
-                                              gpipe_reference_loss)
+                                              gpipe_reference_loss,
+                                              make_gpipe_trainstep,
+                                              layers_from_model)
 
 __all__ = ["make_mesh", "mesh_info", "halo_gather", "cp_conv_z",
            "spatial_cp_stack", "make_spatial_dp_trainstep",
-           "pad_target_for_spatial", "gpipe_stack", "microbatch",
-           "gpipe_reference_loss"]
+           "pad_target_for_spatial", "spatial_tp_shardings",
+           "gpipe_stack", "microbatch", "gpipe_reference_loss",
+           "make_gpipe_trainstep", "layers_from_model"]

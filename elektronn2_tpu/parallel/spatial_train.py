@@ -40,7 +40,7 @@ def pad_target_for_spatial(target, input_z):
 
 
 def make_spatial_dp_trainstep(model, mesh, data_axis="data",
-                              space_axis="space"):
+                              space_axis="space", model_axis=None):
     """Build a jitted DP×SP training-step callable.
 
     Returns ``step(params, opt_state, state, data, target, hyper, rng) ->
@@ -48,6 +48,14 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
     divisible
     by the data-axis size and Z by the space-axis size; ``target``:
     (B, Z, X_out, Y_out) int (z-padded, see ``pad_target_for_spatial``).
+
+    ``model_axis`` (3-axis DP×SP×TP): the ``shard_map`` goes manual over
+    ``data``/``space`` only (``axis_names``), leaving ``model_axis`` in
+    GSPMD's hands — params/optimiser slots are channel-sharded over it
+    with the same rule as ``Model.use_mesh(model_axis=...)``, and XLA
+    inserts the tensor-parallel collectives inside each manual shard.
+    Pass params already placed with ``spatial_tp_shardings`` (or any
+    layout; the jit in_shardings repartition them).
     """
     from elektronn2_tpu.neuromancer.loss import AggregateLoss
 
@@ -131,6 +139,10 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
                       for n in set(params) | set(new_train)}
         return loss_v, new_params, new_opt, new_state
 
+    sm_kw = {}
+    if model_axis is not None:
+        # manual over data/space only; the model axis stays auto (GSPMD)
+        sm_kw["axis_names"] = frozenset({data_axis, space_axis})
     shard_step = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(),
@@ -138,9 +150,16 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
                   P(data_axis, space_axis, None, None),
                   P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_vma=False)
+        check_vma=False, **sm_kw)
 
-    @jax.jit
+    jit_kw = {}
+    if model_axis is not None:
+        psh, osh = spatial_tp_shardings(model, mesh, model_axis)
+        repl = NamedSharding(mesh, P())
+        jit_kw = dict(in_shardings=(psh, osh, repl, None, None, repl, repl),
+                      out_shardings=(repl, psh, osh, repl))
+
+    @partial(jax.jit, **jit_kw)
     def step(params, opt_state, state, data, target, hyper, rng):
         return shard_step(params, opt_state, state, data, target, rng,
                           hyper)
@@ -148,6 +167,22 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
     logger.info(f"spatial DP train step: mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
                 f"fov_z={fov_z}")
     return step
+
+
+def spatial_tp_shardings(model, mesh, model_axis):
+    """(param_shardings, opt_shardings) channel-sharded over
+    ``model_axis`` — the same rule as ``Model.use_mesh(model_axis=...)``,
+    computed WITHOUT mutating the model (a proxy carries just the
+    attributes the Model sharding helpers read)."""
+    import types
+    from elektronn2_tpu.neuromancer.model import Model
+    proxy = types.SimpleNamespace(
+        _mesh=mesh, _model_axis=model_axis,
+        params=model.params, nodes=model.nodes,
+        opt_state=model.opt_state)
+    proxy._param_shardings = lambda: Model._param_shardings(proxy)
+    proxy._repl_sharding = lambda: Model._repl_sharding(proxy)
+    return (Model._param_shardings(proxy), Model._opt_shardings(proxy))
 
 
 def conv_supports_halo(ctx):

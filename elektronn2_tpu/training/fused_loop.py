@@ -96,31 +96,47 @@ class FusedTrainLoop:
                 np.asarray(errs) if self._has_err else None)
 
 
-def make_fused_hostfed_trainstep(model, n_inner):
+def make_fused_hostfed_trainstep(model, n_inner, carry_specs=None):
     """Fused K-step program for HOST-fed batches: ``fused(params,
-    opt_state, state, feeds, keys, hyper)`` where every array in the
-    ``feeds`` dict carries a leading (K,) axis (K stacked host batches).
-    One dispatch + one loss readback per K steps — the host-data
+    opt_state, state, feeds, keys, hyper[, rnn_carry])`` where every array
+    in the ``feeds`` dict carries a leading (K,) axis (K stacked host
+    batches). One dispatch + one loss readback per K steps — the host-data
     counterpart of ``make_fused_trainstep`` (which also samples/augments
-    on device)."""
+    on device).
+
+    ``carry_specs``: list of ``(aux_index, state_name)`` enabling fused
+    truncated BPTT (VERDICT r1 #4): the RNN hidden state rides the scan
+    carry — each inner step feeds ``{state_name: carry}`` and the next
+    carry is the ScanN node's last time-slice (``aux[aux_index][-1]``,
+    already a concrete per-step value, so gradients truncate at inner-step
+    boundaries exactly like the per-step path). The final carry is
+    returned so the NEXT chunk continues the state chain."""
     if model._step_fn is None:
         model._build_step()
     step_raw = model._step_raw
     has_err = model.error_node is not None
+    carry_specs = list(carry_specs or [])
 
-    def fused(params, opt_state, state, feeds, keys, hyper):
+    def fused(params, opt_state, state, feeds, keys, hyper, rnn_carry):
         def body(carry, xs):
-            params, opt_state, state = carry
+            params, opt_state, state, rnn = carry
             feed, kr = xs
+            feed = {**feed, **rnn}
             loss, aux, gnorm, params, opt_state, state = step_raw(
                 params, opt_state, state, feed, kr, hyper)
-            err = aux[0][0] if has_err else jnp.float32(0)
-            return (params, opt_state, state), (loss, err)
+            # truncation boundary: lax.scan carries are concrete values
+            # within the trace of the NEXT step's loss_fn, so no gradient
+            # flows back across inner steps — TBPTT semantics preserved
+            new_rnn = {name: aux[idx][-1] for idx, name in carry_specs}
+            return (params, opt_state, state, new_rnn), (loss, err(aux))
 
-        (params, opt_state, state), (losses, errs) = jax.lax.scan(
-            body, (params, opt_state, state), (feeds, keys),
+        def err(aux):
+            return aux[0][0] if has_err else jnp.float32(0)
+
+        (params, opt_state, state, rnn_carry), (losses, errs) = jax.lax.scan(
+            body, (params, opt_state, state, rnn_carry), (feeds, keys),
             length=n_inner)
-        return losses, errs, params, opt_state, state
+        return losses, errs, params, opt_state, state, rnn_carry
 
     return jax.jit(fused, donate_argnums=(0, 1))
 
@@ -134,7 +150,7 @@ class HostFedFusedLoop:
     readback floor dominates wall time."""
 
     def __init__(self, model, data, batch_size, n_inner, batch_args=None,
-                 seed=0, prefetch=True):
+                 seed=0, prefetch=True, carry_map=None):
         if int(n_inner) < 1:
             raise ValueError(f"n_inner must be >= 1, got {n_inner}")
         self.model = model
@@ -142,7 +158,32 @@ class HostFedFusedLoop:
         self.batch_size = int(batch_size)
         self.n_inner = int(n_inner)
         self.batch_args = dict(batch_args or {})
-        self._fn = make_fused_hostfed_trainstep(model, self.n_inner)
+        # fused TBPTT: map {scan_node_name: state_node_name} → feed the
+        # hidden state through the chunk scan and across chunks
+        self._carry_specs, self.rnn_carry = [], {}
+        if carry_map:
+            aux_names = ([model.error_node.name]
+                         if model.error_node is not None else [])
+            aux_names += [n.name for n in model.debug_outputs]
+            for scan_name, state_name in carry_map.items():
+                if scan_name not in aux_names:
+                    raise ValueError(
+                        f"carry_map scan node {scan_name!r} must be in "
+                        "model.debug_outputs (rebuild the step with it)")
+                self._carry_specs.append((aux_names.index(scan_name),
+                                          state_name))
+                # seed the chain with the learnable initial state's
+                # CURRENT value (broadcast like InitialState_like does);
+                # boundary note: state0 therefore gets no gradient from
+                # the first inner step — the per-step path trains it on
+                # the first batch only, a negligible difference docced
+                # in TracingTrainer
+                node = model.nodes[state_name]
+                state0 = model.params[state_name]["state0"]
+                self.rnn_carry[state_name] = jnp.broadcast_to(
+                    state0, tuple(node.shape))
+        self._fn = make_fused_hostfed_trainstep(model, self.n_inner,
+                                                self._carry_specs)
         self._key = jax.random.PRNGKey(int(seed))
         self._has_err = model.error_node is not None
         # data.getbatch is NOT thread-safe (one np.random.RandomState);
@@ -186,8 +227,9 @@ class HostFedFusedLoop:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, self.n_inner)
         hyper = m.optimiser.current_hyper()
-        losses, errs, m.params, m.opt_state, m.state = self._fn(
-            m.params, m.opt_state, m.state, feeds, keys, hyper)
+        losses, errs, m.params, m.opt_state, m.state, self.rnn_carry = \
+            self._fn(m.params, m.opt_state, m.state, feeds, keys, hyper,
+                     self.rnn_carry)
         if self._pool is not None:      # prep next chunk during readback
             self._next = self._pool.submit(self._draw_feeds)
         m._step_count += self.n_inner

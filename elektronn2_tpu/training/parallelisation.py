@@ -6,12 +6,18 @@ shared ctypes memory.
 
 Two backends with one surface (``get()``, ``reset()``, ``shutdown()``):
 
-* ``mode='process'`` (default): fork()ed workers, batches returned through a
-  multiprocessing queue — the reference's design. Forking also isolates the
-  main process's device-client threads: on some transports (the axon TPU
-  tunnel in this sandbox) device readbacks can wedge when arbitrary Python
-  threads run in the same process, so process isolation is the *safe*
-  default, exactly as it was for Theano's GIL.
+* ``mode='process'`` (default, = ``'fork'``): fork()ed workers, batches
+  returned through a multiprocessing queue — the reference's design.
+  Forking also isolates the main process's device-client threads: on some
+  transports (the axon TPU tunnel in this sandbox) device readbacks can
+  wedge when arbitrary Python threads run in the same process, so process
+  isolation is the *safe* default, exactly as it was for Theano's GIL.
+* ``mode='spawn'`` / ``mode='forkserver'``: fresh-interpreter workers.
+  fork() after JAX initialisation is a real deadlock class (JAX's runtime
+  is multithreaded, and CPython 3.12+ warns; fork defaults disappear in
+  3.14) — these modes avoid it entirely. The target (and everything it
+  closes over) must be picklable; lambdas and JAX-array-holding producers
+  are not, so fork stays the default where the sandbox transport needs it.
 * ``mode='thread'``: an in-process thread pool — zero-copy, right choice
   when the producer itself touches JAX (e.g. DeviceBatchAugmenter) or when
   the dataset must not be forked.
@@ -107,8 +113,10 @@ class BackgroundProc:
         self._exc = None
         n_proc = max(1, int(n_proc))
         queue_size = max(1, int(queue_size))
-        if mode == "process":
-            ctx = mp.get_context("fork")
+        if mode in ("process", "fork", "spawn", "forkserver"):
+            method = "fork" if mode in ("process", "fork") else mode
+            self.mode = "process"
+            ctx = mp.get_context(method)
             self.q = ctx.Queue(maxsize=queue_size)
             self._stop = ctx.Event()
             self._err_flag = ctx.Event()

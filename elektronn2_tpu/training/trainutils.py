@@ -206,6 +206,7 @@ class Schedule:
         self._obj = None
         self._prop = None
         self._initial = None
+        self._last_step = None
 
     def bind_variable(self, obj=None, prop_name=None, initial_val=None):
         self._obj = obj
@@ -239,9 +240,18 @@ class Schedule:
             frac = max(0.0, 1.0 - step / float(total))
             self._set(self._initial * frac)
         elif self.updates is not None:
+            # catch-up semantics: fire the LATEST entry in the window
+            # (last_seen_step, step] — a resumed run whose first update()
+            # lands past a table entry still applies it (entries set
+            # absolute values, so applying only the latest is exact)
+            prev = self._last_step if self._last_step is not None else -1
+            fire = None
             for s, v in self.updates:
-                if s == step:
-                    self._set(v)
+                if prev < s <= step:
+                    fire = v
+            if fire is not None:
+                self._set(fire)
+        self._last_step = step
 
     def __repr__(self):
         mode = ("dec", self.dec) if self.dec is not None else \

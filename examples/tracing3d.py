@@ -73,19 +73,23 @@ def create_model():
     return model
 
 
-def rollout_demo(model, n_agents=8, max_steps=64):
+def rollout_demo(model, n_agents=8, max_steps=64,
+                 kzip_path="tracing3d-traces.k.zip"):
     """Post-training inference: batched agent rollout fused on device
-    (one dispatch for the whole batch — see DeviceTracer)."""
+    (one dispatch for the whole batch — see DeviceTracer), exported as a
+    KNOSSOS .k.zip annotation — the reference's deployment hand-off
+    (``skeleton.py::trace_to_kzip``)."""
     from elektronn2_tpu.data.tracing_utils import DeviceTracer
     vol = _data.train_d[0]          # the (f, Z, X, Y) training cube
     tracer = DeviceTracer(model, np.asarray(vol, np.float32),
                           max_steps=max_steps)
     rng = np.random.RandomState(2)
     seeds = rng.uniform(12, 36, size=(n_agents, 3))
-    traces = tracer.trace_batch(seeds)
+    traces = tracer.trace_batch(seeds, save_kzip=kzip_path)
     for i, t in enumerate(traces):
         print(f"agent {i}: {len(t.coords)} points, "
               f"end={np.round(t.coords[-1], 1)}")
+    print(f"traces written to {kzip_path} (KNOSSOS-loadable)")
     return traces
 
 

@@ -31,6 +31,71 @@ def test_shim_reference_style_config():
     assert cnncalculator([3], [2], desired_patch_size=16, ndim=1) is not None
 
 
+REFERENCE_STYLE_CONFIG = '''\
+# A reference-style experiment config: imports ONLY elektronn2.* —
+# what an ELEKTRONN2 user's existing config file looks like.
+import numpy as np
+
+save_name = "refstyle"
+batch_size = 2
+n_steps = 4
+history_freq = 0
+save_freq = 0
+n_workers = 0
+optimiser = "SGD"
+optimiser_params = {"lr": 5e-3}
+data_class = "BatchCreatorImage"
+_rng = np.random.RandomState(0)
+data_init_kwargs = {
+    "input_data": [_rng.rand(1, 20, 28, 28).astype(np.float32)],
+    "target_data": [(_rng.rand(20, 28, 28) > 0.5).astype(np.int16)],
+}
+schedules = {"lr": {"dec": 0.98}}
+
+
+def create_model():
+    from elektronn2.neuromancer import (Input, Conv, Softmax,
+                                        MultinoulliNLL, AggregateLoss,
+                                        Errors, model_manager)
+    model_manager.reset(seed=2)
+    inp = Input([batch_size, 1, 8, 12, 12], "b,f,z,x,y", name="raw")
+    c1 = Conv(inp, 6, (1, 3, 3), (1, 2, 2))
+    c2 = Conv(c1, 8, (3, 3, 3), (1, 1, 1))
+    logits = Conv(c2, 2, (1, 1, 1), (1, 1, 1), activation_func="lin")
+    probs = Softmax(logits)
+    tgt = Input([batch_size, *probs.shape.spatial_shape], "b,z,x,y",
+                dtype="int32", name="target")
+    nll = MultinoulliNLL(probs, tgt, target_is_sparse=True)
+    loss = AggregateLoss(nll)
+    err = Errors(probs, tgt, target_is_sparse=True)
+    model = model_manager.getmodel("refstyle")
+    model.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                          prediction_node=probs, error_node=err)
+    return model
+'''
+
+
+def test_shim_reference_config_file_end_to_end(tmp_path):
+    """VERDICT r1 #8: an experiment config written in PURE reference style
+    (elektronn2.* imports only) execs, builds, and trains end-to-end
+    through the ExperimentConfig + Trainer surface."""
+    from elektronn2.config import ExperimentConfig
+    from elektronn2.training.trainer import Trainer
+    cfg_path = tmp_path / "refstyle_config.py"
+    cfg_path.write_text(REFERENCE_STYLE_CONFIG)
+    exp = ExperimentConfig.from_file(
+        str(cfg_path), override={"save_path": str(tmp_path)})
+    tr = Trainer(exp)
+    hist = tr.run()
+    assert tr.step == 4
+    losses = [row[2] for row in hist.timeline]
+    assert np.isfinite(losses).all()
+    # the saved model reloads through the elektronn2.* surface too
+    from elektronn2.neuromancer.model import modelload
+    m2 = modelload(str(tmp_path / "refstyle-LAST.mdl"))
+    assert m2.param_count == tr.model.param_count
+
+
 def test_shim_missing_submodule_raises():
     import pytest
     with pytest.raises(ImportError):

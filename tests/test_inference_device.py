@@ -358,8 +358,29 @@ def test_s2b_dense_path_matches_direct(rng):
     m.set_dilated_impl("s2b")
     s2b = np.asarray(m.predict_dense_device(raw))
     np.testing.assert_allclose(direct, s2b, atol=2e-5)
+    m.set_dilated_impl("s2bg")
+    s2bg = np.asarray(m.predict_dense_device(raw))
+    np.testing.assert_allclose(direct, s2bg, atol=2e-5)
     with pytest.raises(ValueError):
         m.set_dilated_impl("bogus")
+
+
+def test_s2bg_dense_path_matches_direct_flagship(rng):
+    """The GLOBAL space-to-batch lowering (one split at the dilation
+    plateau) == 'direct' on the 3D flagship net, odd + even volume sizes
+    (tail-phase padding must be trimmed exactly)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+    m = _flagship_model(mfp=True, patch=[11, 27, 27])
+    for shape in ((15, 34, 37), (16, 36, 36)):
+        raw = jnp.asarray(rng.randn(1, *shape).astype(np.float32))
+        m.set_dilated_impl("direct")
+        direct = np.asarray(m.predict_dense_device(raw))
+        m.set_dilated_impl("s2bg")
+        s2bg = np.asarray(m.predict_dense_device(raw))
+        assert direct.shape == s2bg.shape
+        np.testing.assert_allclose(direct, s2bg, atol=2e-5)
 
 
 @pytest.mark.parametrize("seed", [3, 7, 19])

@@ -75,6 +75,13 @@ def test_knossos_whole_dataset_sweep(rng, tmp_path):
     out2 = m.sweep_knossos(ka, region=[(4, 20), (8, 24), (0, 32)],
                            step=[8, 16, 16])
     np.testing.assert_allclose(out2, ref[:, 4:20, 8:24, :], atol=1e-6)
+    # batched multi-slab sweep (VERDICT r1 #1b): identical output, incl.
+    # a final partial chunk (5 slabs into chunks of 2)
+    out3 = m.sweep_knossos(ka, step=[12, 16, 16], slab_batch=2)
+    np.testing.assert_allclose(out3, ref, atol=1e-6)
+    out4 = m.sweep_knossos(ka, region=[(4, 20), (8, 24), (0, 32)],
+                           step=[8, 16, 16], slab_batch=4)
+    np.testing.assert_allclose(out4, ref[:, 4:20, 8:24, :], atol=1e-6)
 
 
 def test_bmap_to_affgraph():

@@ -283,6 +283,30 @@ def test_gaussian_rv(rng):
     assert 0 < np.abs(samp - vmu).max() < 1.0
 
 
+def test_gaussian_rv_n_samples(rng):
+    """n_samples>1 averages that many draws: same shape, ~1/sqrt(n) the
+    deviation from mu (VERDICT r1 #8: various.py::GaussianRV)."""
+    mu = nm.Input([4, 50], "b,f", name="mu")
+    sig = nm.Input([4, 50], "b,f", name="sig")
+    vmu = np.zeros((4, 50), np.float32)
+    vsig = np.ones((4, 50), np.float32)
+    feed = {"mu": vmu, "sig": vsig}
+    devs = {}
+    for n in (1, 64):
+        model_manager.reset(seed=1)
+        mu = nm.Input([4, 50], "b,f", name="mu")
+        sig = nm.Input([4, 50], "b,f", name="sig")
+        rv = nm.GaussianRV(mu, sig, n_samples=n)
+        assert rv.shape.shape == (4, 50)
+        samp = eval_node(rv, feed, train=True, rng=jax.random.PRNGKey(1))
+        assert samp.shape == (4, 50)
+        devs[n] = float(np.std(samp))
+    # std of a 64-sample mean is 1/8 of a single draw's (tolerant bound)
+    assert devs[64] < devs[1] * 0.3
+    with pytest.raises(ValueError):
+        nm.GaussianRV(mu, sig, n_samples=0)
+
+
 # ----------------------------------------------------------------- recurrence
 
 def np_gru_step(x, h, wg, bg, wc, bc):

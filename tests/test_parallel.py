@@ -514,3 +514,145 @@ def test_gpipe_composes_with_dp(rng):
             np.testing.assert_allclose(np.asarray(gp[k]),
                                        np.asarray(gr[k]),
                                        rtol=1e-4, atol=1e-6)
+
+
+# ------------------------- Model-level PP training + 3-axis composition
+
+def _flagship_like(B, name="pp_model"):
+    """Small linear conv chain + softmax/NLL head (the flagship family)."""
+    inp = nm.Input([B, 1, 9, 16, 16], "b,f,z,x,y", name="raw")
+    h = inp
+    for i, (nf, f, p) in enumerate([(4, (1, 3, 3), (1, 2, 2)),
+                                    (6, (3, 3, 3), (1, 1, 1)),
+                                    (6, (3, 3, 3), (1, 1, 1))]):
+        h = nm.Conv(h, nf, f, p, name=f"c{i}")
+    logits = nm.Conv(h, 2, 1, 1, activation_func="lin", name="logits")
+    probs = nm.Softmax(logits, name="probs")
+    tgt = nm.Input([B, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel(name)
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=0.05, mom=0.0)
+    return m, probs
+
+
+def test_model_gpipe_trainstep_matches_trainingstep(rng):
+    """make_gpipe_trainstep (VERDICT r1 #5: Model API through PP): K
+    pipelined training steps == K Model.trainingstep calls on the same
+    batches — loss trajectory and final params."""
+    from elektronn2_tpu.parallel import make_gpipe_trainstep, microbatch
+    M, b_mb = 4, 1
+    B = M * b_mb
+    m_ref, probs = _flagship_like(B, "pp_ref")
+    out_sp = probs.shape.spatial_shape
+    batches = [(rng.rand(B, 1, 9, 16, 16).astype(np.float32),
+                (rng.rand(B, *out_sp) > 0.5).astype(np.int32))
+               for _ in range(3)]
+    ref_losses = []
+    for d, t in batches:
+        lv, _ = m_ref.trainingstep(d, t)
+        ref_losses.append(float(lv))
+
+    model_manager.reset(seed=11)        # identical init
+    m_pp, _ = _flagship_like(B, "pp_pipe")
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    step = make_gpipe_trainstep(m_pp, mesh, n_micro=M, mb_batch=b_mb)
+    pp_losses = []
+    hyper = m_pp.optimiser.current_hyper()
+    for d, t in batches:
+        xm, ym = microbatch(jnp.asarray(d), M), microbatch(jnp.asarray(t), M)
+        lv, m_pp.params, m_pp.opt_state = step(m_pp.params, m_pp.opt_state,
+                                               xm, ym, hyper)
+        pp_losses.append(float(lv))
+    np.testing.assert_allclose(pp_losses, ref_losses, rtol=2e-5)
+    for n in ("c0", "c2", "logits"):
+        np.testing.assert_allclose(np.asarray(m_pp.params[n]["w"]),
+                                   np.asarray(m_ref.params[n]["w"]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_model_gpipe_composes_with_dp(rng):
+    """DP×PP through the Model API ({'data':2,'pipe':2})."""
+    from elektronn2_tpu.parallel import make_gpipe_trainstep, microbatch
+    M, b_mb = 2, 2                     # global mb batch 2, sharded 2-way
+    B = M * b_mb
+    m_ref, probs = _flagship_like(B, "dpp_ref")
+    out_sp = probs.shape.spatial_shape
+    d = rng.rand(B, 1, 9, 16, 16).astype(np.float32)
+    t = (rng.rand(B, *out_sp) > 0.5).astype(np.int32)
+    l_ref, _ = m_ref.trainingstep(d, t)
+
+    model_manager.reset(seed=11)
+    m_pp, _ = _flagship_like(B, "dpp_pipe")
+    mesh = make_mesh({"data": 2, "pipe": 2}, devices=jax.devices()[:4])
+    step = make_gpipe_trainstep(m_pp, mesh, n_micro=M, mb_batch=b_mb,
+                                data_axis="data")
+    xm, ym = microbatch(jnp.asarray(d), M), microbatch(jnp.asarray(t), M)
+    lv, new_p, _ = step(m_pp.params, m_pp.opt_state, xm, ym,
+                        m_pp.optimiser.current_hyper())
+    np.testing.assert_allclose(float(lv), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_p["c1"]["w"]),
+                               np.asarray(m_ref.params["c1"]["w"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_three_axis_dp_sp_tp_matches_single_device(rng):
+    """3-axis mesh {'data':2,'space':2,'model':2} (VERDICT r1 #5): manual
+    DP×SP shard_map with GSPMD TP on the auto axis == unsharded step."""
+    from elektronn2_tpu.parallel.spatial_train import (
+        make_spatial_dp_trainstep, pad_target_for_spatial,
+        spatial_tp_shardings)
+    from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+
+    B, Z, X, Y = 2, 8, 14, 14
+    inp = nm.Input([B, 1, Z, X, Y], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), name="c1")
+    c2 = nm.Conv(c1, 4, (3, 3, 3), (1, 1, 1), name="c2")
+    probs = nm.Softmax(nm.Conv(c2, 2, 1, 1, activation_func="lin"),
+                       name="probs")
+    tgt = nm.Input([B, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True, name="nll")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt,
+                      loss_node=nm.AggregateLoss(nll, name="loss"),
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=0.05, mom=0.0)
+
+    mesh = make_mesh({"data": 2, "space": 2, "model": 2})
+    psh, _ = spatial_tp_shardings(m, mesh, "model")
+    assert psh["c1"]["w"].spec[0] == "model"   # channels really sharded
+    step = make_spatial_dp_trainstep(m, mesh, model_axis="model")
+
+    data = rng.rand(B, 1, Z, X, Y).astype(np.float32)
+    z_out, x_out, y_out = probs.shape.spatial_shape
+    target = (rng.rand(B, z_out, x_out, y_out) > 0.5).astype(np.int32)
+    target_pad = pad_target_for_spatial(target, Z)
+    loss_sh, new_params, _, _ = step(m.params, m.opt_state, m.state,
+                                     jnp.asarray(data),
+                                     jnp.asarray(target_pad),
+                                     m.optimiser.current_hyper(),
+                                     jax.random.PRNGKey(0))
+    # TP sharding survives the update (opt state/params stay distributed)
+    assert new_params["c1"]["w"].sharding.spec[0] == "model"
+
+    def ref_loss(tp):
+        merged = {n: {**m.params.get(n, {}), **tp.get(n, {})}
+                  for n in set(m.params) | set(tp)}
+        ctx = TraceCtx(merged, {"raw": data, "target": target}, None,
+                       train=True, node_index=m._node_index)
+        return jnp.mean(ctx.get(nll))
+
+    tp = m._trainable(m.params)
+    loss_ref, grads = jax.value_and_grad(ref_loss)(tp)
+    ref_new, _ = m.optimiser.update(tp, grads, m.opt_state,
+                                    m.optimiser.current_hyper(),
+                                    m._lr_mults, m._wd_mults)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for n in ("c1", "c2"):
+        np.testing.assert_allclose(np.asarray(new_params[n]["w"]),
+                                   np.asarray(ref_new[n]["w"]),
+                                   rtol=1e-4, atol=1e-6)

