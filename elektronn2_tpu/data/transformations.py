@@ -22,6 +22,8 @@ centre; ``position`` is the patch-centre location in the source volume.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -177,16 +179,44 @@ def make_warp_matrix(rot_z=0.0, shear_amount=0.0, scale_factors=None,
 
 # -------------------------------------------------------------- interpolation
 
+#: native C++ gather core (the reference's numba inner loops) — built with
+#: g++ on first use; None after a failed probe (no compiler → numpy path)
+_NATIVE = "unprobed"
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE == "unprobed":
+        if os.environ.get("ELEKTRONN2_NO_NATIVE_WARP"):
+            _NATIVE = None
+        else:
+            try:
+                from elektronn2_tpu.data import _warp_native
+                _warp_native.get_lib()
+                _NATIVE = _warp_native
+            except Exception:
+                _NATIVE = None
+    return _NATIVE
+
+
 def map_coordinates_linear(src, coords):
     """Vectorised trilinear gather. ``src``: (z, x, y) or (f, z, x, y);
     ``coords``: (3, N) float source coordinates (voxel-centre convention).
 
     Reference: ``transformations.py::map_coordinates_linear`` (numba inner
-    loop → numpy vectorisation; the TPU path is a Pallas kernel).
+    loop). Two implementations: a C++ core (``data/warp_core.cpp`` via
+    ctypes, threaded — the native counterpart of the reference's numba
+    loops, used for float32 sources) and this vectorised-numpy fallback,
+    which is also the semantics oracle (tests assert agreement to float32
+    tolerance).
     """
     multi = src.ndim == 4
     if not multi:
         src = src[None]
+    nat = _native()
+    if nat is not None and src.dtype == np.float32:
+        out = nat.map_linear_f32(src, coords)
+        return out if multi else out[0]
     sp = src.shape[1:]
     c0 = np.floor(coords).astype(np.int64)
     frac = (coords - c0).astype(src.dtype if src.dtype.kind == "f"
@@ -223,6 +253,10 @@ def map_coordinates_nearest(src, coords):
     multi = src.ndim == 4
     if not multi:
         src = src[None]
+    nat = _native()
+    if nat is not None and src.dtype == np.int32:
+        out = nat.map_nearest_i32(src, coords)
+        return out if multi else out[0]
     sp = src.shape[1:]
     c = np.rint(coords).astype(np.int64)
     c = np.clip(c, 0, np.array(sp).reshape(3, 1) - 1)

@@ -99,6 +99,10 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         raise ValueError(f"unknown dilated impl {impl!r}")
     use_s2b = impl == "s2b" and halo_axis is None
     use_s2bg = impl == "s2bg" and halo_axis is None
+    # kz=1 convs as 2D convs with z in the conv batch dim (XLA's small-Cin
+    # 3D conv lowering is pathological — docs/tpu_performance.md r2 study)
+    use_zfold = (bool(getattr(model, "_dilated_zfold", False))
+                 and halo_axis is None and not use_s2b)
 
     pred = model.prediction_node
     inp = model.input_node
@@ -194,24 +198,47 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                     "dilated dense path (s2bg): pooling past the dilation "
                     "plateau — dilation schedule is inconsistent")
             eff_dil = (1,) * nsp if ph is not None else dil
-            if nsp == 3:
-                xin = halo(xin, eff_dil[0] * (w.shape[2] - 1))
-            cfn = conv_s2b if use_s2b else (
-                lambda a, b, dilation: ops_conv(a, b, dilation=dilation))
-            if cdtype is not None:
-                y = cfn(xin.astype(cdtype), w.astype(cdtype),
-                        dilation=eff_dil).astype(jnp.float32)
-            else:
-                y = cfn(xin, w, dilation=eff_dil)
-            y = y + b.reshape((1, -1) + (1,) * nsp)
             v = tuple(s - d * (k - 1)
                       for s, d, k in zip(vext[node.parents[0].name], dil,
                                          w.shape[2:]))
-            if any(p > 1 for p in node.pool_shape):
-                y = dilated_pool(y, node.pool_shape, dil)
-                v = tuple(s - d * (p - 1)
-                          for s, d, p in zip(v, dil, node.pool_shape))
-                dil = tuple(d * p for d, p in zip(dil, node.pool_shape))
+            if (use_zfold and nsp == 3 and w.shape[2] == 1
+                    and node.pool_shape[0] == 1):
+                # z never mixes (kz=1, pz=1): fold z into the conv batch
+                # dim and run conv+bias+pool as 2D ops, unfold after
+                B2, C2, Z2 = xin.shape[:3]
+                x2 = xin.transpose(0, 2, 1, 3, 4).reshape(
+                    (B2 * Z2, C2) + tuple(xin.shape[3:]))
+                w2 = w[:, :, 0]
+                if cdtype is not None:
+                    y = ops_conv(x2.astype(cdtype), w2.astype(cdtype),
+                                 dilation=eff_dil[1:]).astype(jnp.float32)
+                else:
+                    y = ops_conv(x2, w2, dilation=eff_dil[1:])
+                y = y + b.reshape(1, -1, 1, 1)
+                if any(p > 1 for p in node.pool_shape):
+                    y = dilated_pool(y, node.pool_shape[1:], eff_dil[1:])
+                    v = tuple(s - d * (p - 1)
+                              for s, d, p in zip(v, dil, node.pool_shape))
+                    dil = tuple(d * p
+                                for d, p in zip(dil, node.pool_shape))
+                y = y.reshape((B2, Z2) + tuple(y.shape[1:])
+                              ).transpose(0, 2, 1, 3, 4)
+            else:
+                if nsp == 3:
+                    xin = halo(xin, eff_dil[0] * (w.shape[2] - 1))
+                cfn = conv_s2b if use_s2b else (
+                    lambda a, b, dilation: ops_conv(a, b, dilation=dilation))
+                if cdtype is not None:
+                    y = cfn(xin.astype(cdtype), w.astype(cdtype),
+                            dilation=eff_dil).astype(jnp.float32)
+                else:
+                    y = cfn(xin, w, dilation=eff_dil)
+                y = y + b.reshape((1, -1) + (1,) * nsp)
+                if any(p > 1 for p in node.pool_shape):
+                    y = dilated_pool(y, node.pool_shape, dil)
+                    v = tuple(s - d * (p - 1)
+                              for s, d, p in zip(v, dil, node.pool_shape))
+                    dil = tuple(d * p for d, p in zip(dil, node.pool_shape))
             if node.batch_normalisation:
                 y = _bn_affine(node, y, model)
             alpha = (params[node.name].get("alpha")

@@ -110,16 +110,24 @@ class Model:
         return self
 
     # --------------------------------------------------------------- plumbing
-    def set_dilated_impl(self, impl="direct"):
+    def set_dilated_impl(self, impl="direct", zfold=False):
         """Choose the dilated-op lowering for the dense path: 'direct'
         (rhs_dilation), 's2b' (per-op space-to-batch) or 's2bg' (GLOBAL
         space-to-batch: one split at the dilation plateau, undilated tail,
         one merge) — all exactly equivalent; which is faster is
-        hardware/XLA-version dependent, bench A/Bs them."""
+        hardware/XLA-version dependent, bench A/Bs them.
+
+        ``zfold``: lower kz=1 convs (+their fused pool/activation) as 2D
+        convs with z folded into the conv batch dim — XLA's Cin-small 3D
+        conv lowering is pathological (docs/tpu_performance.md r2 study:
+        conv0 alone ~24 ms device time for 0.2%% of the FLOPs; the z-fold
+        form measured 2.4x faster in isolation). Exactly equivalent
+        (tests); composes with every impl."""
         if impl not in ("direct", "s2b", "s2bg"):
             raise ValueError(f"impl={impl!r}: expected 'direct', 's2b' "
                              "or 's2bg'")
         self._dilated_impl = impl
+        self._dilated_zfold = bool(zfold)
         # the lowering is baked into the traced program: drop cached jits
         self._dilated_fns = {}
         return self

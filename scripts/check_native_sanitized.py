@@ -17,6 +17,7 @@ import tempfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 SRC = os.path.join(REPO, "elektronn2_tpu", "malis", "malis_core.cpp")
+WARP_SRC = os.path.join(REPO, "elektronn2_tpu", "data", "warp_core.cpp")
 
 CHILD = r"""
 import ctypes, sys
@@ -51,16 +52,32 @@ print("sanitized cross-check OK")
 """
 
 
+WARP_CHILD = r"""
+import ctypes, os, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+os.environ["ELEKTRONN2_NO_NATIVE_WARP"] = "1"   # oracle = numpy path
+import elektronn2_tpu.data._warp_native as wn
+wn._SO = {so!r}
+wn._lib = None
+wn._build = lambda: None          # use the sanitized build as-is
+from elektronn2_tpu.data import transformations as T
+rng = np.random.RandomState(1)
+src = rng.rand(2, 9, 11, 13).astype(np.float32)
+lab = rng.randint(0, 7, size=(1, 9, 11, 13)).astype(np.int32)
+coords = rng.uniform(-4, 16, size=(3, 5000))
+a = wn.map_linear_f32(src, coords)
+b = T.map_coordinates_linear(src, coords)
+assert np.allclose(a, b, atol=2e-5), "warp native != numpy (sanitized)"
+an = wn.map_nearest_i32(lab, coords)
+bn = T.map_coordinates_nearest(lab, coords)
+assert (an == bn).all(), "warp nearest != numpy (sanitized)"
+print("warp sanitized cross-check OK")
+"""
+
+
 def main():
     with tempfile.TemporaryDirectory() as td:
-        so = os.path.join(td, "_malis_asan.so")
-        cmd = ["g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
-               "-fsanitize=address,undefined",
-               "-fno-sanitize-recover=undefined",
-               "-fno-omit-frame-pointer",
-               SRC, "-o", so]
-        print("+", " ".join(cmd))
-        subprocess.run(cmd, check=True)
         asan_rt = subprocess.run(
             ["g++", "-print-file-name=libasan.so"],
             capture_output=True, text=True).stdout.strip()
@@ -68,9 +85,23 @@ def main():
                    LD_PRELOAD=asan_rt,
                    ASAN_OPTIONS="detect_leaks=0",  # CPython itself 'leaks'
                    )
-        child = CHILD.format(repo=REPO, so=so)
-        r = subprocess.run([sys.executable, "-c", child], env=env)
-        sys.exit(r.returncode)
+        for src, name, child_tpl in (
+                (SRC, "_malis_asan.so", CHILD),
+                (WARP_SRC, "_warp_asan.so", WARP_CHILD)):
+            so = os.path.join(td, name)
+            cmd = ["g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
+                   "-pthread",
+                   "-fsanitize=address,undefined",
+                   "-fno-sanitize-recover=undefined",
+                   "-fno-omit-frame-pointer",
+                   src, "-o", so]
+            print("+", " ".join(cmd))
+            subprocess.run(cmd, check=True)
+            child = child_tpl.format(repo=REPO, so=so)
+            r = subprocess.run([sys.executable, "-c", child], env=env)
+            if r.returncode:
+                sys.exit(r.returncode)
+        sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,37 @@ def test_warp_matches_scipy_map_coordinates(rng):
     assert (ours_n == want_n).mean() > 0.98  # ties at .5 may round differently
 
 
+def test_native_warp_core_matches_numpy(rng, monkeypatch):
+    """The C++ gather core (data/warp_core.cpp — the reference's numba
+    inner loops gone native) == the vectorised-numpy oracle, including
+    out-of-bounds coordinates (border clamp) and multi-channel sources.
+    Skipped if no compiler is available (graceful-degradation policy)."""
+    from elektronn2_tpu.data import transformations as T
+    try:
+        from elektronn2_tpu.data import _warp_native
+        _warp_native.get_lib()
+    except Exception:
+        pytest.skip("no g++ available")
+    src = rng.rand(2, 14, 15, 16).astype(np.float32)
+    lab = rng.randint(0, 9, size=(1, 14, 15, 16)).astype(np.int32)
+    coords = np.concatenate([
+        rng.uniform(-3, 18, size=(3, 4000)),            # incl. OOB
+        rng.randint(0, 14, size=(3, 50)).astype(np.float64),  # exact ints
+    ], axis=1)
+    nat_lin = _warp_native.map_linear_f32(src, coords)
+    nat_nn = _warp_native.map_nearest_i32(lab, coords)
+    # numpy oracle via the public functions with the native path disabled
+    monkeypatch.setattr(T, "_NATIVE", None)
+    ref_lin = T.map_coordinates_linear(src, coords)
+    ref_nn = T.map_coordinates_nearest(lab, coords)
+    np.testing.assert_allclose(nat_lin, ref_lin, atol=2e-5)
+    np.testing.assert_array_equal(nat_nn, ref_nn)
+    # and the public function dispatches to the native core for f32/i32
+    monkeypatch.setattr(T, "_NATIVE", "unprobed")
+    via_pub = T.map_coordinates_linear(src, coords)
+    np.testing.assert_allclose(via_pub, ref_lin, atol=2e-5)
+
+
 def test_rot90_matches_numpy(rng):
     vol = rng.rand(1, 9, 15, 15).astype(np.float32)
     M = rotate_z(np.pi / 2)

@@ -368,7 +368,8 @@ def test_s2b_dense_path_matches_direct(rng):
 def test_s2bg_dense_path_matches_direct_flagship(rng):
     """The GLOBAL space-to-batch lowering (one split at the dilation
     plateau) == 'direct' on the 3D flagship net, odd + even volume sizes
-    (tail-phase padding must be trimmed exactly)."""
+    (tail-phase padding must be trimmed exactly); likewise the zfold
+    (kz=1 convs as z-batched 2D convs) variant, alone and composed."""
     import sys
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import _flagship_model
@@ -377,10 +378,12 @@ def test_s2bg_dense_path_matches_direct_flagship(rng):
         raw = jnp.asarray(rng.randn(1, *shape).astype(np.float32))
         m.set_dilated_impl("direct")
         direct = np.asarray(m.predict_dense_device(raw))
-        m.set_dilated_impl("s2bg")
-        s2bg = np.asarray(m.predict_dense_device(raw))
-        assert direct.shape == s2bg.shape
-        np.testing.assert_allclose(direct, s2bg, atol=2e-5)
+        for impl, zf in (("s2bg", False), ("direct", True), ("s2bg", True)):
+            m.set_dilated_impl(impl, zfold=zf)
+            got = np.asarray(m.predict_dense_device(raw))
+            assert direct.shape == got.shape, (impl, zf)
+            np.testing.assert_allclose(direct, got, atol=2e-5,
+                                       err_msg=f"{impl} zfold={zf}")
 
 
 @pytest.mark.parametrize("seed", [3, 7, 19])

@@ -256,7 +256,7 @@ def test_separable_deviation_bound_fuzzed(rng):
     raws = [_smooth(rng, (40, 48, 48))[None]]
     labs = [(_smooth(rng, (40, 48, 48), 4) > 0).astype(np.int16)]
     worst_raw, worst_lab = 0.0, 1.0
-    for seed in (1, 2, 3):
+    for seed in (1, 2):
         # affine family: voxelwise bound vs the gather core
         for amount in (0.4, 0.9):
             kw = dict(patch_size=(10, 16, 16), warp_amount=amount,
@@ -279,7 +279,7 @@ def test_separable_deviation_bound_fuzzed(rng):
     # deviation — PARITY.md taxonomy), so the contract is distributional:
     # output intensity statistics match the gather core's and the output
     # still differs from an unwarped crop
-    for seed in (1, 2):
+    for seed in (1,):
         kw = dict(patch_size=(10, 16, 16), warp_amount=0.6,
                   elastic_sigma=1.5, seed=seed)
         d1, _ = DeviceBatchAugmenter(raws, labs, resample="separable",
