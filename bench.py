@@ -80,9 +80,11 @@ def main():
 
     vol_shape = tuple(int(v) for v in os.environ.get(
         "BENCH_VOL", "64,512,512").split(","))  # ~16.8 Mvox EM slab
-    rng = np.random.RandomState(0)
-    vol = jax.device_put(rng.rand(1, *vol_shape).astype(np.float32))
-    jnp.sum(vol).block_until_ready()
+    # generated ON DEVICE: the tunnel stages host arrays at 3-20 MB/s,
+    # which would add minutes of staging for the same random payload
+    vol = jax.random.uniform(jax.random.PRNGKey(0), (1,) + vol_shape,
+                             jnp.float32)
+    float(jnp.sum(vol))
 
     # A/B the mathematically-identical dilated lowerings and report the
     # better one (which wins is XLA-version dependent). r2: 's2bg' (one
@@ -98,31 +100,46 @@ def main():
     # latency, not device time.
     K = int(os.environ.get("BENCH_K", "4"))
     best = (0.0, "direct")
-    for impl in ("direct", "s2bg"):
-        model.set_dilated_impl(impl)
-        out = model.predict_dense_device(vol, pad_raw=True)   # compile
-        float(jnp.sum(out))
-        t0 = time.perf_counter()
-        outs = [model.predict_dense_device(vol, pad_raw=True)
-                for _ in range(K)]
-        acc = outs[0].dtype.type(0)
-        for o in outs:
-            acc = acc + jnp.sum(o)
-        checksum = float(acc)               # one sync for the K dispatches
-        dt = time.perf_counter() - t0
-        assert np.isfinite(checksum)
+    # contenders: r1 baseline lowering vs the r2 winner (global
+    # space-to-batch + z-folded kz=1 head — measured +49% at 48x384x384;
+    # all lowerings bit-exact, tests)
+    for impl, zfold in (("direct", False), ("s2bg", True)):
+        label = impl + ("+zfold" if zfold else "")
+        try:
+            model.set_dilated_impl(impl, zfold=zfold)
+            out = model.predict_dense_device(vol, pad_raw=True)   # compile
+            float(jnp.sum(out))
+            t0 = time.perf_counter()
+            outs = [model.predict_dense_device(vol, pad_raw=True)
+                    for _ in range(K)]
+            acc = outs[0].dtype.type(0)
+            for o in outs:
+                acc = acc + jnp.sum(o)
+            checksum = float(acc)        # one sync for the K dispatches
+            dt = time.perf_counter() - t0
+            assert np.isfinite(checksum)
+        except Exception:
+            # a contender dying (e.g. the remote-compile helper 500s on
+            # uncached programs — observed live) must not kill the whole
+            # measurement; the other contender still reports
+            continue
         mvox = float(np.prod(out.shape[1:])) * K / dt / 1e6
         if mvox > best[0]:
-            best = (mvox, impl)
-            _best_so_far.update(value=mvox, impl=impl)
+            best = (mvox, label)
+            _best_so_far.update(value=mvox, impl=label)
     _done.set()
-    _emit({
+    payload = {
         "metric": "mfp_dense_inference",
         "value": round(best[0], 2),
         "unit": "Mvox/s/chip",
         "vs_baseline": round(best[0] / 1.0, 2),
         "impl": best[1],
-    })
+    }
+    if best[0] == 0.0:
+        payload["note"] = ("all contenders failed (tunnel/compile-helper "
+                           "outage) — last good: 72.9 single-dispatch "
+                           "s2bg, see BASELINE.md")
+    _emit(payload)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ def main():
     batch = int(os.environ.get("BATCH", "0"))
     rng = np.random.RandomState(0)
     impls = os.environ.get("IMPLS", "direct,s2bg").split(",")
+    zfold = bool(int(os.environ.get("ZFOLD", "0")))
     if batch:
         from elektronn2_tpu.neuromancer.inference import dilated_dense_forward
         vol = jax.device_put(
@@ -55,10 +56,12 @@ def main():
                               "mvox_s": round(mvox, 2), "vol": vol_shape,
                               "dtype": cdtype or "f32"}), flush=True)
         return
-    vol = jax.device_put(rng.rand(1, *vol_shape).astype(np.float32))
+    # on-device data: the tunnel stages host arrays at ~20 MB/s
+    vol = jax.random.uniform(jax.random.PRNGKey(0), (1,) + vol_shape,
+                             jnp.float32)
     float(jnp.sum(vol))
     for impl in impls:
-        model.set_dilated_impl(impl)
+        model.set_dilated_impl(impl, zfold=zfold)
         out = model.predict_dense_device(vol, pad_raw=True)   # compile
         float(jnp.sum(out))
         ts = []
@@ -69,7 +72,8 @@ def main():
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         mvox = float(np.prod(out.shape[1:])) / dt / 1e6
-        print(json.dumps({"impl": impl, "ms": round(dt * 1e3, 1),
+        print(json.dumps({"impl": impl, "zfold": zfold,
+                          "ms": round(dt * 1e3, 1),
                           "mvox_s": round(mvox, 2), "vol": vol_shape,
                           "dtype": cdtype or "f32"}), flush=True)
 
