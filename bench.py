@@ -100,13 +100,23 @@ def main():
     # latency, not device time.
     K = int(os.environ.get("BENCH_K", "4"))
     best = (0.0, "direct")
-    # contenders: r1 baseline lowering vs the r2 winner (global
-    # space-to-batch + z-folded kz=1 head — measured +49% at 48x384x384;
-    # all lowerings bit-exact, tests)
-    for impl, zfold in (("direct", False), ("s2bg", True)):
-        label = impl + ("+zfold" if zfold else "")
+    best_f32 = (0.0, None)
+    # contenders (all measured on v5e, sustained 64x512x512 — see
+    # BASELINE.md r2 table): 's2bg' 80.4 (best f32 lowering, bit-exact vs
+    # 'direct' — tests), 's2bg+zfold+bf16' 114.4 (bf16 serving mode,
+    # max|dev| 0.019 on softmax outputs vs f32 — PARITY.md), 'direct' 71.4
+    # (r1 baseline, safe fallback). The f32 's2bg+zfold' variant is NOT a
+    # contender: it deterministically crashes this sandbox's remote
+    # compile helper (HTTP 500, subprocess exit 1) while the bf16 variant
+    # of the same graph compiles — tracked in docs/tpu_performance.md.
+    for impl, zfold, cdtype in (("s2bg", False, None),
+                                ("s2bg", True, "bfloat16"),
+                                ("direct", False, None)):
+        label = (impl + ("+zfold" if zfold else "")
+                 + ("+bf16" if cdtype else ""))
         try:
             model.set_dilated_impl(impl, zfold=zfold)
+            model.set_compute_dtype(cdtype)
             out = model.predict_dense_device(vol, pad_raw=True)   # compile
             float(jnp.sum(out))
             t0 = time.perf_counter()
@@ -127,6 +137,8 @@ def main():
         if mvox > best[0]:
             best = (mvox, label)
             _best_so_far.update(value=mvox, impl=label)
+        if cdtype is None and mvox > best_f32[0]:
+            best_f32 = (mvox, label)
     _done.set()
     payload = {
         "metric": "mfp_dense_inference",
@@ -135,6 +147,11 @@ def main():
         "vs_baseline": round(best[0] / 1.0, 2),
         "impl": best[1],
     }
+    if best_f32[1] is not None and best_f32[1] != best[1]:
+        # the parity-grade (f32, bit-exact-across-lowerings) number,
+        # alongside the bf16 serving-mode headline
+        payload["f32_value"] = round(best_f32[0], 2)
+        payload["f32_impl"] = best_f32[1]
     if best[0] == 0.0:
         payload["note"] = ("all contenders failed (tunnel/compile-helper "
                            "outage) — last good: 72.9 single-dispatch "

@@ -386,6 +386,32 @@ def test_s2bg_dense_path_matches_direct_flagship(rng):
                                        err_msg=f"{impl} zfold={zf}")
 
 
+def test_bf16_serving_mode_deviation_bound(rng):
+    """bf16 serving mode (the bench headline contender s2bg+zfold+bf16):
+    softmax outputs must stay within the documented deviation bound of the
+    f32 parity-grade path (measured 0.019 max-abs on v5e at 64x512x512 —
+    BASELINE.md r2 table; bound here is 3x slack over that measurement)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+    m = _flagship_model(mfp=True, patch=[11, 27, 27])
+    raw = jnp.asarray(rng.randn(1, 15, 34, 37).astype(np.float32))
+    f32 = np.asarray(m.predict_dense_device(raw))
+    m.set_dilated_impl("s2bg", zfold=True)
+    m.set_compute_dtype("bfloat16")
+    bf16 = np.asarray(m.predict_dense_device(raw))
+    assert bf16.shape == f32.shape
+    assert float(np.max(np.abs(bf16 - f32))) < 0.06
+    # outputs are (masked) probabilities: the argmax label map should agree
+    # except at near-tied voxels — and with RANDOM weights on random input
+    # the classes are near-tied almost everywhere, so this is a loose floor
+    # (trained nets separate classes by orders of magnitude more)
+    agree = float(np.mean(np.argmax(bf16, 1) == np.argmax(f32, 1)))
+    assert agree > 0.95
+    m.set_compute_dtype(None)
+    m.set_dilated_impl("direct")
+
+
 @pytest.mark.parametrize("seed", [3, 7, 19])
 def test_fuzz_random_unets_conv_dense(seed):
     """Property test: random encoder/decoder topologies — the whole-volume
