@@ -84,7 +84,8 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     from elektronn2_tpu.neuromancer import neural, loss as loss_mod
     from elektronn2_tpu.neuromancer.node_basic import Input
     from elektronn2_tpu.ops.conv import (conv as ops_conv, conv_s2b,
-                                         pool_s2b, apply_activation)
+                                         conv_ztap, pool_s2b,
+                                         apply_activation)
 
     # dilated-op lowering: 'direct' = rhs_dilation / window_dilation;
     # 's2b' = space-to-batch around EVERY op (phases batched, undilated
@@ -103,15 +104,40 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     # 3D conv lowering is pathological — docs/tpu_performance.md r2 study)
     use_zfold = (bool(getattr(model, "_dilated_zfold", False))
                  and halo_axis is None and not use_s2b)
-
     pred = model.prediction_node
     inp = model.input_node
     nsp = len(inp.shape.spatial_axes)
+    # kz>1 convs as a f32-accumulated sum of z-shifted 2D convs (the
+    # tail convs hold ~92% of the sweep FLOPs in s2bg mode; measured 15%
+    # faster than XLA's 3D conv at that shape — scripts/exp_tail_conv.py)
+    ztap_mode = getattr(model, "_dilated_ztap", False)
+    if ztap_mode is True:
+        ztap_mode = "native"
+    use_ztap = (bool(ztap_mode)
+                and halo_axis is None and not use_s2b and nsp == 3)
+    # z-major activation layout (B, Z, C, X, Y): every kz=1 conv folds to a
+    # big-batch 2D conv and every kz>1 conv z-tap-decomposes via SLICES —
+    # all the fold/unfold transposes of zfold/ztap become free reshapes
+    # (docs/tpu_performance.md r2 study: the residual dense-path cost is
+    # layout traffic, not arithmetic)
+    use_zmajor = (bool(getattr(model, "_dilated_zmajor", False))
+                  and halo_axis is None and not use_s2b and nsp == 3)
+    if use_zmajor and not ztap_mode:
+        ztap_mode = "native"
     cdtype = getattr(model, "_compute_dtype", None)
+    # store inter-layer activations in cdtype (bit-identical for
+    # conv/pool/relu chains: conv outputs are already cdtype-rounded since
+    # the operands are; halves inter-layer HBM traffic) — see
+    # Model.set_compute_dtype(activations=True)
+    act_e2e = cdtype is not None and bool(getattr(model, "_compute_act",
+                                                  False))
     # params/state must be passed as traced ARGUMENTS by cached jit wrappers
     # (closing over model.params would bake stale weights in as constants)
     params = model.params if params is None else params
     state = model.state if state is None else state
+
+    # channel axis of internal activations (z-major keeps (B, Z, C, X, Y))
+    ch_ax = 2 if use_zmajor else 1
 
     def _bn_affine(node, y, model):
         """Eval-mode BatchNorm is a per-channel affine (running stats) —
@@ -121,7 +147,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         if st is None:
             raise ValueError("dilated dense path: BatchNorm without "
                              "trained running statistics")
-        shape = (1, -1) + (1,) * nsp
+        shape = [1] * (nsp + 2)
+        shape[ch_ax] = -1
+        shape = tuple(shape)
         gamma = params[node.name]["bn_gamma"].reshape(shape)
         beta = params[node.name]["bn_beta"].reshape(shape)
         mean = st["mean"].reshape(shape)
@@ -129,6 +157,8 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         return gamma * (y - mean) * jax.lax.rsqrt(var + 1e-5) + beta
 
     x = vol if batch else vol[None]
+    if use_zmajor:
+        x = x.transpose(0, 2, 1, 3, 4)
     values = {}    # node -> (array, dilation tuple, phase tuple | None)
     vext = {}      # node -> dense-space valid spatial extent (s2bg merge)
 
@@ -154,11 +184,14 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         if all(v == 1 for v in d_max):
             use_s2bg = False            # no pooling: nothing to split
     if use_s2bg:
-        from elektronn2_tpu.ops.conv import _s2b_split, _s2b_merge
+        from elektronn2_tpu.ops.conv import (_s2b_split, _s2b_merge,
+                                             _s2b_split_zmajor)
 
     def _maybe_split(y, dil, ph):
         """Enter phase space at the dilation plateau (s2bg only)."""
         if use_s2bg and ph is None and dil == d_max:
+            if use_zmajor:
+                return _s2b_split_zmajor(y, d_max), d_max
             return _s2b_split(y, d_max), d_max
         return y, ph
 
@@ -169,6 +202,17 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         return halo_gather(y, n_rows, halo_axis)
 
     def dilated_pool(y, pool, dil, mode="max"):
+        if use_zmajor:
+            # (B, Z, C, X, Y): the pool window skips the channel axis
+            window = (1, pool[0], 1) + tuple(pool[1:])
+            wdil = (1, dil[0], 1) + tuple(dil[1:])
+            init = -np.inf if mode == "max" else 0
+            op = lax.max if mode == "max" else lax.add
+            out = lax.reduce_window(y, init, op, window, (1,) * y.ndim,
+                                    "VALID", window_dilation=wdil)
+            if mode in ("avg", "mean"):
+                out = out / np.prod(pool)
+            return out
         y = halo(y, dil[0] * (pool[0] - 1) if nsp == 3 else 0)
         if use_s2b:
             return pool_s2b(y, pool, dil, mode=mode)
@@ -187,7 +231,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             return values[node.name]
         if isinstance(node, Input):
             out = (x, (1,) * nsp, None)
-            vext[node.name] = tuple(int(s) for s in x.shape[2:])
+            vext[node.name] = ((int(x.shape[1]),) + tuple(
+                int(s) for s in x.shape[3:]) if use_zmajor
+                else tuple(int(s) for s in x.shape[2:]))
         elif isinstance(node, neural.Conv):
             xin, dil, ph = evaluate(node.parents[0])
             w = params[node.name]["w"]
@@ -201,7 +247,82 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             v = tuple(s - d * (k - 1)
                       for s, d, k in zip(vext[node.parents[0].name], dil,
                                          w.shape[2:]))
-            if (use_zfold and nsp == 3 and w.shape[2] == 1
+            if use_zmajor:
+                # (B, Z, C, X, Y) activations: kz=1 convs FOLD (free
+                # reshape) to big-batch 2D convs; kz>1 convs z-tap via
+                # contiguous z-SLICES — zero transposes in the whole tail
+                kz, dz = w.shape[2], eff_dil[0]
+                B2, Z2, C2 = xin.shape[:3]
+                sp2 = tuple(xin.shape[3:])
+                xi = xin.astype(cdtype) if cdtype is not None else xin
+                wc = w.astype(cdtype) if cdtype is not None else w
+                if kz == 1:
+                    zo = Z2
+                    x2 = xi.reshape((B2 * Z2, C2) + sp2)
+                    y = ops_conv(x2, wc[:, :, 0], dilation=eff_dil[1:])
+                elif ztap_mode == "fatn":
+                    # fat-N tap batching: ONE 2D conv computes every
+                    # z-tap's contribution (N = Cout·kz MXU lanes instead
+                    # of Cout), combined by shifted slab adds —
+                    # out[z] = Σ_t c_t[z + t·dz]. Reads the producer once
+                    # (no per-tap cast duplication) and triples the MXU
+                    # output-lane fill; measured 48.1 vs 65.2 ms isolated
+                    # at the champion tail shape (scripts/exp_tail_conv.py)
+                    zo = Z2 - dz * (kz - 1)
+                    x2 = xi.reshape((B2 * Z2, C2) + sp2)
+                    w2 = wc.transpose(2, 0, 1, 3, 4).reshape(
+                        (kz * wc.shape[0],) + (C2,) + tuple(wc.shape[3:]))
+                    c = ops_conv(x2, w2, dilation=eff_dil[1:])
+                    c = c.reshape((B2, Z2, kz, wc.shape[0])
+                                  + tuple(c.shape[2:]))
+                    y = c[:, 0:zo, 0]
+                    for t in range(1, kz):
+                        y = y + c[:, t * dz:t * dz + zo, t]
+                    y = y.reshape((B2 * zo,) + tuple(y.shape[2:]))
+                elif ztap_mode == "conv3d":
+                    # ONE lax 3D conv with z-major dimension numbers —
+                    # no decomposition, no transposes: XLA's layout
+                    # assignment handles the (B, Z, C, X, Y) operand
+                    zo = Z2 - dz * (kz - 1)
+                    y = lax.conv_general_dilated(
+                        xi, wc, window_strides=(1,) * 3, padding="VALID",
+                        rhs_dilation=tuple(eff_dil),
+                        dimension_numbers=("NDCHW", "OIDHW", "NDCHW"))
+                    # (B, zo, Cout, X', Y') → fold for the shared epilogue
+                    y = y.reshape((B2 * zo,) + tuple(y.shape[2:]))
+                elif ztap_mode == "concat":
+                    zo = Z2 - dz * (kz - 1)
+                    xz = jnp.concatenate(
+                        [lax.slice_in_dim(xi, t * dz, t * dz + zo, axis=1)
+                         for t in range(kz)], axis=2)
+                    x2 = xz.reshape((B2 * zo, C2 * kz) + sp2)
+                    w2 = wc.transpose(0, 2, 1, 3, 4).reshape(
+                        (wc.shape[0], C2 * kz) + tuple(wc.shape[3:]))
+                    y = ops_conv(x2, w2, dilation=eff_dil[1:])
+                else:
+                    zo = Z2 - dz * (kz - 1)
+                    pet = jnp.float32 if ztap_mode == "f32" else None
+                    acc = None
+                    for t in range(kz):
+                        xt = lax.slice_in_dim(xi, t * dz, t * dz + zo,
+                                              axis=1)
+                        x2 = xt.reshape((B2 * zo, C2) + sp2)
+                        yt = ops_conv(x2, wc[:, :, t],
+                                      dilation=eff_dil[1:],
+                                      preferred_element_type=pet)
+                        acc = yt if acc is None else acc + yt
+                    y = acc
+                y = y + b.reshape(1, -1, 1, 1)
+                if cdtype is not None:
+                    y = y.astype(jnp.float32)
+                y = y.reshape((B2, zo) + tuple(y.shape[1:]))
+                if any(p > 1 for p in node.pool_shape):
+                    y = dilated_pool(y, node.pool_shape, dil)
+                    v = tuple(s - d * (p - 1)
+                              for s, d, p in zip(v, dil, node.pool_shape))
+                    dil = tuple(d * p
+                                for d, p in zip(dil, node.pool_shape))
+            elif (use_zfold and nsp == 3 and w.shape[2] == 1
                     and node.pool_shape[0] == 1):
                 # z never mixes (kz=1, pz=1): fold z into the conv batch
                 # dim and run conv+bias+pool as 2D ops, unfold after
@@ -226,8 +347,14 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             else:
                 if nsp == 3:
                     xin = halo(xin, eff_dil[0] * (w.shape[2] - 1))
-                cfn = conv_s2b if use_s2b else (
-                    lambda a, b, dilation: ops_conv(a, b, dilation=dilation))
+                if use_ztap and w.shape[2] > 1:
+                    cfn = (lambda a, b, dilation:
+                           conv_ztap(a, b, dilation=dilation,
+                                     accum=ztap_mode))
+                else:
+                    cfn = conv_s2b if use_s2b else (
+                        lambda a, b, dilation: ops_conv(
+                            a, b, dilation=dilation))
                 if cdtype is not None:
                     y = cfn(xin.astype(cdtype), w.astype(cdtype),
                             dilation=eff_dil).astype(jnp.float32)
@@ -243,7 +370,10 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 y = _bn_affine(node, y, model)
             alpha = (params[node.name].get("alpha")
                      if "alpha" in node.params else None)
-            y = apply_activation(y, node.activation_func, alpha=alpha)
+            y = apply_activation(y, node.activation_func, alpha=alpha,
+                                 axis=ch_ax)
+            if act_e2e:
+                y = y.astype(cdtype)     # f32 epilogue, cdtype store
             out = (y, dil, ph)
             vext[node.name] = v
         elif isinstance(node, neural.Pool):
@@ -260,19 +390,24 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             out = (y, dil, ph)
         elif isinstance(node, loss_mod.Softmax):
             xin, dil, ph = evaluate(node.parents[0])
+            if act_e2e:
+                xin = xin.astype(jnp.float32)   # stable f32 softmax
             n_indep = int(getattr(node, "n_indep", 1))
             if n_indep > 1:
                 # grouped softmax: independent groups along the f axis
-                parts = jnp.split(xin, n_indep, axis=1)
-                y = jnp.concatenate([jax.nn.softmax(p, axis=1)
-                                     for p in parts], axis=1)
+                parts = jnp.split(xin, n_indep, axis=ch_ax)
+                y = jnp.concatenate([jax.nn.softmax(p, axis=ch_ax)
+                                     for p in parts], axis=ch_ax)
             else:
-                y = jax.nn.softmax(xin, axis=1)
+                y = jax.nn.softmax(xin, axis=ch_ax)
             out = (y, dil, ph)
             vext[node.name] = vext[node.parents[0].name]
         elif isinstance(node, neural.BatchNorm):
             xin, dil, ph = evaluate(node.parents[0])
-            out = (_bn_affine(node, xin, model), dil, ph)
+            y = _bn_affine(node, xin, model)
+            if act_e2e:
+                y = y.astype(cdtype)
+            out = (y, dil, ph)
             vext[node.name] = vext[node.parents[0].name]
         elif isinstance(node, neural.FragmentsToDense):
             out = evaluate(node.parents[0])  # already dense here
@@ -307,11 +442,18 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                     arrs.append(a)
                 parts = [(a, dil, d_max) for a in arrs]
                 ph = d_max
-            out = (jnp.concatenate([p[0] for p in parts], axis=1), dil, ph)
+            out = (jnp.concatenate([p[0] for p in parts], axis=ch_ax),
+                   dil, ph)
             vext[node.name] = vext[node.parents[0].name]
         elif type(node).__name__ == "ApplyFunc":
             xin, dil, ph = evaluate(node.parents[0])
-            out = (node.functor(xin, *node.args, **node.kwargs), dil, ph)
+            if use_zmajor:
+                # functors assume the (B, C, *sp) layout contract
+                xin = xin.transpose(0, 2, 1, 3, 4)
+            y = node.functor(xin, *node.args, **node.kwargs)
+            if use_zmajor:
+                y = y.transpose(0, 2, 1, 3, 4)
+            out = (y, dil, ph)
             vext[node.name] = vext[node.parents[0].name]
         else:
             raise UnsupportedGraphError(
@@ -321,6 +463,12 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         return out
 
     y, dil, ph = evaluate(pred)
+    if act_e2e and y.dtype != jnp.float32:
+        y = y.astype(jnp.float32)    # callers get f32 prediction maps
+    if use_zmajor:
+        # back to channel-major for the merge/caller (the prediction map
+        # has few channels — this closing transpose is cheap)
+        y = y.transpose(0, 2, 1, 3, 4)
     if ph is not None:
         y = _s2b_merge(y, ph, x.shape[0], vext[pred.name])
     return y if batch else y[0]

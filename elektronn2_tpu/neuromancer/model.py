@@ -110,7 +110,8 @@ class Model:
         return self
 
     # --------------------------------------------------------------- plumbing
-    def set_dilated_impl(self, impl="direct", zfold=False):
+    def set_dilated_impl(self, impl="direct", zfold=False, ztap=False,
+                         zmajor=False):
         """Choose the dilated-op lowering for the dense path: 'direct'
         (rhs_dilation), 's2b' (per-op space-to-batch) or 's2bg' (GLOBAL
         space-to-batch: one split at the dilation plateau, undilated tail,
@@ -122,12 +123,36 @@ class Model:
         conv lowering is pathological (docs/tpu_performance.md r2 study:
         conv0 alone ~24 ms device time for 0.2%% of the FLOPs; the z-fold
         form measured 2.4x faster in isolation). Exactly equivalent
-        (tests); composes with every impl."""
+        (tests); composes with every impl.
+
+        ``ztap``: lower kz>1 convs as a float32-accumulated sum of kz
+        z-shifted 2D convs (z folded into the conv batch dim) — the tail
+        convs past the s2bg split hold ~92%% of the sweep FLOPs and the
+        z-tap form measured 15%% faster there than the lax 3D conv
+        (scripts/exp_tail_conv.py, v5e). Equivalent up to float sum
+        reassociation (~1e-6 relative in f32; locked by tests); composes
+        with 'direct'/'s2bg' and with ``zfold`` (which covers the kz=1
+        convs).
+
+        ``zmajor``: keep internal dense-path activations in z-major layout
+        (B, Z, C, X, Y) so every zfold/ztap fold is a FREE reshape instead
+        of a transpose (z-slices are contiguous); one transpose in at the
+        input, one out at the (few-channel) prediction map. Implies the
+        folded lowerings for every conv (``ztap`` picks the kz>1 variant;
+        defaults to 'native'). Equivalent up to float reassociation
+        (tests)."""
         if impl not in ("direct", "s2b", "s2bg"):
             raise ValueError(f"impl={impl!r}: expected 'direct', 's2b' "
                              "or 's2bg'")
+        if ztap not in (False, True, "native", "f32", "concat", "conv3d",
+                        "fatn"):
+            raise ValueError(f"ztap={ztap!r}: expected bool, 'native', "
+                             "'f32', 'concat', 'conv3d' or 'fatn' "
+                             "('conv3d'/'fatn' require zmajor=True)")
         self._dilated_impl = impl
         self._dilated_zfold = bool(zfold)
+        self._dilated_ztap = ztap
+        self._dilated_zmajor = bool(zmajor)
         # the lowering is baked into the traced program: drop cached jits
         self._dilated_fns = {}
         return self
@@ -142,11 +167,20 @@ class Model:
         self._loss_fn = None
         return self
 
-    def set_compute_dtype(self, dtype):
+    def set_compute_dtype(self, dtype, activations=False):
         """Mixed precision: 'bfloat16' runs conv/dot operands in bf16 with
         f32 accumulation (MXU-native); None restores full f32. Invalidates
-        compiled functions."""
+        compiled functions.
+
+        ``activations=True`` additionally STORES the dense-path activations
+        in ``dtype`` between layers. This is value-identical to the default
+        (every conv output is already rounded to ``dtype`` because the
+        operands are — the f32 inter-layer buffers hold bf16-precision
+        values at twice the bytes) but halves inter-layer HBM traffic;
+        epilogues (bias/BN/activation) still evaluate in f32 before the
+        store. Dense/serving path only; training keeps f32 activations."""
         self._compute_dtype = dtype
+        self._compute_act = bool(activations) and dtype is not None
         self._step_fn = None
         self._loss_fn = None
         self._predict_fns = {}

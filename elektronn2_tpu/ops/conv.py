@@ -82,6 +82,22 @@ def _s2b_split(x, d, pad_val=0.0):
                      + tuple(s // dv for s, dv in zip(spp, d)))
 
 
+def _s2b_split_zmajor(x, d, pad_val=0.0):
+    """``_s2b_split`` for z-major activations: (B, Z, C, X, Y) →
+    (B·∏d, Z/dz, C, X/dx, Y/dy), phase order identical to ``_s2b_split``
+    (batch index = ((b·dz + pz)·dx + px)·dy + py), so ``_s2b_merge``
+    inverts it after a transpose back to channel-major."""
+    B, Z, C, X, Y = x.shape
+    dz, dx, dy = (int(v) for v in d)
+    pads = [(0, (-Z) % dz), (0, 0), (0, (-X) % dx), (0, (-Y) % dy)]
+    if any(p for _, p in pads):
+        x = jnp.pad(x, [(0, 0)] + pads, constant_values=pad_val)
+    Zp, Xp, Yp = x.shape[1], x.shape[3], x.shape[4]
+    x = x.reshape(B, Zp // dz, dz, C, Xp // dx, dx, Yp // dy, dy)
+    x = x.transpose(0, 2, 5, 7, 1, 3, 4, 6)
+    return x.reshape(B * dz * dx * dy, Zp // dz, C, Xp // dx, Yp // dy)
+
+
 def _s2b_merge(y, d, B, valid):
     """Inverse of ``_s2b_split`` on the op's output: interleave the phases
     back and trim to the true dilated-VALID extent ``valid``."""
@@ -121,6 +137,64 @@ def conv_s2b(x, w, dilation, precision=None, preferred_element_type=None):
     y = conv(_s2b_split(x, d), w, precision=precision,
              preferred_element_type=preferred_element_type)
     return _s2b_merge(y, d, B, valid)
+
+
+def conv_ztap(x, w, dilation=None, precision=None, accum="native"):
+    """3D VALID conv lowered as a float32-accumulated sum of ``kz``
+    z-shifted 2D convs with z folded into the conv batch dim.
+
+    Mathematically ``y[:, :, z] = sum_t conv2d(x[:, :, z + t*dz], w[:, :, t])``
+    — exactly the 3D conv, with XLA seeing only its happiest form: a large
+    2D batched conv (batch = B·Z_out). Measured on v5e at the dense-sweep
+    tail shape (16 phases, 30→40 ch, 3³): 55.1 ms vs 65.1 ms for the lax
+    3D conv (scripts/exp_tail_conv.py; docs/tpu_performance.md r2 study).
+
+    ``accum`` selects how the kz taps combine:
+      * ``"native"`` — partial outputs in the input dtype, summed as-is
+        (one extra rounding per tap in bf16; what the winning isolated
+        measurement ran);
+      * ``"f32"`` — ``preferred_element_type=float32`` partials summed in
+        f32 (no extra rounding, but kz f32-sized intermediate writes —
+        measured a net LOSS in-graph at 64×512×512 bf16 serving: the extra
+        HBM traffic outweighs the MXU win);
+      * ``"concat"`` — z-taps concatenated into channels (Cin·kz) and run
+        as ONE 2D conv (single output write, 3× input read).
+    Values match ``conv(x, w, dilation=d)`` up to sum reassociation
+    (float32: ~1e-6 relative; locked by tests).
+
+    x: (B, C, Z, X, Y); w: (Cout, C, kz, kx, ky); dilation: 3-tuple
+    (dz, dx, dy) — z handled by the tap shifts, x/y forwarded to the 2D
+    conv. Reference mechanism: SURVEY.md §3.1
+    `elektronn2/neuromancer/computations.py::conv` (the dense-path conv).
+    """
+    nsp = x.ndim - 2
+    if nsp != 3 or w.ndim != 5:
+        raise ValueError("conv_ztap expects 3D inputs (B, C, Z, X, Y)")
+    d = (1, 1, 1) if dilation is None else tuple(int(v) for v in dilation)
+    B, C, Z = x.shape[:3]
+    Cout, kz = w.shape[0], w.shape[2]
+    dz = d[0]
+    zo = Z - dz * (kz - 1)
+    if accum == "concat":
+        xz = jnp.concatenate(
+            [lax.slice_in_dim(x, t * dz, t * dz + zo, axis=2)
+             for t in range(kz)], axis=1)
+        x2 = xz.transpose(0, 2, 1, 3, 4).reshape(
+            (B * zo, C * kz) + tuple(x.shape[3:]))
+        w2 = w.transpose(0, 2, 1, 3, 4).reshape(Cout, C * kz, *w.shape[3:])
+        acc = conv(x2, w2, dilation=d[1:], precision=precision)
+    else:
+        pet = jnp.float32 if accum == "f32" else None
+        acc = None
+        for t in range(kz):
+            xt = lax.slice_in_dim(x, t * dz, t * dz + zo, axis=2)
+            x2 = xt.transpose(0, 2, 1, 3, 4).reshape(
+                (B * zo, C) + tuple(x.shape[3:]))
+            y = conv(x2, w[:, :, t], dilation=d[1:], precision=precision,
+                     preferred_element_type=pet)
+            acc = y if acc is None else acc + y
+    Xo, Yo = acc.shape[2:]
+    return acc.reshape(B, zo, Cout, Xo, Yo).transpose(0, 2, 1, 3, 4)
 
 
 def pool_s2b(x, pool, dilation, mode="max"):

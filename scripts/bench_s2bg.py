@@ -26,13 +26,18 @@ def main():
     model = _flagship_model(mfp=True, patch=[23, 103, 103])
     cdtype = os.environ.get("COMPUTE_DTYPE")
     if cdtype:
-        model.set_compute_dtype(cdtype)
+        model.set_compute_dtype(
+            cdtype, activations=bool(int(os.environ.get("ACT_E2E", "0"))))
     vol_shape = tuple(int(v) for v in os.environ.get(
         "BENCH_VOL", "48,384,384").split(","))
     batch = int(os.environ.get("BATCH", "0"))
     rng = np.random.RandomState(0)
     impls = os.environ.get("IMPLS", "direct,s2bg").split(",")
     zfold = bool(int(os.environ.get("ZFOLD", "0")))
+    ztap = os.environ.get("ZTAP", "0")    # 0 | native | f32 | concat
+    ztap = False if ztap in ("0", "") else ztap
+    zmajor = bool(int(os.environ.get("ZMAJOR", "0")))
+    K = int(os.environ.get("SUSTAIN_K", "1"))   # >1: K dispatches, one sync
     if batch:
         from elektronn2_tpu.neuromancer.inference import dilated_dense_forward
         vol = jax.device_put(
@@ -61,19 +66,26 @@ def main():
                              jnp.float32)
     float(jnp.sum(vol))
     for impl in impls:
-        model.set_dilated_impl(impl, zfold=zfold)
+        model.set_dilated_impl(impl, zfold=zfold, ztap=ztap, zmajor=zmajor)
         out = model.predict_dense_device(vol, pad_raw=True)   # compile
         float(jnp.sum(out))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = model.predict_dense_device(vol, pad_raw=True)
-            assert np.isfinite(float(jnp.sum(out)))
-            ts.append(time.perf_counter() - t0)
+            outs = [model.predict_dense_device(vol, pad_raw=True)
+                    for _ in range(K)]
+            acc = outs[0].dtype.type(0)
+            for o in outs:
+                acc = acc + jnp.sum(o)
+            assert np.isfinite(float(acc))       # one sync for K dispatches
+            ts.append((time.perf_counter() - t0) / K)
         dt = min(ts)
         mvox = float(np.prod(out.shape[1:])) / dt / 1e6
-        print(json.dumps({"impl": impl, "zfold": zfold,
-                          "ms": round(dt * 1e3, 1),
+        print(json.dumps({"impl": impl, "zfold": zfold, "ztap": ztap,
+                          "zmajor": zmajor,
+                          "act_e2e": bool(getattr(model, "_compute_act",
+                                                  False)),
+                          "K": K, "ms": round(dt * 1e3, 1),
                           "mvox_s": round(mvox, 2), "vol": vol_shape,
                           "dtype": cdtype or "f32"}), flush=True)
 

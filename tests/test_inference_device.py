@@ -351,6 +351,22 @@ def test_s2b_conv_equals_dilated(rng):
         np.testing.assert_allclose(np.asarray(p_direct), np.asarray(p_s2b))
 
 
+def test_conv_ztap_equals_conv3d(rng):
+    """z-tap lowering (sum of kz z-shifted 2D convs) == the lax 3D conv up
+    to sum reassociation, including z/x/y dilation and kz=1/2/3."""
+    from elektronn2_tpu.ops.conv import conv, conv_ztap
+    for kz, d in [(3, (1, 1, 1)), (3, (2, 4, 4)), (2, (3, 1, 2)),
+                  (1, (1, 2, 2))]:
+        x = jnp.asarray(rng.randn(2, 5, 15, 17, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 5, kz, 3, 3).astype(np.float32))
+        a = np.asarray(conv(x, w, dilation=d))
+        for accum in ("native", "f32", "concat"):
+            b = np.asarray(conv_ztap(x, w, dilation=d, accum=accum))
+            assert a.shape == b.shape, (kz, d, accum)
+            np.testing.assert_allclose(a, b, atol=2e-5,
+                                       err_msg=f"accum={accum}")
+
+
 def test_s2b_dense_path_matches_direct(rng):
     m = mfp_model()
     raw = jnp.asarray(rng.randn(1, 33, 33).astype(np.float32))
@@ -378,12 +394,23 @@ def test_s2bg_dense_path_matches_direct_flagship(rng):
         raw = jnp.asarray(rng.randn(1, *shape).astype(np.float32))
         m.set_dilated_impl("direct")
         direct = np.asarray(m.predict_dense_device(raw))
-        for impl, zf in (("s2bg", False), ("direct", True), ("s2bg", True)):
-            m.set_dilated_impl(impl, zfold=zf)
+        for impl, kw in (("s2bg", {}), ("direct", {"zfold": True}),
+                         ("s2bg", {"zfold": True}),
+                         ("s2bg", {"zfold": True, "ztap": True}),
+                         ("direct", {"ztap": "f32"}),
+                         ("s2bg", {"ztap": "concat"}),
+                         ("s2bg", {"zmajor": True}),
+                         ("direct", {"zmajor": True}),
+                         ("s2bg", {"zmajor": True, "ztap": "concat"}),
+                         ("s2bg", {"zmajor": True, "ztap": "conv3d"}),
+                         ("direct", {"zmajor": True, "ztap": "conv3d"}),
+                         ("s2bg", {"zmajor": True, "ztap": "fatn"}),
+                         ("direct", {"zmajor": True, "ztap": "fatn"})):
+            m.set_dilated_impl(impl, **kw)
             got = np.asarray(m.predict_dense_device(raw))
-            assert direct.shape == got.shape, (impl, zf)
+            assert direct.shape == got.shape, (impl, kw)
             np.testing.assert_allclose(direct, got, atol=2e-5,
-                                       err_msg=f"{impl} zfold={zf}")
+                                       err_msg=f"{impl} {kw}")
 
 
 def test_bf16_serving_mode_deviation_bound(rng):
@@ -408,6 +435,13 @@ def test_bf16_serving_mode_deviation_bound(rng):
     # (trained nets separate classes by orders of magnitude more)
     agree = float(np.mean(np.argmax(bf16, 1) == np.argmax(f32, 1)))
     assert agree > 0.95
+    # bf16 ACTIVATION storage (set_compute_dtype(activations=True)): conv
+    # outputs are already bf16-rounded, so storing them bf16 changes values
+    # only by the one extra epilogue rounding before non-conv consumers —
+    # must track the plain bf16 serving path extremely tightly
+    m.set_compute_dtype("bfloat16", activations=True)
+    bf16_e2e = np.asarray(m.predict_dense_device(raw))
+    assert float(np.max(np.abs(bf16_e2e - bf16))) < 5e-3
     m.set_compute_dtype(None)
     m.set_dilated_impl("direct")
 
