@@ -201,7 +201,34 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
         from elektronn2_tpu.parallel.halo import halo_gather
         return halo_gather(y, n_rows, halo_axis)
 
+    # stride-1 dilated max-pools as shifted-slice maximums instead of
+    # reduce_window (re-A/B on the zfold 2D graph; the r1 rejection was
+    # measured on the pre-zfold 3D graph)
+    use_poolslice = bool(getattr(model, "_dilated_poolslice", False))
+
+    def _pool_slices(y, pool, dil, axes):
+        """Max over the (stride-1, dilated) pool window as shifted slices:
+        elementwise maximums XLA can fuse, vs a reduce_window call."""
+        import itertools
+        outs = [y.shape[a] - d * (p - 1)
+                for a, d, p in zip(axes, dil, pool)]
+        acc = None
+        for offs in itertools.product(*(range(p) for p in pool)):
+            idx = [slice(None)] * y.ndim
+            for a, o, d, ext in zip(axes, offs, dil, outs):
+                idx[a] = slice(o * d, o * d + ext)
+            s = y[tuple(idx)]
+            acc = s if acc is None else jnp.maximum(acc, s)
+        return acc
+
     def dilated_pool(y, pool, dil, mode="max"):
+        if use_poolslice and mode == "max" and halo_axis is None \
+                and not use_s2b:
+            if use_zmajor and y.ndim == nsp + 2:
+                axes = (1,) + tuple(range(3, y.ndim))   # z, then x/y
+            else:
+                axes = tuple(range(y.ndim - len(pool), y.ndim))
+            return _pool_slices(y, pool, dil, axes)
         if use_zmajor:
             # (B, Z, C, X, Y): the pool window skips the channel axis
             window = (1, pool[0], 1) + tuple(pool[1:])

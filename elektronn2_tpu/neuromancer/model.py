@@ -111,7 +111,7 @@ class Model:
 
     # --------------------------------------------------------------- plumbing
     def set_dilated_impl(self, impl="direct", zfold=False, ztap=False,
-                         zmajor=False):
+                         zmajor=False, poolslice=False):
         """Choose the dilated-op lowering for the dense path: 'direct'
         (rhs_dilation), 's2b' (per-op space-to-batch) or 's2bg' (GLOBAL
         space-to-batch: one split at the dilation plateau, undilated tail,
@@ -140,7 +140,13 @@ class Model:
         input, one out at the (few-channel) prediction map. Implies the
         folded lowerings for every conv (``ztap`` picks the kz>1 variant;
         defaults to 'native'). Equivalent up to float reassociation
-        (tests)."""
+        (tests).
+
+        ``poolslice``: lower stride-1 dilated max-pools as shifted-slice
+        elementwise maximums instead of ``lax.reduce_window`` — exactly
+        equivalent (max is max; tests); which is faster is XLA-version
+        dependent (the slice form can fuse into neighbouring elementwise
+        ops where reduce_window cannot)."""
         if impl not in ("direct", "s2b", "s2bg"):
             raise ValueError(f"impl={impl!r}: expected 'direct', 's2b' "
                              "or 's2bg'")
@@ -153,6 +159,7 @@ class Model:
         self._dilated_zfold = bool(zfold)
         self._dilated_ztap = ztap
         self._dilated_zmajor = bool(zmajor)
+        self._dilated_poolslice = bool(poolslice)
         # the lowering is baked into the traced program: drop cached jits
         self._dilated_fns = {}
         return self

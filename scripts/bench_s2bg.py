@@ -37,6 +37,7 @@ def main():
     ztap = os.environ.get("ZTAP", "0")    # 0 | native | f32 | concat
     ztap = False if ztap in ("0", "") else ztap
     zmajor = bool(int(os.environ.get("ZMAJOR", "0")))
+    poolslice = bool(int(os.environ.get("POOLSLICE", "0")))
     K = int(os.environ.get("SUSTAIN_K", "1"))   # >1: K dispatches, one sync
     if batch:
         from elektronn2_tpu.neuromancer.inference import dilated_dense_forward
@@ -66,7 +67,8 @@ def main():
                              jnp.float32)
     float(jnp.sum(vol))
     for impl in impls:
-        model.set_dilated_impl(impl, zfold=zfold, ztap=ztap, zmajor=zmajor)
+        model.set_dilated_impl(impl, zfold=zfold, ztap=ztap, zmajor=zmajor,
+                               poolslice=poolslice)
         out = model.predict_dense_device(vol, pad_raw=True)   # compile
         float(jnp.sum(out))
         ts = []
@@ -82,7 +84,7 @@ def main():
         dt = min(ts)
         mvox = float(np.prod(out.shape[1:])) / dt / 1e6
         print(json.dumps({"impl": impl, "zfold": zfold, "ztap": ztap,
-                          "zmajor": zmajor,
+                          "zmajor": zmajor, "poolslice": poolslice,
                           "act_e2e": bool(getattr(model, "_compute_act",
                                                   False)),
                           "K": K, "ms": round(dt * 1e3, 1),

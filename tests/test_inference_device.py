@@ -405,7 +405,10 @@ def test_s2bg_dense_path_matches_direct_flagship(rng):
                          ("s2bg", {"zmajor": True, "ztap": "conv3d"}),
                          ("direct", {"zmajor": True, "ztap": "conv3d"}),
                          ("s2bg", {"zmajor": True, "ztap": "fatn"}),
-                         ("direct", {"zmajor": True, "ztap": "fatn"})):
+                         ("direct", {"zmajor": True, "ztap": "fatn"}),
+                         ("direct", {"poolslice": True}),
+                         ("s2bg", {"zfold": True, "poolslice": True}),
+                         ("s2bg", {"zmajor": True, "poolslice": True})):
             m.set_dilated_impl(impl, **kw)
             got = np.asarray(m.predict_dense_device(raw))
             assert direct.shape == got.shape, (impl, kw)
