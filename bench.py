@@ -139,6 +139,40 @@ def main():
             _best_so_far.update(value=mvox, impl=label)
         if cdtype is None and mvox > best_f32[0]:
             best_f32 = (mvox, label)
+
+    # slab-batch contender (sweep_knossos(slab_batch=2) serving mode):
+    # two slabs per dispatch through the batched dilated program. batch=2
+    # at the full 64x512x512 slab OOMs on v5e, so this contender runs two
+    # 56x448x448 slabs (~22.5 Mvox/dispatch, fits). Halves the per-slab
+    # dispatch overhead — decisive when the tunnel/host dispatch path is
+    # slow (measured r2: 88.5 vs 43.9 Mvox/s on a degraded-tunnel day;
+    # ~parity on a healthy one). Voxels counted at the VALID output size
+    # (conservative). OOM/compile failures skip it (try/except).
+    try:
+        from elektronn2_tpu.neuromancer.inference import \
+            dilated_dense_forward
+        model.set_dilated_impl("s2bg", zfold=True)
+        model.set_compute_dtype("bfloat16")
+        volb = jax.random.uniform(jax.random.PRNGKey(1),
+                                  (2, 1, 56, 448, 448), jnp.float32)
+        float(jnp.sum(volb))
+        fnb = jax.jit(lambda p, s, v: dilated_dense_forward(
+            model, v, batch=True, params=p, state=s, impl="s2bg"))
+        outb = fnb(model.params, model.state, volb)
+        float(jnp.sum(jnp.asarray(outb, jnp.float32)))
+        t0 = time.perf_counter()
+        outs = [fnb(model.params, model.state, volb) for _ in range(K)]
+        acc = jnp.float32(0)
+        for o in outs:
+            acc = acc + jnp.sum(jnp.asarray(o, jnp.float32))
+        assert np.isfinite(float(acc))
+        dt = time.perf_counter() - t0
+        mvox = float(np.prod(outb.shape[2:])) * 2 * K / dt / 1e6
+        if mvox > best[0]:
+            best = (mvox, "s2bg+zfold+bf16+slab_batch2")
+            _best_so_far.update(value=mvox, impl=best[1])
+    except Exception:
+        pass
     _done.set()
     payload = {
         "metric": "mfp_dense_inference",

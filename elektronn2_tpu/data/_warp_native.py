@@ -26,10 +26,21 @@ _lib = None
 
 
 def _build():
+    # compile to a per-process temp name, then os.rename into place:
+    # concurrent first users (forked data workers all hitting
+    # map_coordinates_* before the .so exists — review r2) each build
+    # their own temp and the atomic rename guarantees no worker ever
+    # CDLLs a partially written file
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", _SO]
+           _SRC, "-o", tmp]
     logger.info("building warp native core: " + " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.rename(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def get_lib():

@@ -100,7 +100,7 @@ def _build_nml(things, scale=(1.0, 1.0, 1.0), experiment="elektronn2_tpu"):
     for t_id, (pos, edges, radii, comment) in enumerate(things, start=1):
         pos = np.asarray(pos, np.float64).reshape(-1, 3)
         attrs = {"id": str(t_id)}
-        if comment:
+        if comment is not None:     # '' is a valid (empty) comment
             attrs["comment"] = str(comment)
         thing = ET.SubElement(root, "thing", **attrs)
         nodes_el = ET.SubElement(thing, "nodes")
@@ -155,7 +155,13 @@ def trace_to_kzip(traces, fname, scale=(1.0, 1.0, 1.0),
         n = len(coords)
         edges = np.stack([np.arange(n - 1), np.arange(1, n)], 1) \
             if n > 1 else np.zeros((0, 2), np.int64)
-        comment = comments[i] if comments else f"trace_{i}"
+        # a short comments list falls back per-trace (review r2: indexing
+        # comments[i] unguarded raised IndexError); None entries fall back
+        # too, but an explicit '' is preserved
+        comment = (comments[i]
+                   if comments is not None and i < len(comments)
+                   and comments[i] is not None
+                   else f"trace_{i}")
         things.append((coords, edges, None, comment))
     return _write_nml_file(fname, things, scale=scale,
                            experiment=experiment)

@@ -25,9 +25,17 @@ _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    # temp-name + atomic rename: concurrent first users (forked workers)
+    # must never CDLL a partially written .so (review r2)
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp]
     logger.info("building MALIS native core: " + " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.rename(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def get_lib():

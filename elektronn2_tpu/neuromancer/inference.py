@@ -41,6 +41,56 @@ def _check_dense_geometry(pred):
                 "relies on")
 
 
+def _functor_spatially_elementwise(node, n_ch):
+    """Numerically probe whether an ApplyFunc functor is pointwise across
+    SPACE (channel mixing is fine — e.g. a per-voxel softmax). The dilated
+    dense path evaluates functors on full-resolution à-trous arrays (and,
+    under 's2bg', on phase-decimated sub-volumes); that is only equivalent
+    to the reference's fragment semantics when the functor commutes with
+    spatial interleaving — i.e. is spatially pointwise. A spatial functor
+    (flip/roll/shift/pooling) would silently produce a wrong stitched
+    volume (review r2), so it must be rejected here and routed to the
+    exact tiled fallback.
+
+    Probe: f(concat(x, y, axis=sp)) == concat(f(x), f(y), axis=sp) for
+    each spatial axis, on small random blocks. Elementwise ops satisfy
+    this bitwise; spatially-dependent ops fail it (distinct x != y defeat
+    symmetric cases like flip). Functors that raise on the probe shapes
+    are conservatively rejected. Result is cached on the node.
+    """
+    cached = getattr(node, "_spatially_elementwise", None)
+    if cached is not None:
+        return cached
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    shape = (1, int(n_ch), 3, 4, 5)       # distinct extents catch transposes
+    x = rng.rand(*shape).astype(np.float32)
+    y = rng.rand(*shape).astype(np.float32)
+    ok = True
+    try:
+        fx = np.asarray(node.functor(jnp.asarray(x), *node.args,
+                                     **node.kwargs))
+        fy = np.asarray(node.functor(jnp.asarray(y), *node.args,
+                                     **node.kwargs))
+        if fx.shape[0] != 1 or fx.shape[2:] != x.shape[2:]:
+            ok = False                    # spatial/batch shape change
+        else:
+            for ax in (2, 3, 4):
+                fb = np.asarray(node.functor(
+                    jnp.asarray(np.concatenate([x, y], axis=ax)),
+                    *node.args, **node.kwargs))
+                if fb.shape != np.concatenate([fx, fy], axis=ax).shape \
+                        or not np.allclose(
+                            fb, np.concatenate([fx, fy], axis=ax),
+                            rtol=1e-5, atol=1e-6):
+                    ok = False
+                    break
+    except Exception:
+        ok = False
+    node._spatially_elementwise = ok
+    return ok
+
+
 def _dense_geometry(pred_shape):
     """(g, n_off, dense_sp) for a prediction TaggedShape: per-dim dense
     stride after stitching, fragment-offset counts, and per-tile dense size."""
@@ -473,6 +523,13 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                    dil, ph)
             vext[node.name] = vext[node.parents[0].name]
         elif type(node).__name__ == "ApplyFunc":
+            if not _functor_spatially_elementwise(
+                    node, node.parents[0].shape["f"]):
+                raise UnsupportedGraphError(
+                    f"dilated dense path: ApplyFunc {node.name!r} is not "
+                    "spatially pointwise (probe) — its à-trous/"
+                    "phase-split evaluation would differ from fragment "
+                    "semantics; use the tiled predict_dense path")
             xin, dil, ph = evaluate(node.parents[0])
             if use_zmajor:
                 # functors assume the (B, C, *sp) layout contract
@@ -792,6 +849,19 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
         except UnsupportedGraphError:
             logger.warning("sweep_knossos: graph unsupported by the "
                            "dilated batch path — falling back to per-slab")
+        except Exception as e:      # noqa: BLE001 — OOM-graceful serving
+            # slab_batch multiplies activation memory; if the batched
+            # program exhausts HBM (measured: batch=2 at 64x512x512 slabs
+            # OOMs on v5e), degrade to the per-slab sweep instead of
+            # killing the run — writes are idempotent, so re-sweeping
+            # already-written slabs is safe
+            if "RESOURCE_EXHAUSTED" not in str(e) \
+                    and "ResourceExhausted" not in str(e):
+                raise
+            logger.warning(
+                f"sweep_knossos: slab_batch={slab_batch} exhausted device "
+                f"memory — falling back to per-slab sweeps (use a smaller "
+                f"step= or slab_batch for batched serving)")
 
     # double-buffered host prefetch: slab i+1 is read from disk (one
     # worker thread) while slab i runs on device — the reference's

@@ -155,6 +155,12 @@ class Model:
             raise ValueError(f"ztap={ztap!r}: expected bool, 'native', "
                              "'f32', 'concat', 'conv3d' or 'fatn' "
                              "('conv3d'/'fatn' require zmajor=True)")
+        if ztap in ("conv3d", "fatn") and not zmajor:
+            # without zmajor the non-folded path runs conv_ztap, whose
+            # accum dispatch knows only 'concat'/'f32' and silently falls
+            # back to the native tap loop — the user would benchmark a
+            # different lowering than requested (review r2)
+            raise ValueError(f"ztap={ztap!r} requires zmajor=True")
         self._dilated_impl = impl
         self._dilated_zfold = bool(zfold)
         self._dilated_ztap = ztap

@@ -257,9 +257,18 @@ def _model_loss_fn(model):
             raise ValueError("pipeline loss head: only sparse-target "
                              "MultinoulliNLL is supported")
         if node.class_weights is not None \
-                or node.example_weights is not None:
+                or node.example_weights is not None \
+                or node.mask_class_labeled is not None:
             raise ValueError("pipeline loss head: class/example weights "
-                             "are not supported; pass loss_fn= explicitly")
+                             "and mask_class_labeled are not supported; "
+                             "pass loss_fn= explicitly")
+        if int(getattr(node.parents[0], "n_indep", 1)) != 1:
+            # the derived ce() applies ONE log_softmax over all channels;
+            # a grouped Softmax head (n_indep>1) would silently optimise
+            # a different objective (review r2)
+            raise ValueError("pipeline loss head: grouped Softmax "
+                             "(n_indep>1) is not supported; pass loss_fn= "
+                             "explicitly")
 
         def ce(logits, tgt):
             lp = jax.nn.log_softmax(logits, axis=1)

@@ -149,13 +149,22 @@ class DynamicKDT:
             self._pending = 0
 
     def get_knn(self, query, k=None):
-        """(distances, points, indices) of the k nearest neighbours."""
+        """(distances, points, indices) of the k nearest neighbours.
+
+        ``k`` is clamped to the number of stored points: cKDTree pads
+        missing neighbours with (inf, n) sentinels, and a sentinel index
+        reaching ``self._points.data[idx]`` reads an arbitrary pending
+        point or raises IndexError (advisor r1 + review r2 findings).
+        """
         k = k or self.k
         q = np.asarray(query, np.float64)
         if q.ndim > 1 and self._pending:
             self._pending = self._thresh      # batch query: fold pending in
         self._ensure_tree()
-        dist, idx = self._tree.query(q, k=k)
+        # clamp the tree query so no sentinel rows are produced on ANY
+        # path (the brute-force merge below covers still-pending points)
+        k_tree = min(k, int(self._tree.n))
+        dist, idx = self._tree.query(q, k=k_tree)
         if self._pending and q.ndim == 1:
             # merge the not-yet-indexed tail by brute force (scalar query)
             n_tree = int(self._tree.n)

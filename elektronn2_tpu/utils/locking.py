@@ -30,8 +30,11 @@ class FileLock:
         self.lockfile = protected_file_path + ".lock"
         self.timeout = float(timeout)
         self.delay = float(delay)
+        # the token makes the contents unique per FileLock instance, so
+        # ownership can be verified at release even across pid reuse
         self._contents = (lock_file_contents or
-                          f"pid={os.getpid()} host={socket.gethostname()}")
+                          f"pid={os.getpid()} host={socket.gethostname()} "
+                          f"token={time.monotonic_ns():x}.{id(self):x}")
         self.is_locked = False
 
     def _break_if_stale(self):
@@ -80,11 +83,28 @@ class FileLock:
             return True         # someone else broke it first — retry open
         # Verify the corpse is the lock we diagnosed, not a fresh lock that
         # replaced it between read and rename (rename would have claimed the
-        # new owner's lock); if so, reinstate it.
+        # new owner's lock); if so, reinstate it with os.link — which,
+        # unlike os.rename, FAILS if a lockfile already exists again, so a
+        # third contender's freshly created lock is never clobbered
+        # (review r2: the rename-back reinstate was itself a TOCTOU).
         try:
             with open(grave) as f:
                 if f.read() != contents:
-                    os.rename(grave, self.lockfile)
+                    try:
+                        os.link(grave, self.lockfile)   # no-clobber restore
+                    except OSError:
+                        # a new lock appeared in the window — the displaced
+                        # holder cannot be restored without clobbering it;
+                        # drop the corpse and surface the (vanishingly
+                        # rare: needs break+reacquire+acquire within one
+                        # read-rename window) incident in the log
+                        from elektronn2_tpu.log import logger
+                        logger.warning(
+                            f"FileLock: displaced a live lock at "
+                            f"{self.lockfile} and could not restore it "
+                            f"(a newer lock exists); holders should "
+                            f"verify ownership at release")
+                    os.unlink(grave)
                     return False
             os.unlink(grave)
         except OSError:
@@ -115,8 +135,20 @@ class FileLock:
     def release(self):
         if self.is_locked:
             try:
-                os.unlink(self.lockfile)
-            except FileNotFoundError:
+                # verify ownership before unlinking: if a (mis)breaker
+                # displaced this lock and someone else re-acquired, the
+                # file on disk is no longer ours and must stay
+                with open(self.lockfile) as f:
+                    mine = f.read() == self._contents
+                if mine:
+                    os.unlink(self.lockfile)
+                else:
+                    from elektronn2_tpu.log import logger
+                    logger.warning(
+                        f"FileLock: {self.lockfile} is no longer held by "
+                        f"this process at release (broken as stale?) — "
+                        f"leaving the current holder's lock in place")
+            except OSError:
                 pass
             self.is_locked = False
 

@@ -1118,3 +1118,218 @@ def test_hostfed_prefetch_overlap(rng, tmp_path):
     l2b, _ = loop2.run_chunk()
     np.testing.assert_allclose(l1a, l2a, rtol=1e-6)
     np.testing.assert_allclose(l1b, l2b, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- round 2
+# Regression tests for the round-2 review pass.
+
+
+def test_kdt_knn_k_exceeds_point_count():
+    """k > number of stored points must clamp instead of surfacing
+    cKDTree's (inf, n) sentinels (IndexError / arbitrary point)."""
+    from elektronn2_tpu.utils.basic import DynamicKDT
+    kdt = DynamicKDT([[0, 0, 0], [1, 1, 1]])
+    d, p, i = kdt.get_knn([0.1, 0.0, 0.0], k=5)    # no-pending first query
+    assert len(np.atleast_1d(d)) == 2
+    assert np.all(np.isfinite(np.atleast_1d(d)))
+    assert p.shape == (2, 3)
+    kdt.append([2.0, 2.0, 2.0])                    # pending-merge path
+    d, p, i = kdt.get_knn([0.1, 0.0, 0.0], k=9)
+    assert len(np.atleast_1d(d)) == 3
+    assert np.all(np.isfinite(np.atleast_1d(d)))
+    assert int(np.atleast_1d(i)[0]) == 0           # nearest is (0,0,0)
+
+
+def test_filelock_release_checks_ownership(tmp_path):
+    """A holder whose lock was displaced (wrongly broken + re-acquired)
+    must not unlink the current holder's lockfile at release."""
+    import os
+    import socket
+    import subprocess
+    from elektronn2_tpu.utils.locking import FileLock
+    target = str(tmp_path / "file")
+    # stale lock: a pid from an already-exited process on this host
+    dead = int(subprocess.run(["sh", "-c", "echo $$"], capture_output=True,
+                              text=True).stdout.strip())
+    with open(target + ".lock", "w") as f:
+        f.write(f"pid={dead} host={socket.gethostname()}")
+    lk = FileLock(target, timeout=3.0)
+    lk.acquire()                       # breaks the stale lock, acquires
+    assert lk.is_locked
+    # simulate displacement: someone else's lock now sits on disk
+    with open(target + ".lock", "w") as f:
+        f.write("pid=1 host=elsewhere token=feedface")
+    lk.release()
+    assert os.path.exists(target + ".lock")     # other holder kept
+    with open(target + ".lock") as f:
+        assert "feedface" in f.read()
+    os.unlink(target + ".lock")
+
+
+def test_filelock_normal_cycle(tmp_path):
+    import os
+    from elektronn2_tpu.utils.locking import FileLock
+    target = str(tmp_path / "f2")
+    with FileLock(target, timeout=1.0):
+        assert os.path.exists(target + ".lock")
+    assert not os.path.exists(target + ".lock")
+
+
+def test_native_build_atomic_no_temp_left():
+    """First-use g++ builds compile to a temp name + atomic rename, and
+    leave no temp files behind."""
+    import os
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from elektronn2_tpu.data import _warp_native as wn
+    wn._build()
+    assert os.path.exists(wn._SO)
+    leftovers = [f for f in os.listdir(os.path.dirname(wn._SO))
+                 if ".so.tmp." in f]
+    assert leftovers == []
+
+
+def test_set_dilated_impl_fatn_requires_zmajor():
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    probs = nm.Softmax(nm.Conv(inp, 2, 3, 2, name="c1"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    with pytest.raises(ValueError, match="zmajor"):
+        m.set_dilated_impl("s2bg", ztap="fatn")
+    with pytest.raises(ValueError, match="zmajor"):
+        m.set_dilated_impl("direct", ztap="conv3d")
+    m.set_dilated_impl("s2bg", ztap="fatn", zmajor=True)   # valid
+
+
+def test_apply_func_probe_classification():
+    """The spatial-elementwise probe accepts pointwise (incl. channel-
+    mixing) functors and rejects spatially-dependent ones."""
+    from elektronn2_tpu.neuromancer.inference import (
+        _functor_spatially_elementwise)
+    inp = nm.Input([1, 2, 8, 8, 8], "b,f,z,x,y", name="raw")
+    good = nm.ApplyFunc(inp, lambda v: jnp.tanh(v) * 2.0, name="good")
+    chmix = nm.ApplyFunc(inp, lambda v: jax.nn.softmax(v, axis=1),
+                         name="chmix")
+    flip = nm.ApplyFunc(inp, lambda v: jnp.flip(v, axis=-1), name="flip")
+    roll = nm.ApplyFunc(inp, lambda v: jnp.roll(v, 1, axis=2), name="roll")
+    assert _functor_spatially_elementwise(good, 2)
+    assert _functor_spatially_elementwise(chmix, 2)
+    assert not _functor_spatially_elementwise(flip, 2)
+    assert not _functor_spatially_elementwise(roll, 2)
+    # cached on the node after the first probe
+    assert flip._spatially_elementwise is False
+
+
+def test_dilated_dense_rejects_spatial_applyfunc(rng):
+    """A spatially-dependent ApplyFunc past a pooling stage must raise
+    UnsupportedGraphError on the dilated path (its à-trous/phase-split
+    evaluation would silently differ from fragment semantics)."""
+    from elektronn2_tpu.neuromancer.inference import (
+        dilated_dense_forward, UnsupportedGraphError)
+    inp = nm.Input([1, 1, 17, 17], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    flip = nm.ApplyFunc(c1, lambda v: jnp.flip(v, axis=-1), name="flip")
+    probs = nm.Softmax(nm.Conv(flip, 2, 3, 1, activation_func="lin",
+                               name="c2"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = jnp.asarray(rng.randn(1, 33, 33).astype(np.float32))
+    with pytest.raises(UnsupportedGraphError, match="spatially pointwise"):
+        dilated_dense_forward(m, raw)
+
+
+def test_dilated_dense_elementwise_applyfunc_ok(rng):
+    """An elementwise ApplyFunc keeps the dilated path available and
+    matches the exact host tiled sweep."""
+    inp = nm.Input([1, 1, 17, 17], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    sq = nm.ApplyFunc(c1, lambda v: jnp.tanh(v), name="sq")
+    probs = nm.Softmax(nm.Conv(sq, 2, 3, 1, activation_func="lin",
+                               name="c2"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    raw = rng.randn(1, 33, 33).astype(np.float32)
+    host = m.predict_dense(raw, prefer_device=False)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_pipeline_loss_guard_mask_and_grouped_softmax():
+    """_model_loss_fn must refuse loss graphs it cannot faithfully derive
+    (mask_class_labeled, grouped Softmax) instead of silently training a
+    different objective."""
+    from elektronn2_tpu.parallel.pipeline import _model_loss_fn
+
+    inp = nm.Input([4, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    logits = nm.Conv(c1, 4, 1, 1, activation_func="lin", name="c2")
+    probs = nm.Softmax(logits)
+    tgt = nm.Input([4, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    mask = np.ones((4, 4), np.float32)
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(
+        probs, tgt, target_is_sparse=True, mask_class_labeled=mask))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    with pytest.raises(ValueError, match="mask_class_labeled"):
+        _model_loss_fn(m)
+
+    model_manager.reset(seed=13)
+    inp = nm.Input([4, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    logits = nm.Conv(c1, 4, 1, 1, activation_func="lin", name="c2")
+    probs = nm.Softmax(logits, n_indep=2)
+    tgt = nm.Input([4, *probs.shape.spatial_shape], "b,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    with pytest.raises(ValueError, match="n_indep"):
+        _model_loss_fn(m)
+
+
+def test_trace_to_kzip_short_comments(tmp_path):
+    """comments shorter than traces (or with None entries) falls back to
+    the default per-trace label instead of raising IndexError."""
+    from elektronn2_tpu.data.skeleton import trace_to_kzip, SkeletonMFK
+    traces = [np.array([[0, 0, 0], [0, 0, 1.0]]),
+              np.array([[5, 5, 5], [6, 5, 5.0]]),
+              np.array([[9, 9, 9], [9, 9, 8.0]])]
+    path = str(tmp_path / "short.k.zip")
+    trace_to_kzip(traces, path, comments=["only-one"])
+    sk = SkeletonMFK.load(path)
+    assert len(sk.positions) == 6
+    trace_to_kzip(traces, str(tmp_path / "none.k.zip"),
+                  comments=["a", None, ""])   # None→default, ''→kept
+
+
+def test_sweep_slab_batch_oom_falls_back(rng):
+    """A RESOURCE_EXHAUSTED from the batched program degrades to the
+    per-slab sweep (idempotent writes) instead of killing the run."""
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    vol = rng.rand(24, 32, 32).astype(np.float32)
+
+    def boom(p, s, v):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    m._dilated_fns[("sweep_batch", "direct", 2)] = boom
+    out = m.sweep_knossos(vol, step=[12, 16, 16], slab_batch=2)
+    ref = np.asarray(m.predict_dense_device(jnp.asarray(vol[None]),
+                                            pad_raw=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    # a non-OOM error still surfaces
+    def boom2(p, s, v):
+        raise RuntimeError("some genuine bug")
+
+    m._dilated_fns[("sweep_batch", "direct", 2)] = boom2
+    with pytest.raises(RuntimeError, match="genuine bug"):
+        m.sweep_knossos(vol, step=[12, 16, 16], slab_batch=2)
