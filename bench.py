@@ -109,18 +109,34 @@ def main():
     # contender: it deterministically crashes this sandbox's remote
     # compile helper (HTTP 500, subprocess exit 1) while the bf16 variant
     # of the same graph compiles — tracked in docs/tpu_performance.md.
-    for impl, zfold, cdtype in (("s2bg", False, None),
-                                ("s2bg", True, "bfloat16"),
-                                ("direct", False, None)):
+    # the champion config additionally runs a LARGER slab (96x512x512,
+    # ~25.2 Mvox — fits v5e HBM, measured): bigger slabs amortise both the
+    # fov halo (pad_raw reflect-pad computes ~2x the output voxels at
+    # 64x512x512, only ~1.77x at 96) and per-dispatch overhead. Measured
+    # r2: 124.7 Mvox/s at 96 vs ~114 at 64 (and the 96 number was taken
+    # on a degraded-tunnel day — healthy-day margin is larger).
+    vols = {None: vol}
+    for impl, zfold, cdtype, vshape in (
+            ("s2bg", False, None, None),
+            ("s2bg", True, "bfloat16", None),
+            ("s2bg", True, "bfloat16", (96, 512, 512)),
+            ("direct", False, None, None)):
         label = (impl + ("+zfold" if zfold else "")
-                 + ("+bf16" if cdtype else ""))
+                 + ("+bf16" if cdtype else "")
+                 + (f"@{'x'.join(map(str, vshape))}" if vshape else ""))
         try:
+            v = vols.get(vshape)
+            if v is None:
+                v = jax.random.uniform(jax.random.PRNGKey(0),
+                                       (1,) + vshape, jnp.float32)
+                float(jnp.sum(v))
+                vols[vshape] = v
             model.set_dilated_impl(impl, zfold=zfold)
             model.set_compute_dtype(cdtype)
-            out = model.predict_dense_device(vol, pad_raw=True)   # compile
+            out = model.predict_dense_device(v, pad_raw=True)   # compile
             float(jnp.sum(out))
             t0 = time.perf_counter()
-            outs = [model.predict_dense_device(vol, pad_raw=True)
+            outs = [model.predict_dense_device(v, pad_raw=True)
                     for _ in range(K)]
             acc = outs[0].dtype.type(0)
             for o in outs:

@@ -262,16 +262,19 @@ def _model_loss_fn(model):
             raise ValueError("pipeline loss head: class/example weights "
                              "and mask_class_labeled are not supported; "
                              "pass loss_fn= explicitly")
-        if int(getattr(node.parents[0], "n_indep", 1)) != 1:
-            # the derived ce() applies ONE log_softmax over all channels;
-            # a grouped Softmax head (n_indep>1) would silently optimise
-            # a different objective (review r2)
-            raise ValueError("pipeline loss head: grouped Softmax "
-                             "(n_indep>1) is not supported; pass loss_fn= "
-                             "explicitly")
+        # a grouped Softmax head (n_indep>1) normalises per group; mirror
+        # it exactly so the pipelined objective matches the full graph
+        # (review r2: silently applying ONE log_softmax over all channels
+        # trained a different loss)
+        n_indep = int(getattr(node.parents[0], "n_indep", 1))
 
         def ce(logits, tgt):
-            lp = jax.nn.log_softmax(logits, axis=1)
+            if n_indep > 1:
+                parts = jnp.split(logits, n_indep, axis=1)
+                lp = jnp.concatenate(
+                    [jax.nn.log_softmax(p, axis=1) for p in parts], axis=1)
+            else:
+                lp = jax.nn.log_softmax(logits, axis=1)
             picked = jnp.take_along_axis(
                 lp, tgt[:, None].astype(jnp.int32), axis=1)[:, 0]
             return -jnp.mean(picked)

@@ -27,8 +27,11 @@ def main():
     vol = jax.random.uniform(jax.random.PRNGKey(0), (1,) + vol_shape,
                              jnp.float32)
     float(jnp.sum(vol))
+    zfold = os.environ.get("ZFOLD", "0") == "1"
+    cdtype = os.environ.get("CDTYPE", "") or None
+    model.set_compute_dtype(cdtype)
     for impl in os.environ.get("IMPLS", "s2bg,direct").split(","):
-        model.set_dilated_impl(impl)
+        model.set_dilated_impl(impl, zfold=zfold)
         out = model.predict_dense_device(vol, pad_raw=True)
         float(jnp.sum(out))                   # compile + sync
         t0 = time.perf_counter()

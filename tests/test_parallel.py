@@ -656,3 +656,45 @@ def test_three_axis_dp_sp_tp_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(new_params[n]["w"]),
                                    np.asarray(ref_new[n]["w"]),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_model_gpipe_grouped_softmax_head(rng):
+    """Grouped Softmax (n_indep=2) heads derive a faithful pipeline loss
+    (review r2: the single log_softmax derivation silently trained a
+    different objective) — pipelined step == Model.trainingstep."""
+    from elektronn2_tpu.parallel import make_gpipe_trainstep, microbatch
+
+    def build(name):
+        inp = nm.Input([4, 1, 9, 16, 16], "b,f,z,x,y", name="raw")
+        h = nm.Conv(inp, 4, (1, 3, 3), (1, 2, 2), name="c0")
+        h = nm.Conv(h, 6, (3, 3, 3), (1, 1, 1), name="c1")
+        h = nm.Conv(h, 6, (3, 3, 3), (1, 1, 1), name="c2")
+        logits = nm.Conv(h, 4, 1, 1, activation_func="lin", name="logits")
+        probs = nm.Softmax(logits, n_indep=2, name="probs")
+        tgt = nm.Input([4, *probs.shape.spatial_shape], "b,z,x,y",
+                       dtype="int32", name="target")
+        loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                                  target_is_sparse=True))
+        m = model_manager.getmodel(name)
+        m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                          prediction_node=probs)
+        m.set_opt("SGD", lr=0.05, mom=0.0)
+        return m, probs
+
+    m_ref, probs = build("gp_ref")
+    out_sp = probs.shape.spatial_shape
+    d = rng.rand(4, 1, 9, 16, 16).astype(np.float32)
+    t = rng.randint(0, 4, (4, *out_sp)).astype(np.int32)
+    l_ref, _ = m_ref.trainingstep(d, t)
+
+    model_manager.reset(seed=11)       # identical init
+    m_pp, _ = build("gp_pipe")
+    mesh = make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    step = make_gpipe_trainstep(m_pp, mesh, n_micro=4, mb_batch=1)
+    xm, ym = microbatch(jnp.asarray(d), 4), microbatch(jnp.asarray(t), 4)
+    lv, new_p, _ = step(m_pp.params, m_pp.opt_state, xm, ym,
+                        m_pp.optimiser.current_hyper())
+    np.testing.assert_allclose(float(lv), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_p["c1"]["w"]),
+                               np.asarray(m_ref.params["c1"]["w"]),
+                               rtol=1e-4, atol=1e-6)

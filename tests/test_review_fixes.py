@@ -1288,8 +1288,19 @@ def test_pipeline_loss_guard_mask_and_grouped_softmax():
     m = model_manager.getmodel()
     m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
                       prediction_node=probs)
-    with pytest.raises(ValueError, match="n_indep"):
-        _model_loss_fn(m)
+    # grouped Softmax heads ARE derivable: the ce must normalise per group
+    lf = _model_loss_fn(m)
+    rng = np.random.RandomState(0)
+    lg = rng.randn(4, 4, 7, 7).astype(np.float32)
+    tg = rng.randint(0, 4, (4, 7, 7)).astype(np.int32)
+    got = float(lf(jnp.asarray(lg), jnp.asarray(tg)))
+    # reference: per-group softmax, log, gather at the target channel
+    e = np.exp(lg - lg.max(axis=1, keepdims=True))
+    p1 = e[:, :2] / e[:, :2].sum(axis=1, keepdims=True)
+    p2 = e[:, 2:] / e[:, 2:].sum(axis=1, keepdims=True)
+    pfull = np.concatenate([p1, p2], axis=1)
+    picked = np.take_along_axis(np.log(pfull), tg[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(got, -picked.mean(), rtol=1e-5)
 
 
 def test_trace_to_kzip_short_comments(tmp_path):
