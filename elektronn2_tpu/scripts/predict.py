@@ -28,6 +28,17 @@ def main(argv=None):
                     help="valid-only output (no reflect padding)")
     ap.add_argument("--uint8", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--slab-batch", type=int, default=1,
+                    help="KNOSSOS sweeps: slabs per device dispatch "
+                    "(amortises dispatch overhead; auto-degrades to "
+                    "per-slab on device OOM)")
+    ap.add_argument("--step", default=None,
+                    help="comma-separated KNOSSOS sweep slab size "
+                    "(default 64,384,384; 96,512,512 measured fastest "
+                    "for the flagship net on v5e)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 conv operands for the sweep (serving "
+                    "mode; ~0.02 max softmax deviation, +47%% measured)")
     args = ap.parse_args(argv)
 
     import os
@@ -50,10 +61,15 @@ def main(argv=None):
         logger.info(f"rebuilt for inference: patch="
                     f"{model.input_node.shape.spatial_shape}")
 
+    if args.bf16:
+        model.set_compute_dtype("bfloat16")
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)
-        out = model.sweep_knossos(ka, verbose=True)
+        step = ([int(x) for x in args.step.split(",")]
+                if args.step else None)
+        out = model.sweep_knossos(ka, step=step, verbose=True,
+                                  slab_batch=args.slab_batch)
     else:
         path, _, key = args.input.partition(":")
         raw = h5load(path, key or None)
