@@ -65,6 +65,28 @@ def _watchdog():
     os._exit(2)
 
 
+def _sustained(call, K):
+    """Sustained-throughput protocol: one warm-up call (compile + sync),
+    then K back-to-back dispatches synchronised by ONE f32 checksum.
+    Returns (last warm-up output, elapsed seconds for the K dispatches).
+    Raises on non-finite checksum."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as _np
+    out = call()
+    float(jnp.sum(jnp.asarray(out, jnp.float32)))
+    t0 = _time.perf_counter()
+    outs = [call() for _ in range(K)]
+    acc = jnp.float32(0)
+    for o in outs:
+        acc = acc + jnp.sum(jnp.asarray(o, jnp.float32))
+    checksum = float(acc)            # one sync for the K dispatches
+    dt = _time.perf_counter() - t0
+    assert _np.isfinite(checksum)
+    return out, dt
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
@@ -133,17 +155,8 @@ def main():
                 vols[vshape] = v
             model.set_dilated_impl(impl, zfold=zfold)
             model.set_compute_dtype(cdtype)
-            out = model.predict_dense_device(v, pad_raw=True)   # compile
-            float(jnp.sum(out))
-            t0 = time.perf_counter()
-            outs = [model.predict_dense_device(v, pad_raw=True)
-                    for _ in range(K)]
-            acc = outs[0].dtype.type(0)
-            for o in outs:
-                acc = acc + jnp.sum(o)
-            checksum = float(acc)        # one sync for the K dispatches
-            dt = time.perf_counter() - t0
-            assert np.isfinite(checksum)
+            out, dt = _sustained(
+                lambda: model.predict_dense_device(v, pad_raw=True), K)
         except Exception:
             # a contender dying (e.g. the remote-compile helper 500s on
             # uncached programs — observed live) must not kill the whole
@@ -174,15 +187,8 @@ def main():
         float(jnp.sum(volb))
         fnb = jax.jit(lambda p, s, v: dilated_dense_forward(
             model, v, batch=True, params=p, state=s, impl="s2bg"))
-        outb = fnb(model.params, model.state, volb)
-        float(jnp.sum(jnp.asarray(outb, jnp.float32)))
-        t0 = time.perf_counter()
-        outs = [fnb(model.params, model.state, volb) for _ in range(K)]
-        acc = jnp.float32(0)
-        for o in outs:
-            acc = acc + jnp.sum(jnp.asarray(o, jnp.float32))
-        assert np.isfinite(float(acc))
-        dt = time.perf_counter() - t0
+        outb, dt = _sustained(
+            lambda: fnb(model.params, model.state, volb), K)
         mvox = float(np.prod(outb.shape[2:])) * 2 * K / dt / 1e6
         if mvox > best[0]:
             best = (mvox, "s2bg+zfold+bf16+slab_batch2")

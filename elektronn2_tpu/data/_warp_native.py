@@ -12,11 +12,9 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
-from elektronn2_tpu.log import logger
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "warp_core.cpp")
@@ -26,21 +24,8 @@ _lib = None
 
 
 def _build():
-    # compile to a per-process temp name, then os.rename into place:
-    # concurrent first users (forked data workers all hitting
-    # map_coordinates_* before the .so exists — review r2) each build
-    # their own temp and the atomic rename guarantees no worker ever
-    # CDLLs a partially written file
-    tmp = f"{_SO}.tmp.{os.getpid()}"
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", tmp]
-    logger.info("building warp native core: " + " ".join(cmd))
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.rename(tmp, _SO)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    from elektronn2_tpu.utils.native_build import build_shared
+    build_shared(_SRC, _SO, extra_flags=("-pthread",))
 
 
 def get_lib():

@@ -10,12 +10,9 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import tempfile
 
 import numpy as np
 
-from elektronn2_tpu.log import logger
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "malis_core.cpp")
@@ -25,17 +22,8 @@ _lib = None
 
 
 def _build():
-    # temp-name + atomic rename: concurrent first users (forked workers)
-    # must never CDLL a partially written .so (review r2)
-    tmp = f"{_SO}.tmp.{os.getpid()}"
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp]
-    logger.info("building MALIS native core: " + " ".join(cmd))
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.rename(tmp, _SO)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    from elektronn2_tpu.utils.native_build import build_shared
+    build_shared(_SRC, _SO)
 
 
 def get_lib():

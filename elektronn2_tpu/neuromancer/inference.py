@@ -79,10 +79,9 @@ def _functor_spatially_elementwise(node, n_ch):
                 fb = np.asarray(node.functor(
                     jnp.asarray(np.concatenate([x, y], axis=ax)),
                     *node.args, **node.kwargs))
-                if fb.shape != np.concatenate([fx, fy], axis=ax).shape \
-                        or not np.allclose(
-                            fb, np.concatenate([fx, fy], axis=ax),
-                            rtol=1e-5, atol=1e-6):
+                want = np.concatenate([fx, fy], axis=ax)
+                if fb.shape != want.shape or not np.allclose(
+                        fb, want, rtol=1e-5, atol=1e-6):
                     ok = False
                     break
     except Exception:

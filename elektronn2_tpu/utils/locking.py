@@ -12,6 +12,8 @@ import os
 import socket
 import time
 
+from elektronn2_tpu.log import logger
+
 
 class FileLockException(Exception):
     pass
@@ -98,7 +100,6 @@ class FileLock:
                         # drop the corpse and surface the (vanishingly
                         # rare: needs break+reacquire+acquire within one
                         # read-rename window) incident in the log
-                        from elektronn2_tpu.log import logger
                         logger.warning(
                             f"FileLock: displaced a live lock at "
                             f"{self.lockfile} and could not restore it "
@@ -143,7 +144,6 @@ class FileLock:
                 if mine:
                     os.unlink(self.lockfile)
                 else:
-                    from elektronn2_tpu.log import logger
                     logger.warning(
                         f"FileLock: {self.lockfile} is no longer held by "
                         f"this process at release (broken as stale?) — "

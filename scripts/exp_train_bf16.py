@@ -21,8 +21,6 @@ def main():
         os.path.abspath(__file__))), ".jax_cache"))
     from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
     from elektronn2_tpu.training.fused_loop import FusedTrainLoop
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from scripts.bench_tpu_pending import _neuro3d_model
 
     rng = np.random.RandomState(0)
