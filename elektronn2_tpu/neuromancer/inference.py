@@ -718,9 +718,67 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     return run(model.params, model.state, vol)
 
 
+def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
+                                batch_axis="data"):
+    """DP×SP dense serving: a BATCH of slabs sharded over ``batch_axis``
+    while each slab's z extent is sharded over ``axis_name`` (halo
+    exchange over ICI) — the two-axis composition of
+    ``predict_dense_sharded`` (SP) and ``sweep_knossos(slab_batch=N)``
+    (serving DP). Output matches the unsharded batched sweep exactly
+    (tests, virtual CPU mesh).
+
+    ``vols``: (B, f, Z, X, Y); B must be divisible by the ``batch_axis``
+    mesh size (z is reflect-padded to a multiple of the ``axis_name``
+    size internally, like ``predict_dense_sharded``). 3D models only.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    _check_dense_geometry(model.prediction_node)
+    n = mesh.shape[axis_name]
+    b = mesh.shape[batch_axis]
+    if vols.shape[0] % b:
+        raise ValueError(f"slab batch {vols.shape[0]} not divisible by "
+                         f"mesh axis {batch_axis!r}={b}")
+    fov = list(model.prediction_node.shape.fov)
+    Z = vols.shape[2]
+    pad_z = (n - Z % n) % n
+    if pad_z:
+        vols = jnp.pad(vols, [(0, 0), (0, 0), (0, pad_z), (0, 0), (0, 0)],
+                       mode="reflect")
+
+    key = ("sharded_batch", mesh, axis_name, batch_axis,
+           tuple(int(s) for s in vols.shape), int(Z))
+    run = model._dilated_fns.get(key)
+    if run is None:
+        shard_fn = jax.shard_map(
+            lambda p, s, v: dilated_dense_forward(model, v, batch=True,
+                                                  halo_axis=axis_name,
+                                                  params=p, state=s),
+            mesh=mesh,
+            in_specs=(P(), P(), P(batch_axis, None, axis_name, None, None)),
+            out_specs=P(batch_axis, None, axis_name, None, None),
+            check_vma=False)
+
+        @jax.jit
+        def run(p, s, v):
+            y = shard_fn(p, s, v)
+            return y[:, :, :Z - fov[0] + 1]   # trim invalid z tail
+
+        sh_keys = [k for k in model._dilated_fns
+                   if isinstance(k, tuple) and k
+                   and k[0] == "sharded_batch"]
+        if len(sh_keys) >= 4:                 # ragged shapes: FIFO-bound
+            model._dilated_fns.pop(sh_keys[0])
+        model._dilated_fns[key] = run
+
+    return run(model.params, model.state, vols)
+
+
 def sweep_knossos(model, karr, region=None, step=None, out=None,
                   verbose=False, mesh=None, axis_name="space",
-                  slab_batch=1):
+                  slab_batch=1, batch_axis="data"):
     """Dense-predict a whole KNOSSOS dataset (or a region of it).
 
     Reference workflow: ``KnossosArray`` tiles feeding ``predict_dense``
@@ -740,7 +798,14 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     that helps fill the MXU for narrow nets, with the D2H readback of
     chunk N overlapped against chunk N+1's device compute (JAX async
     dispatch). Falls back to per-slab sweeps for graphs the dilated path
-    can't express, and is ignored under ``mesh``.
+    can't express.
+
+    With BOTH ``mesh`` and ``slab_batch`` set, the sweep composes serving
+    DP with spatial CP (``predict_dense_sharded_batch``): the slab batch
+    shards over the ``batch_axis`` mesh axis and each slab's z extent
+    over ``axis_name`` (halo exchange). ``slab_batch`` must then be a
+    multiple of the ``batch_axis`` size; if the mesh has no such axis the
+    sweep degrades to per-slab z-sharded dispatches with a warning.
     """
     import jax
     import jax.numpy as jnp
@@ -802,7 +867,19 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    if slab_batch > 1 and mesh is None:
+    use_batch = slab_batch > 1
+    if use_batch and mesh is not None:
+        if batch_axis not in getattr(mesh, "axis_names", ()):
+            logger.warning(
+                f"sweep_knossos: slab_batch under a mesh needs a "
+                f"{batch_axis!r} mesh axis (have {mesh.axis_names}) — "
+                f"falling back to per-slab z-sharded sweeps")
+            use_batch = False
+        elif slab_batch % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"slab_batch={slab_batch} must be a multiple of mesh "
+                f"axis {batch_axis!r}={mesh.shape[batch_axis]}")
+    if use_batch:
         # batched multi-slab sweep: stack ``slab_batch`` staged slabs into
         # the batch axis of ONE dilated dense program. Every slab is
         # reflect-padded to the identical (step + fov - 1) extent by
@@ -810,14 +887,21 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
         # (the final partial chunk repeats its last slab — idempotent
         # writes). The device result of chunk N is materialised only
         # AFTER chunk N+1 is dispatched: JAX async dispatch overlaps the
-        # D2H readback + host write with device compute.
-        impl = getattr(model, "_dilated_impl", "direct")
-        key = ("sweep_batch", impl, int(slab_batch))
-        fn = model._dilated_fns.get(key)
-        if fn is None:
-            fn = jax.jit(lambda p, s, v: dilated_dense_forward(
-                model, v, batch=True, params=p, state=s, impl=impl))
-            model._dilated_fns[key] = fn
+        # D2H readback + host write with device compute. Under ``mesh``
+        # the same loop dispatches the DP×SP sharded program instead.
+        if mesh is not None:
+            def fn(p, s, v):
+                return predict_dense_sharded_batch(
+                    model, v, mesh, axis_name=axis_name,
+                    batch_axis=batch_axis)
+        else:
+            impl = getattr(model, "_dilated_impl", "direct")
+            key = ("sweep_batch", impl, int(slab_batch))
+            fn = model._dilated_fns.get(key)
+            if fn is None:
+                fn = jax.jit(lambda p, s, v: dilated_dense_forward(
+                    model, v, batch=True, params=p, state=s, impl=impl))
+                model._dilated_fns[key] = fn
         chunks = [origins[i:i + slab_batch]
                   for i in range(0, len(origins), slab_batch)]
         try:

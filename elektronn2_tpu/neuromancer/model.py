@@ -547,16 +547,28 @@ class Model:
         return predict_dense_sharded(self, vol, mesh, axis_name=axis_name,
                                      pad_raw=pad_raw)
 
+    def predict_dense_sharded_batch(self, vols, mesh, axis_name="space",
+                                    batch_axis="data"):
+        """DP×SP dense serving: slab batch over ``batch_axis``, each
+        slab's z extent over ``axis_name`` (halo exchange)."""
+        from elektronn2_tpu.neuromancer.inference import (
+            predict_dense_sharded_batch)
+        return predict_dense_sharded_batch(self, vols, mesh,
+                                           axis_name=axis_name,
+                                           batch_axis=batch_axis)
+
     def sweep_knossos(self, karr, region=None, step=None, out=None,
                       verbose=False, mesh=None, axis_name="space",
-                      slab_batch=1):
+                      slab_batch=1, batch_axis="data"):
         """Dense-predict a whole KNOSSOS dataset, slab by staged slab
         (optionally z-sharded over a mesh — pod-scale serving; or
-        ``slab_batch`` slabs per dispatch with overlapped readback)."""
+        ``slab_batch`` slabs per dispatch with overlapped readback;
+        both composed when mesh AND slab_batch are set: DP×SP)."""
         from elektronn2_tpu.neuromancer.inference import sweep_knossos
         return sweep_knossos(self, karr, region=region, step=step, out=out,
                              verbose=verbose, mesh=mesh,
-                             axis_name=axis_name, slab_batch=slab_batch)
+                             axis_name=axis_name, slab_batch=slab_batch,
+                             batch_axis=batch_axis)
 
     # ------------------------------------------------------------------ stats
     @property

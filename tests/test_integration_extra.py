@@ -327,3 +327,33 @@ def test_malis3d_example_config(tmp_path):
     losses = np.asarray([row[2] for row in hist.timeline])
     assert np.isfinite(losses).all()
     assert losses[-10:].mean() < losses[:10].mean()
+
+
+def test_knossos_sweep_dp_sp_batched_matches_single(rng, tmp_path):
+    """sweep_knossos(mesh=DPxSP, slab_batch=2): slab batch sharded over
+    'data', z over 'space' — must equal the single-chip sweep exactly;
+    a mesh without a 'data' axis degrades to per-slab sharded sweeps."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    from elektronn2_tpu.parallel import make_mesh
+
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    path = write_knossos(tmp_path, vol, cube_edge=8)
+    ka = KnossosArray(path, cube_edge=8)
+    plain = m.sweep_knossos(ka, step=[12, 16, 16])
+    mesh = make_mesh({"data": 2, "space": 4})
+    both = m.sweep_knossos(ka, step=[12, 16, 16], mesh=mesh, slab_batch=2)
+    np.testing.assert_allclose(both, plain, atol=1e-5)
+    # non-multiple slab batch is rejected with a named error
+    with pytest.raises(ValueError, match="multiple of mesh axis"):
+        m.sweep_knossos(ka, step=[12, 16, 16], mesh=mesh, slab_batch=3)
+    # a mesh without the batch axis degrades (still exact)
+    sp_only = m.sweep_knossos(ka, step=[12, 16, 16],
+                              mesh=make_mesh({"space": 8}), slab_batch=2)
+    np.testing.assert_allclose(sp_only, plain, atol=1e-5)
