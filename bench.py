@@ -120,7 +120,10 @@ def main():
     # ~30 ms dispatch+sync floor per call (measured: a trivial jitted add
     # takes 29.7 ms end-to-end — scripts/exp_floor.py), which is tunnel
     # latency, not device time.
-    K = int(os.environ.get("BENCH_K", "4"))
+    # K=8 measured +5% over K=4 at the 96-slab champion (131.05 vs
+    # 124.73 Mvox/s, same day): more back-to-back dispatches per sync
+    # amortise the dispatch path deeper. Timed region stays ~1.6 s.
+    K = int(os.environ.get("BENCH_K", "8"))
     best = (0.0, "direct")
     best_f32 = (0.0, None)
     # contenders (all measured on v5e, sustained 64x512x512 — see

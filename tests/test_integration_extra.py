@@ -357,3 +357,19 @@ def test_knossos_sweep_dp_sp_batched_matches_single(rng, tmp_path):
     sp_only = m.sweep_knossos(ka, step=[12, 16, 16],
                               mesh=make_mesh({"space": 8}), slab_batch=2)
     np.testing.assert_allclose(sp_only, plain, atol=1e-5)
+
+
+def test_serve_knossos_example(tmp_path):
+    """The serving example runs end-to-end (synth dataset → bf16 slab-
+    batched sweep → KNOSSOS output) and writes loadable uint8 maps."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "serve_knossos_example", "examples/serve_knossos.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mdl, kdir, out_dir = mod._demo_setup(str(tmp_path / "demo"))
+    assert mod.main([mdl, kdir, out_dir]) == 0
+    from elektronn2_tpu.data import KnossosArray
+    ka = KnossosArray(os.path.join(out_dir, "c0"))
+    got = np.asarray(ka[0:16, 0:32, 0:32])
+    assert got.dtype == np.uint8 and got.shape == (16, 32, 32)
