@@ -60,7 +60,7 @@ def _watchdog():
         "note": f"watchdog fired after {WATCHDOG_S}s"
                 + (f" — reporting completed impl={_best_so_far['impl']}"
                    if v else " with no completed measurement — see "
-                   "BASELINE.md for the last good value (65 Mvox/s)"),
+                   "BASELINE.md for the last good value (131 Mvox/s)"),
     })
     os._exit(2)
 
@@ -77,10 +77,15 @@ def _sustained(call, K):
     out = call()
     float(jnp.sum(jnp.asarray(out, jnp.float32)))
     t0 = _time.perf_counter()
-    outs = [call() for _ in range(K)]
     acc = jnp.float32(0)
-    for o in outs:
-        acc = acc + jnp.sum(jnp.asarray(o, jnp.float32))
+    for _ in range(K):
+        # fold each output into the checksum IMMEDIATELY instead of
+        # holding all K buffers: dispatches still pipeline (async), but
+        # each output frees once its sum runs — holding K big outputs
+        # alongside the sweep's activations OOMs (measured: K=16 at the
+        # 96-slab contender RESOURCE_EXHAUSTED; K=8 was ~0.7G from the
+        # ceiling)
+        acc = acc + jnp.sum(jnp.asarray(call(), jnp.float32))
     checksum = float(acc)            # one sync for the K dispatches
     dt = _time.perf_counter() - t0
     assert _np.isfinite(checksum)
@@ -213,8 +218,8 @@ def main():
         payload["f32_impl"] = best_f32[1]
     if best[0] == 0.0:
         payload["note"] = ("all contenders failed (tunnel/compile-helper "
-                           "outage) — last good: 72.9 single-dispatch "
-                           "s2bg, see BASELINE.md")
+                           "outage) — last good: 131.16 sustained "
+                           "s2bg+zfold+bf16@96x512x512, see BASELINE.md")
     _emit(payload)
 
 

@@ -35,11 +35,11 @@ def main():
         out = model.predict_dense_device(vol, pad_raw=True)
         float(jnp.sum(out))                   # compile + sync
         t0 = time.perf_counter()
-        outs = [model.predict_dense_device(vol, pad_raw=True)
-                for _ in range(K)]
         s = jnp.float32(0)
-        for o in outs:
-            s = s + jnp.sum(o)
+        for _ in range(K):
+            # fold immediately: holding K outputs OOMs big slabs at high K
+            s = s + jnp.sum(jnp.asarray(model.predict_dense_device(
+                vol, pad_raw=True), jnp.float32))
         float(s)
         dt = time.perf_counter() - t0
         vox = float(np.prod(out.shape[1:])) * K

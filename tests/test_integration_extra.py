@@ -373,3 +373,40 @@ def test_serve_knossos_example(tmp_path):
     ka = KnossosArray(os.path.join(out_dir, "c0"))
     got = np.asarray(ka[0:16, 0:32, 0:32])
     assert got.dtype == np.uint8 and got.shape == (16, 32, 32)
+
+
+def test_sweep_serving_equivalence_fuzz(rng):
+    """Fuzz the serving stack: random small encoder geometry x random
+    region/step/slab_batch — sweep_knossos must equal the whole-volume
+    device sweep on every draw (stage/write_back arithmetic, partial
+    chunks, region offsets)."""
+    import jax.numpy as jnp
+    for draw in range(3):
+        r = np.random.RandomState(100 + draw)
+        model_manager.reset(seed=int(r.randint(1000)))
+        fz = int(r.choice([1, 3]))
+        pool = (1, 2, 2) if r.rand() < 0.5 else (1, 1, 1)
+        inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+        c1 = nm.Conv(inp, int(r.choice([3, 5])), (fz, 3, 3), pool,
+                     mfp=pool != (1, 1, 1), name="c1")
+        probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+        m = model_manager.getmodel()
+        m.designate_nodes(input_node=inp, prediction_node=probs)
+
+        Z, X, Y = 20 + int(r.randint(8)), 24 + int(r.randint(12)), 32
+        vol = r.rand(Z, X, Y).astype(np.float32)
+        ref = np.asarray(m.predict_dense_device(jnp.asarray(vol[None]),
+                                                pad_raw=True))
+        step = [int(r.randint(8, 14)), int(r.randint(12, 20)), 16]
+        sb = int(r.choice([1, 2, 3]))
+        got = m.sweep_knossos(vol, step=step, slab_batch=sb)
+        np.testing.assert_allclose(got, ref, atol=1e-5,
+                                   err_msg=f"draw {draw}: step={step} "
+                                           f"slab_batch={sb}")
+        # region-restricted draw
+        z0 = int(r.randint(0, 6))
+        x0 = int(r.randint(0, 6))
+        reg = [(z0, Z), (x0, X), (0, Y)]
+        got_r = m.sweep_knossos(vol, region=reg, step=step, slab_batch=sb)
+        np.testing.assert_allclose(got_r, ref[:, z0:, x0:, :], atol=1e-5,
+                                   err_msg=f"draw {draw} region")
