@@ -83,6 +83,16 @@ class Trainer:
             opt_name = cfg.get("optimiser", "Adam")
             self.model.set_opt(opt_name, **dict(cfg.get("optimiser_params",
                                                         {})))
+        # scale-out from the config surface: mesh_axes = {"data": 8}
+        # (or {"data": 4, "model": 2}) shards training over a device mesh
+        # via Model.use_mesh — the config-file analog of the Python API
+        if cfg.get("mesh_axes"):
+            from elektronn2_tpu.parallel import make_mesh
+            axes = dict(cfg["mesh_axes"])
+            self.model.use_mesh(
+                make_mesh(axes),
+                model_axis="model" if "model" in axes else None)
+            logger.info(f"training mesh: {axes}")
 
         # data: direct or from config
         self.data = data

@@ -410,3 +410,26 @@ def test_sweep_serving_equivalence_fuzz(rng):
         got_r = m.sweep_knossos(vol, region=reg, step=step, slab_batch=sb)
         np.testing.assert_allclose(got_r, ref[:, z0:, x0:, :], atol=1e-5,
                                    err_msg=f"draw {draw} region")
+
+
+def test_neuro3d_pod_example_config(tmp_path):
+    """The pod config scales out from the CONFIG surface (mesh_axes):
+    trains with decreasing loss on the 8-device virtual mesh."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "neuro3d_pod_cfg", "examples/neuro3d_pod.py")
+    cfg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg)
+    from elektronn2_tpu.training.trainer import Trainer
+    import elektronn2_tpu.data as dmod
+    tr = Trainer(model=cfg.create_model(),
+                 data=dmod.DeviceBatchAugmenter(**cfg.data_init_kwargs),
+                 batch_size=cfg.batch_size, n_steps=30, history_freq=0,
+                 save_freq=0, n_workers=0, save_path=str(tmp_path),
+                 save_name="pod", mesh_axes=cfg.mesh_axes,
+                 optimiser="Adam", optimiser_params={"lr": 1e-3},
+                 data_batch_args={"warp": 0.0})
+    assert tr.model._mesh is not None          # mesh_axes was applied
+    hist = tr.run()
+    losses = [row[2] for row in hist.timeline]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
