@@ -22,6 +22,8 @@ optimiser_params = {"lr": 1e-3, "clip": 10.0}
 n_workers = 0
 data_class = "DeviceBatchAugmenter"
 data_batch_args = {"warp": 0.3}
+fused_steps = 8        # composes with the mesh: DP fused chunks
+                       # (bit-identical to single-device — tests)
 
 
 def _n_devices():

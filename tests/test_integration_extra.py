@@ -427,6 +427,7 @@ def test_neuro3d_pod_example_config(tmp_path):
                  batch_size=cfg.batch_size, n_steps=30, history_freq=0,
                  save_freq=0, n_workers=0, save_path=str(tmp_path),
                  save_name="pod", mesh_axes=cfg.mesh_axes,
+                 fused_steps=8,     # DP mesh + fused chunks compose
                  optimiser="Adam", optimiser_params={"lr": 1e-3},
                  data_batch_args={"warp": 0.0})
     assert tr.model._mesh is not None          # mesh_axes was applied

@@ -698,3 +698,53 @@ def test_model_gpipe_grouped_softmax_head(rng):
     np.testing.assert_allclose(np.asarray(new_p["c1"]["w"]),
                                np.asarray(m_ref.params["c1"]["w"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_loop_composes_with_dp_mesh(rng):
+    """FusedTrainLoop under Model.use_mesh (8-way DP): chunk losses and
+    updated params are identical to the single-device fused loop — the
+    committed NamedShardings on params propagate through the fused scan
+    (GSPMD), so pod configs can combine mesh_axes with fused_steps."""
+    from elektronn2_tpu.training.fused_loop import FusedTrainLoop
+    from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
+
+    def build():
+        r = np.random.RandomState(0)
+        raws = [r.rand(1, 24, 40, 40).astype(np.float32) for _ in range(2)]
+        labs = [(r.rand(24, 40, 40) > 0.5).astype(np.int16)
+                for _ in range(2)]
+        inp = nm.Input([8, 1, 5, 16, 16], "b,f,z,x,y", name="raw")
+        c1 = nm.Conv(inp, 4, (1, 3, 3), (1, 2, 2), name="c1")
+        probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+        tgt = nm.Input([8, *probs.shape.spatial_shape], "b,z,x,y",
+                       dtype="int32", name="target")
+        loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                                  target_is_sparse=True))
+        m = model_manager.getmodel()
+        m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                          prediction_node=probs)
+        m.set_opt("SGD", lr=0.05, mom=0.0)
+        aug = DeviceBatchAugmenter(
+            raws, labs, patch_size=(5, 16, 16),
+            target_size=tuple(probs.shape.spatial_shape),
+            target_strides=(1, 2, 2), grey_channels=[0], seed=0)
+        return m, aug
+
+    m1, aug1 = build()
+    loop1 = FusedTrainLoop(m1, aug1, batch_size=8, n_inner=4, warp=0.3,
+                           seed=3)
+    l1a, _ = loop1.run_chunk()
+    l1b, _ = loop1.run_chunk()
+
+    model_manager.reset(seed=11)      # identical init (fixture seed)
+    m2, aug2 = build()
+    m2.use_mesh(make_mesh({"data": 8}))
+    loop2 = FusedTrainLoop(m2, aug2, batch_size=8, n_inner=4, warp=0.3,
+                           seed=3)
+    l2a, _ = loop2.run_chunk()
+    l2b, _ = loop2.run_chunk()
+    np.testing.assert_allclose(l1a, l2a, rtol=1e-6)
+    np.testing.assert_allclose(l1b, l2b, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1.params["c1"]["w"]),
+                               np.asarray(m2.params["c1"]["w"]),
+                               rtol=1e-5, atol=1e-7)
