@@ -25,7 +25,8 @@ from elektronn2_tpu.parallel.mesh import make_mesh, mesh_info
 from elektronn2_tpu.parallel.halo import (halo_gather, cp_conv_z,
                                           spatial_cp_stack)
 from elektronn2_tpu.parallel.spatial_train import (
-    make_spatial_dp_trainstep, pad_target_for_spatial, spatial_tp_shardings)
+    make_spatial_dp_trainstep, make_fused_spatial_trainstep,
+    pad_target_for_spatial, spatial_tp_shardings)
 from elektronn2_tpu.parallel.pipeline import (gpipe_stack, microbatch,
                                               gpipe_reference_loss,
                                               make_gpipe_trainstep,
@@ -33,6 +34,7 @@ from elektronn2_tpu.parallel.pipeline import (gpipe_stack, microbatch,
 
 __all__ = ["make_mesh", "mesh_info", "halo_gather", "cp_conv_z",
            "spatial_cp_stack", "make_spatial_dp_trainstep",
+           "make_fused_spatial_trainstep",
            "pad_target_for_spatial", "spatial_tp_shardings",
            "gpipe_stack", "microbatch", "gpipe_reference_loss",
            "make_gpipe_trainstep", "layers_from_model"]

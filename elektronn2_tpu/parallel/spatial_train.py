@@ -57,6 +57,40 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
     Pass params already placed with ``spatial_tp_shardings`` (or any
     layout; the jit in_shardings repartition them).
     """
+    parts = _build_spatial_parts(model, mesh, data_axis, space_axis,
+                                 model_axis)
+    local_step, sm_kw = parts["local_step"], parts["sm_kw"]
+    fov_z = parts["fov_z"]
+
+    shard_step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  P(data_axis, None, space_axis, None, None),
+                  P(data_axis, space_axis, None, None),
+                  P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False, **sm_kw)
+
+    jit_kw = {}
+    if model_axis is not None:
+        psh, osh = spatial_tp_shardings(model, mesh, model_axis)
+        repl = NamedSharding(mesh, P())
+        jit_kw = dict(in_shardings=(psh, osh, repl, None, None, repl, repl),
+                      out_shardings=(repl, psh, osh, repl))
+
+    @partial(jax.jit, **jit_kw)
+    def step(params, opt_state, state, data, target, hyper, rng):
+        return shard_step(params, opt_state, state, data, target, rng,
+                          hyper)
+
+    logger.info(f"spatial DP train step: mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+                f"fov_z={fov_z}")
+    return step
+
+
+def _build_spatial_parts(model, mesh, data_axis, space_axis, model_axis):
+    """Validation + the per-rank ``local_step`` shared by the per-step
+    and fused (``make_fused_spatial_trainstep``) builders."""
     from elektronn2_tpu.neuromancer.loss import AggregateLoss
 
     if not isinstance(model.loss_node, AggregateLoss) \
@@ -143,11 +177,48 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
     if model_axis is not None:
         # manual over data/space only; the model axis stays auto (GSPMD)
         sm_kw["axis_names"] = frozenset({data_axis, space_axis})
-    shard_step = jax.shard_map(
-        local_step, mesh=mesh,
+    return {"local_step": local_step, "sm_kw": sm_kw, "fov_z": fov_z}
+
+
+def make_fused_spatial_trainstep(model, mesh, n_inner, data_axis="data",
+                                 space_axis="space", model_axis=None):
+    """Fused K-step DP×SP training: ``n_inner`` halo-exchanged train steps
+    inside ONE ``lax.scan`` dispatch — ``fused_steps`` composed with the
+    spatial mesh (each inner step == ``make_spatial_dp_trainstep``'s,
+    tested). The scan sits INSIDE the manual ``shard_map`` region, so the
+    stacked batches are partitioned once per chunk, not per step.
+
+    Returns ``chunk(params, opt_state, state, data_K, target_K, hyper,
+    rng) -> (losses (K,), params, opt_state, state)`` (jitted).
+    ``data_K``: (K, B, f, Z, X, Y); ``target_K``: (K, B, Z, X_out, Y_out)
+    (z-padded, see ``pad_target_for_spatial``). ``rng`` is required (one
+    split per inner step, rank-decorrelated inside).
+    """
+    parts = _build_spatial_parts(model, mesh, data_axis, space_axis,
+                                 model_axis)
+    local_step, sm_kw = parts["local_step"], parts["sm_kw"]
+    K = int(n_inner)
+    if K < 1:
+        raise ValueError(f"n_inner must be >= 1, got {n_inner}")
+
+    def local_chunk(params, opt_state, state, data_K, target_K, rng, hyper):
+        def body(carry, inp):
+            params, opt_state, state, k = carry
+            d, t = inp
+            k, sub = jax.random.split(k)
+            loss, params, opt_state, state = local_step(
+                params, opt_state, state, d, t, sub, hyper)
+            return (params, opt_state, state, k), loss
+
+        (params, opt_state, state, _), losses = jax.lax.scan(
+            body, (params, opt_state, state, rng), (data_K, target_K))
+        return losses, params, opt_state, state
+
+    shard_chunk = jax.shard_map(
+        local_chunk, mesh=mesh,
         in_specs=(P(), P(), P(),
-                  P(data_axis, None, space_axis, None, None),
-                  P(data_axis, space_axis, None, None),
+                  P(None, data_axis, None, space_axis, None, None),
+                  P(None, data_axis, space_axis, None, None),
                   P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False, **sm_kw)
@@ -159,14 +230,14 @@ def make_spatial_dp_trainstep(model, mesh, data_axis="data",
         jit_kw = dict(in_shardings=(psh, osh, repl, None, None, repl, repl),
                       out_shardings=(repl, psh, osh, repl))
 
-    @partial(jax.jit, **jit_kw)
-    def step(params, opt_state, state, data, target, hyper, rng):
-        return shard_step(params, opt_state, state, data, target, rng,
-                          hyper)
+    @partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
+    def chunk(params, opt_state, state, data_K, target_K, hyper, rng):
+        return shard_chunk(params, opt_state, state, data_K, target_K,
+                           rng, hyper)
 
-    logger.info(f"spatial DP train step: mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
-                f"fov_z={fov_z}")
-    return step
+    logger.info(f"fused spatial DP train chunk: K={K}, mesh "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    return chunk
 
 
 def spatial_tp_shardings(model, mesh, model_axis):
