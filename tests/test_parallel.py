@@ -812,3 +812,65 @@ def test_fused_spatial_trainstep_matches_per_step(rng):
     np.testing.assert_allclose(np.asarray(p2["c1"]["w"]),
                                np.asarray(p["c1"]["w"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_fused_spatial_three_axis_matches_per_step(rng):
+    """Fused DP×SP×TP: the K-step fused spatial chunk on a 3-axis mesh
+    ({'data':2,'space':2,'model':2}, channels GSPMD-sharded on 'model')
+    matches K sequential 3-axis per-step calls."""
+    from elektronn2_tpu.parallel import (make_spatial_dp_trainstep,
+                                         make_fused_spatial_trainstep,
+                                         pad_target_for_spatial)
+
+    def build():
+        B, Z = 2, 8
+        inp = nm.Input([B, 1, Z, 14, 14], "b,f,z,x,y", name="raw")
+        c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), name="c1")
+        probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"),
+                           name="probs")
+        tgt = nm.Input([B, *probs.shape.spatial_shape], "b,z,x,y",
+                       dtype="int32", name="target")
+        nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True,
+                                name="nll")
+        m = model_manager.getmodel()
+        m.designate_nodes(input_node=inp, target_node=tgt,
+                          loss_node=nm.AggregateLoss(nll, name="loss"),
+                          prediction_node=probs)
+        m.set_opt("SGD", lr=0.05, mom=0.0)
+        return m, (B, Z)
+
+    K = 2
+    mesh = make_mesh({"data": 2, "space": 2, "model": 2})
+    m1, (B, Z) = build()
+    step = make_spatial_dp_trainstep(m1, mesh, model_axis="model")
+    zo, xo, yo = m1.prediction_node.shape.spatial_shape
+    r = np.random.RandomState(1)
+    data_K = r.rand(K, B, 1, Z, 14, 14).astype(np.float32)
+    tgt_K = np.stack([pad_target_for_spatial(
+        (r.rand(B, zo, xo, yo) > 0.5).astype(np.int32), Z)
+        for _ in range(K)])
+    key = jax.random.PRNGKey(5)
+    k, ks = key, []
+    for _ in range(K):
+        k, sub = jax.random.split(k)
+        ks.append(sub)
+    hyper = m1.optimiser.current_hyper()
+    p, o, s = m1.params, m1.opt_state, m1.state
+    ref = []
+    for i in range(K):
+        lv, p, o, s = step(p, o, s, jnp.asarray(data_K[i]),
+                           jnp.asarray(tgt_K[i]), hyper, ks[i])
+        ref.append(float(lv))
+
+    model_manager.reset(seed=11)
+    m2, _ = build()
+    chunk = make_fused_spatial_trainstep(m2, mesh, n_inner=K,
+                                         model_axis="model")
+    losses, p2, _, _ = chunk(m2.params, m2.opt_state, m2.state,
+                             jnp.asarray(data_K), jnp.asarray(tgt_K),
+                             hyper, key)
+    assert p2["c1"]["w"].sharding.spec[0] == "model"   # TP survives
+    np.testing.assert_allclose(np.asarray(losses), ref, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(p2["c1"]["w"]),
+                               np.asarray(p["c1"]["w"]),
+                               rtol=1e-5, atol=1e-7)
