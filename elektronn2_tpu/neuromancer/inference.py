@@ -63,8 +63,13 @@ def _functor_spatially_elementwise(node, n_ch):
         return cached
     import jax.numpy as jnp
     rng = np.random.RandomState(0)
-    shape = (1, int(n_ch), 3, 4, 5)       # distinct extents catch transposes
-    x = rng.rand(*shape).astype(np.float32)
+    # probe at the node's ACTUAL rank: a 2D graph's functors see 4D
+    # arrays — probing them with a 5D array would raise inside any
+    # rank-sensitive (but genuinely pointwise) functor and wrongly
+    # reject it (review r2 pass 2)
+    nsp = len(node.parents[0].shape.spatial_axes)
+    shape = (1, int(n_ch)) + (3, 4, 5)[-nsp:]  # distinct extents catch
+    x = rng.rand(*shape).astype(np.float32)    # transposes
     y = rng.rand(*shape).astype(np.float32)
     ok = True
     try:
@@ -75,7 +80,7 @@ def _functor_spatially_elementwise(node, n_ch):
         if fx.shape[0] != 1 or fx.shape[2:] != x.shape[2:]:
             ok = False                    # spatial/batch shape change
         else:
-            for ax in (2, 3, 4):
+            for ax in range(2, 2 + nsp):
                 fb = np.asarray(node.functor(
                     jnp.asarray(np.concatenate([x, y], axis=ax)),
                     *node.args, **node.kwargs))
@@ -677,45 +682,17 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    _check_dense_geometry(model.prediction_node)
-    n = mesh.shape[axis_name]
-    fov = list(model.prediction_node.shape.fov)
+    import jax.numpy as jnp
+
     if pad_raw:
+        fov = list(model.prediction_node.shape.fov)
         pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
         vol = jnp.pad(vol, pads, mode="reflect")
-    Z = vol.shape[1]
-    pad_z = (n - Z % n) % n
-    if pad_z:
-        vol = jnp.pad(vol, [(0, 0), (0, pad_z), (0, 0), (0, 0)],
-                      mode="reflect")
-
-    key = ("sharded", mesh, axis_name, tuple(int(s) for s in vol.shape),
-           int(Z))
-    run = model._dilated_fns.get(key)
-    if run is None:
-        # params/state are traced ARGUMENTS (closing over model.params
-        # would bake stale weights into the cached executable)
-        shard_fn = jax.shard_map(
-            lambda p, s, v: dilated_dense_forward(model, v, batch=True,
-                                                  halo_axis=axis_name,
-                                                  params=p, state=s),
-            mesh=mesh,
-            in_specs=(P(), P(), P(None, None, axis_name, None, None)),
-            out_specs=P(None, None, axis_name, None, None),
-            check_vma=False)
-
-        @jax.jit
-        def run(p, s, vol):
-            y = shard_fn(p, s, vol[None])[0]
-            return y[:, :Z - fov[0] + 1]  # trim invalid tail (+ z padding)
-
-        sh_keys = [k for k in model._dilated_fns
-                   if isinstance(k, tuple) and k and k[0] == "sharded"]
-        if len(sh_keys) >= 4:            # ragged shapes: FIFO-bound, like
-            model._dilated_fns.pop(sh_keys[0])   # the conv cache below
-        model._dilated_fns[key] = run
-
-    return run(model.params, model.state, vol)
+    # single-slab case of the batched sharded sweep (review r2 pass 2:
+    # the two paths duplicated the pad/shard_map/trim/cache logic)
+    return predict_dense_sharded_batch(model, vol[None], mesh,
+                                       axis_name=axis_name,
+                                       batch_axis=None)[0]
 
 
 def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
@@ -729,7 +706,8 @@ def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
 
     ``vols``: (B, f, Z, X, Y); B must be divisible by the ``batch_axis``
     mesh size (z is reflect-padded to a multiple of the ``axis_name``
-    size internally, like ``predict_dense_sharded``). 3D models only.
+    size internally). ``batch_axis=None`` leaves the batch dim unsharded
+    (``predict_dense_sharded`` is the B=1 case of this). 3D models only.
     """
     import jax
     import jax.numpy as jnp
@@ -737,10 +715,11 @@ def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
 
     _check_dense_geometry(model.prediction_node)
     n = mesh.shape[axis_name]
-    b = mesh.shape[batch_axis]
-    if vols.shape[0] % b:
-        raise ValueError(f"slab batch {vols.shape[0]} not divisible by "
-                         f"mesh axis {batch_axis!r}={b}")
+    if batch_axis is not None:
+        b = mesh.shape[batch_axis]
+        if vols.shape[0] % b:
+            raise ValueError(f"slab batch {vols.shape[0]} not divisible "
+                             f"by mesh axis {batch_axis!r}={b}")
     fov = list(model.prediction_node.shape.fov)
     Z = vols.shape[2]
     pad_z = (n - Z % n) % n

@@ -193,6 +193,12 @@ def make_fused_spatial_trainstep(model, mesh, n_inner, data_axis="data",
     ``data_K``: (K, B, f, Z, X, Y); ``target_K``: (K, B, Z, X_out, Y_out)
     (z-padded, see ``pad_target_for_spatial``). ``rng`` is required (one
     split per inner step, rank-decorrelated inside).
+
+    **params and opt_state are DONATED** (their HBM buffers are reused
+    for the outputs, like ``FusedTrainLoop``): ALWAYS rebind from the
+    return values (``losses, p, o, s = chunk(p, o, s, ...)``) — touching
+    the donated arrays afterwards raises a deleted-buffer error on TPU
+    (CPU ignores donation, so tests won't catch the misuse).
     """
     parts = _build_spatial_parts(model, mesh, data_axis, space_axis,
                                  model_axis)

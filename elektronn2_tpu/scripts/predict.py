@@ -66,8 +66,16 @@ def main(argv=None):
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)
-        step = ([int(x) for x in args.step.split(",")]
-                if args.step else None)
+        step = None
+        if args.step:
+            try:
+                step = [int(x) for x in args.step.split(",")]
+            except ValueError:
+                ap.error(f"--step {args.step!r}: expected three "
+                         "comma-separated integers, e.g. 96,512,512")
+            if len(step) != 3:
+                ap.error(f"--step {args.step!r}: expected exactly three "
+                         "comma-separated integers (z,x,y)")
         out = model.sweep_knossos(ka, step=step, verbose=True,
                                   slab_batch=args.slab_batch)
     else:

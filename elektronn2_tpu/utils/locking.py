@@ -94,17 +94,27 @@ class FileLock:
                 if f.read() != contents:
                     try:
                         os.link(grave, self.lockfile)   # no-clobber restore
-                    except OSError:
-                        # a new lock appeared in the window — the displaced
-                        # holder cannot be restored without clobbering it;
-                        # drop the corpse and surface the (vanishingly
-                        # rare: needs break+reacquire+acquire within one
-                        # read-rename window) incident in the log
-                        logger.warning(
-                            f"FileLock: displaced a live lock at "
-                            f"{self.lockfile} and could not restore it "
-                            f"(a newer lock exists); holders should "
-                            f"verify ownership at release")
+                    except OSError as e:
+                        if e.errno == errno.EEXIST:
+                            # a new lock appeared in the window — the
+                            # displaced holder cannot be restored without
+                            # clobbering it; drop the corpse and surface
+                            # the (vanishingly rare: needs break+reacquire
+                            # +acquire within one read-rename window)
+                            # incident in the log
+                            logger.warning(
+                                f"FileLock: displaced a live lock at "
+                                f"{self.lockfile} and could not restore "
+                                f"it (a newer lock exists); holders "
+                                f"should verify ownership at release")
+                        else:
+                            # filesystem without hard links (CIFS/FAT/
+                            # some NFS): fall back to the rename restore
+                            # — clobber-prone only in the triple-contender
+                            # window, vs destroying the displaced live
+                            # lock outright (review r2 pass 2)
+                            os.rename(grave, self.lockfile)
+                            return False
                     os.unlink(grave)
                     return False
             os.unlink(grave)
@@ -135,22 +145,29 @@ class FileLock:
 
     def release(self):
         if self.is_locked:
+            # verify ownership before unlinking: if a (mis)breaker
+            # displaced this lock and someone else re-acquired, the file
+            # on disk is no longer ours and must stay. Only a MISSING
+            # file is swallowed — other failures (EACCES, read-only
+            # remount) propagate so the operator sees why the lock could
+            # not be cleaned up (review r2 pass 2: a blanket pass left
+            # orphaned locks with no log trail)
+            self.is_locked = False
             try:
-                # verify ownership before unlinking: if a (mis)breaker
-                # displaced this lock and someone else re-acquired, the
-                # file on disk is no longer ours and must stay
                 with open(self.lockfile) as f:
                     mine = f.read() == self._contents
-                if mine:
+            except FileNotFoundError:
+                return
+            if mine:
+                try:
                     os.unlink(self.lockfile)
-                else:
-                    logger.warning(
-                        f"FileLock: {self.lockfile} is no longer held by "
-                        f"this process at release (broken as stale?) — "
-                        f"leaving the current holder's lock in place")
-            except OSError:
-                pass
-            self.is_locked = False
+                except FileNotFoundError:
+                    pass
+            else:
+                logger.warning(
+                    f"FileLock: {self.lockfile} is no longer held by "
+                    f"this process at release (broken as stale?) — "
+                    f"leaving the current holder's lock in place")
 
     def __enter__(self):
         return self.acquire()
