@@ -874,3 +874,91 @@ def test_fused_spatial_three_axis_matches_per_step(rng):
     np.testing.assert_allclose(np.asarray(p2["c1"]["w"]),
                                np.asarray(p["c1"]["w"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_hostfed_fused_composes_with_dp_mesh(rng):
+    """HostFedFusedLoop under Model.use_mesh (2-way DP): chunk losses and
+    params match the single-device host-fed loop — host data sources get
+    the same mesh composition as device-sampled ones."""
+    from test_training import _fused_setup
+    from elektronn2_tpu.training.fused_loop import HostFedFusedLoop
+
+    m1, aug1 = _fused_setup(np.random.RandomState(5))
+    aug1.reseed(7)
+    loop1 = HostFedFusedLoop(m1, aug1, batch_size=2, n_inner=3,
+                             batch_args={"warp": 0.0}, seed=3,
+                             prefetch=False)
+    l1a, _ = loop1.run_chunk()
+    l1b, _ = loop1.run_chunk()
+    loop1.close()
+
+    m2, aug2 = _fused_setup(np.random.RandomState(5))   # resets seed=21
+    aug2.reseed(7)
+    m2.use_mesh(make_mesh({"data": 2}, n_devices=2))
+    loop2 = HostFedFusedLoop(m2, aug2, batch_size=2, n_inner=3,
+                             batch_args={"warp": 0.0}, seed=3,
+                             prefetch=False)
+    l2a, _ = loop2.run_chunk()
+    l2b, _ = loop2.run_chunk()
+    loop2.close()
+    np.testing.assert_allclose(l1a, l2a, rtol=1e-6)
+    np.testing.assert_allclose(l1b, l2b, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1.params["c1"]["w"]),
+                               np.asarray(m2.params["c1"]["w"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_gpipe_trainstep_depth_fuzz(rng):
+    """Fuzz PP over random chain depths / microbatch counts: the
+    pipelined Model step must equal Model.trainingstep on every draw."""
+    from elektronn2_tpu.parallel import make_gpipe_trainstep, microbatch
+
+    for draw in range(2):
+        r = np.random.RandomState(50 + draw)
+        depth = int(r.choice([2, 4]))
+        M = depth                        # stages == n_micro == mesh width
+        b_mb = int(r.choice([1, 2]))
+        B = M * b_mb
+
+        def build(name):
+            inp = nm.Input([B, 1, 9, 16, 16], "b,f,z,x,y", name="raw")
+            h = inp
+            for i in range(depth - 1):
+                h = nm.Conv(h, 4 + 2 * i, (1, 3, 3) if i == 0 else
+                            (3, 3, 3),
+                            (1, 2, 2) if i == 0 else (1, 1, 1),
+                            name=f"c{i}")
+            logits = nm.Conv(h, 2, 1, 1, activation_func="lin",
+                             name="logits")
+            probs = nm.Softmax(logits, name="probs")
+            tgt = nm.Input([B, *probs.shape.spatial_shape], "b,z,x,y",
+                           dtype="int32", name="target")
+            loss = nm.AggregateLoss(nm.MultinoulliNLL(
+                probs, tgt, target_is_sparse=True))
+            m = model_manager.getmodel(name)
+            m.designate_nodes(input_node=inp, target_node=tgt,
+                              loss_node=loss, prediction_node=probs)
+            m.set_opt("SGD", lr=0.05, mom=0.0)
+            return m, probs
+
+        model_manager.reset(seed=60 + draw)
+        m_ref, probs = build(f"fz_ref{draw}")
+        out_sp = probs.shape.spatial_shape
+        d = r.rand(B, 1, 9, 16, 16).astype(np.float32)
+        t = (r.rand(B, *out_sp) > 0.5).astype(np.int32)
+        l_ref, _ = m_ref.trainingstep(d, t)
+
+        model_manager.reset(seed=60 + draw)
+        m_pp, _ = build(f"fz_pp{draw}")
+        mesh = make_mesh({"pipe": M}, devices=jax.devices()[:M])
+        step = make_gpipe_trainstep(m_pp, mesh, n_micro=M, mb_batch=b_mb)
+        xm = microbatch(jnp.asarray(d), M)
+        ym = microbatch(jnp.asarray(t), M)
+        lv, new_p, _ = step(m_pp.params, m_pp.opt_state, xm, ym,
+                            m_pp.optimiser.current_hyper())
+        np.testing.assert_allclose(float(lv), float(l_ref), rtol=2e-5,
+                                   err_msg=f"draw {draw}: depth={depth} "
+                                           f"b_mb={b_mb}")
+        np.testing.assert_allclose(np.asarray(new_p["c0"]["w"]),
+                                   np.asarray(m_ref.params["c0"]["w"]),
+                                   rtol=1e-4, atol=1e-6)
