@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 conv operands for the sweep (serving "
                     "mode; ~0.02 max softmax deviation, +47%% measured)")
+    ap.add_argument("--mesh", default=None, metavar="AXES",
+                    help="pod-scale KNOSSOS sweeps: device-mesh axes as "
+                    "'space=8' (z-sharded slabs, halo exchange) or "
+                    "'data=2,space=4' (+ slab batch over 'data' when "
+                    "--slab-batch > 1)")
     args = ap.parse_args(argv)
 
     import os
@@ -76,7 +81,17 @@ def main(argv=None):
             if len(step) != 3:
                 ap.error(f"--step {args.step!r}: expected exactly three "
                          "comma-separated integers (z,x,y)")
-        out = model.sweep_knossos(ka, step=step, verbose=True,
+        mesh = None
+        if args.mesh:
+            try:
+                axes = {k: int(v) for k, v in
+                        (kv.split("=") for kv in args.mesh.split(","))}
+            except ValueError:
+                ap.error(f"--mesh {args.mesh!r}: expected "
+                         "'axis=N[,axis=N]', e.g. data=2,space=4")
+            from elektronn2_tpu.parallel import make_mesh
+            mesh = make_mesh(axes)
+        out = model.sweep_knossos(ka, step=step, verbose=True, mesh=mesh,
                                   slab_batch=args.slab_batch)
     else:
         path, _, key = args.input.partition(":")

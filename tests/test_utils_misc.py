@@ -237,3 +237,31 @@ def test_predict_cli_knossos_slab_batch(tmp_path, rng):
     ref = np.asarray(m.predict_dense_device(
         jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
     np.testing.assert_allclose(pred, ref, atol=1e-5)
+
+
+def test_predict_cli_mesh_sweep(tmp_path, rng):
+    """--mesh 'data=2,space=4' through the CLI: DP×SP batched sweep
+    matches the single-device sweep on the virtual 8-device mesh."""
+    import jax.numpy as jnp
+    import elektronn2_tpu.neuromancer as nm
+    from test_data import write_knossos
+    from elektronn2_tpu.utils.basic import h5load
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "mm.mdl")
+    m.save(mdl)
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    kdir = write_knossos(tmp_path, vol, cube_edge=8)
+    from elektronn2_tpu.scripts.predict import main
+    out = str(tmp_path / "outm.h5")
+    assert main([mdl, kdir, "-o", out, "--cpu",
+                 "--mesh", "data=2,space=4", "--slab-batch", "2",
+                 "--step", "12,16,16"]) == 0
+    pred = h5load(out, "prediction")
+    ref = np.asarray(m.predict_dense_device(
+        jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
+    np.testing.assert_allclose(pred, ref, atol=1e-5)
