@@ -59,6 +59,14 @@ def _load_last_good():
         return None
 
 
+def _save_last_good(payload):
+    try:
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass
+
+
 def _stale_payload(reason):
     lg = _load_last_good()
     if not lg:
@@ -268,14 +276,6 @@ def main():
                          "when": time.strftime("%Y-%m-%d %H:%M UTC",
                                                time.gmtime())})
     _emit(payload)
-
-
-def _save_last_good(payload):
-    try:
-        with open(_LAST_GOOD, "w") as f:
-            json.dump(payload, f)
-    except OSError:
-        pass
 
 
 if __name__ == "__main__":

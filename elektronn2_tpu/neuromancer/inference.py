@@ -678,10 +678,6 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     by the mesh axis size. Output matches the unsharded dilated sweep
     exactly (tests). 3D models only.
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
     import jax.numpy as jnp
 
     if pad_raw:
@@ -869,6 +865,9 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
         # D2H readback + host write with device compute. Under ``mesh``
         # the same loop dispatches the DP×SP sharded program instead.
         if mesh is not None:
+            # matches the loop's fn(params, state, slabs) calling
+            # convention; the sharded path reads model.params itself at
+            # call time (same values) and manages its own jit cache
             def fn(p, s, v):
                 return predict_dense_sharded_batch(
                     model, v, mesh, axis_name=axis_name,
