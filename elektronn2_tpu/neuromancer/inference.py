@@ -944,6 +944,138 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     return out
 
 
+def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
+               include_bf16=True, lowerings=None, apply=False,
+               verbose=True):
+    """Autotune the serving configuration for KNOSSOS sweeps ON THIS device.
+
+    The dense path has several mathematically-equivalent lowerings
+    (``Model.set_dilated_impl``: 'direct'/'s2bg', ``zfold``), a bf16
+    serving mode (``set_compute_dtype``) and two sweep-shape knobs
+    (slab ``step`` size and ``slab_batch``) whose relative speed is
+    hardware- and XLA-version-dependent (measured spreads of 2× on v5e —
+    docs/tpu_performance.md). This measures every contender on the live
+    device with the sustained-dispatch protocol (K back-to-back
+    dispatches, ONE sync — the ``sweep_knossos`` serving pattern) and
+    returns the fastest, skipping contenders that exhaust device memory
+    or fail to compile. The reference tuned this by hand via
+    ``scripts/elektronn2-profile`` size sweeps (SURVEY.md §4.E); here it
+    is a first-class API (cf. cuDNN algo autotuning / XLA autotuning).
+
+    ``steps``: candidate slab sizes (z, x, y) — defaults to the
+    ``sweep_knossos`` default plus the larger slab that measured fastest
+    on v5e. ``lowerings``: (impl, zfold, dtype) triples; the default grid
+    covers the bench.py contenders. ``apply=True`` leaves the winning
+    lowering/dtype applied to the model (otherwise prior settings are
+    restored).
+
+    Returns ``{"best": {...}, "table": [...]}`` where ``best`` carries
+    ``impl``/``zfold``/``dtype``/``slab_batch``/``step``/``mvox_s`` —
+    feed ``step`` and ``slab_batch`` straight into ``sweep_knossos``.
+    Returns ``best=None`` if no contender ran (e.g. a graph the dilated
+    path cannot express — the tiled fallback has no lowering knobs).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    fov = [int(f) for f in model.prediction_node.shape.fov]
+    f_in = int(model.input_node.shape["f"])
+    if steps is None:
+        steps = ([(64, 384, 384), (96, 512, 512)] if len(fov) == 3
+                 else [(256,) * len(fov), (512,) * len(fov)])
+    steps = [tuple(int(v) for v in s) for s in steps]
+    for s in steps:
+        if len(s) != len(fov):
+            raise ValueError(f"step {s} has {len(s)} dims; the model "
+                             f"graph has {len(fov)} spatial dims")
+    if lowerings is None:
+        lowerings = [("direct", False, None), ("s2bg", False, None)]
+        if include_bf16:
+            lowerings += [("s2bg", False, "bfloat16"),
+                          ("s2bg", True, "bfloat16")]
+    saved = (getattr(model, "_dilated_impl", "direct"),
+             bool(getattr(model, "_dilated_zfold", False)),
+             getattr(model, "_dilated_ztap", False),
+             bool(getattr(model, "_dilated_zmajor", False)),
+             bool(getattr(model, "_dilated_poolslice", False)),
+             getattr(model, "_compute_dtype", None),
+             bool(getattr(model, "_compute_act", False)))
+    table = []
+    try:
+        for step in steps:
+            ext = tuple(s + f - 1 for s, f in zip(step, fov))
+            for sb in slab_batches:
+                sb = max(1, int(sb))
+                try:
+                    vol = jax.random.uniform(jax.random.PRNGKey(0),
+                                             (sb, f_in) + ext, jnp.float32)
+                    float(jnp.sum(vol))
+                except Exception as e:   # noqa: BLE001 — OOM-graceful
+                    table.append({"step": step, "slab_batch": sb,
+                                  "failed": f"staging: {e}"[:120]})
+                    continue
+                for impl, zfold, dtype in lowerings:
+                    row = {"impl": impl, "zfold": bool(zfold),
+                           "dtype": dtype, "slab_batch": sb, "step": step}
+                    try:
+                        model.set_dilated_impl(impl, zfold=zfold)
+                        model.set_compute_dtype(dtype)
+                        fn = jax.jit(lambda p, s, v, _i=impl:
+                                     dilated_dense_forward(
+                                         model, v, batch=True, params=p,
+                                         state=s, impl=_i))
+                        out = fn(model.params, model.state, vol)
+                        float(jnp.sum(jnp.asarray(out, jnp.float32)))
+                        t0 = _time.perf_counter()
+                        acc = jnp.float32(0)
+                        for _ in range(K):
+                            acc = acc + jnp.sum(jnp.asarray(
+                                fn(model.params, model.state, vol),
+                                jnp.float32))
+                        assert np.isfinite(float(acc))
+                        dt = _time.perf_counter() - t0
+                    except UnsupportedGraphError:
+                        # structural: no contender can run — stop early
+                        if verbose:
+                            logger.info(
+                                "tune_sweep: graph unsupported by the "
+                                "dilated path — nothing to tune (the "
+                                "tiled fallback has no lowering knobs)")
+                        return {"best": None, "table": table}
+                    except Exception as e:   # noqa: BLE001 — skip contender
+                        row["failed"] = str(e)[:120]
+                        table.append(row)
+                        continue
+                    # count VALID output voxels per second (what the sweep
+                    # writes into ``out`` per slab: the step volume)
+                    row["mvox_s"] = round(
+                        float(np.prod(step)) * sb * K / dt / 1e6, 2)
+                    table.append(row)
+                    if verbose:
+                        logger.info(
+                            f"tune_sweep: {impl}"
+                            f"{'+zfold' if zfold else ''}"
+                            f"{'+' + dtype if dtype else ''} "
+                            f"slab_batch={sb} step={step}: "
+                            f"{row['mvox_s']} Mvox/s")
+    finally:
+        model.set_dilated_impl(saved[0], zfold=saved[1], ztap=saved[2],
+                               zmajor=saved[3], poolslice=saved[4])
+        model.set_compute_dtype(saved[5], activations=saved[6])
+    ok = [r for r in table if "mvox_s" in r]
+    if not ok:
+        return {"best": None, "table": table}
+    best = max(ok, key=lambda r: r["mvox_s"])
+    if apply:
+        model.set_dilated_impl(best["impl"], zfold=best["zfold"])
+        model.set_compute_dtype(best["dtype"])
+    if verbose:
+        logger.info(f"tune_sweep: best {best}")
+    return {"best": best, "table": table}
+
+
 def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     """Device-resident dense MFP sweep: volume in, dense map out — all HBM.
 

@@ -570,6 +570,18 @@ class Model:
                              axis_name=axis_name, slab_batch=slab_batch,
                              batch_axis=batch_axis)
 
+    def tune_serving(self, steps=None, slab_batches=(1, 2), K=4,
+                     include_bf16=True, apply=True, verbose=True):
+        """Autotune the dense-serving configuration on the live device:
+        measures the equivalent dilated lowerings × dtype × slab size ×
+        slab batch with the sustained-dispatch protocol and (by default)
+        applies the winner. Returns ``{"best": ..., "table": ...}`` —
+        feed ``best["step"]``/``best["slab_batch"]`` to ``sweep_knossos``."""
+        from elektronn2_tpu.neuromancer.inference import tune_sweep
+        return tune_sweep(self, steps=steps, slab_batches=slab_batches,
+                          K=K, include_bf16=include_bf16, apply=apply,
+                          verbose=verbose)
+
     # ------------------------------------------------------------------ stats
     @property
     def param_count(self):

@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 conv operands for the sweep (serving "
                     "mode; ~0.02 max softmax deviation, +47%% measured)")
+    ap.add_argument("--tune", action="store_true",
+                    help="KNOSSOS sweeps: autotune lowering/dtype/slab "
+                    "size/slab batch on the live device first "
+                    "(Model.tune_serving) and sweep with the winner; "
+                    "overrides --step/--slab-batch/--bf16")
     ap.add_argument("--mesh", default=None, metavar="AXES",
                     help="pod-scale KNOSSOS sweeps: device-mesh axes as "
                     "'space=8' (z-sharded slabs, halo exchange) or "
@@ -81,6 +86,17 @@ def main(argv=None):
             if len(step) != 3:
                 ap.error(f"--step {args.step!r}: expected exactly three "
                          "comma-separated integers (z,x,y)")
+        slab_batch = args.slab_batch
+        if args.tune:
+            cand = [step] if step else None   # tune at the user's step too
+            tuned = model.tune_serving(steps=cand, apply=True)
+            if tuned["best"] is not None:
+                step = list(tuned["best"]["step"])
+                slab_batch = int(tuned["best"]["slab_batch"])
+                logger.info(f"--tune picked {tuned['best']}")
+            else:
+                logger.warning("--tune: no contender ran (graph outside "
+                               "the dilated path) — using CLI settings")
         mesh = None
         if args.mesh:
             try:
@@ -92,7 +108,7 @@ def main(argv=None):
             from elektronn2_tpu.parallel import make_mesh
             mesh = make_mesh(axes)
         out = model.sweep_knossos(ka, step=step, verbose=True, mesh=mesh,
-                                  slab_batch=args.slab_batch)
+                                  slab_batch=slab_batch)
     else:
         path, _, key = args.input.partition(":")
         raw = h5load(path, key or None)

@@ -549,3 +549,68 @@ def test_bn_stats_do_not_poison_negative_cache(rng):
     dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     assert ("dense", "direct") in m._dilated_fns    # fast path taken
     assert np.isfinite(dev).all()
+
+
+def test_tune_sweep_measures_grid_and_restores(rng):
+    """tune_sweep runs the lowering×dtype×slab_batch grid, returns the
+    fastest contender, and leaves the model's serving settings untouched
+    unless apply=True."""
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    m = mfp_model()
+    m.set_dilated_impl("direct")
+    res = tune_sweep(m, steps=[(8, 8)], slab_batches=(1, 2), K=2,
+                     verbose=False)
+    best = res["best"]
+    assert best is not None and best["mvox_s"] > 0
+    ok = [r for r in res["table"] if "mvox_s" in r]
+    assert len(ok) >= 6           # 4 lowerings × 2 slab batches, minus skips
+    assert best["mvox_s"] == max(r["mvox_s"] for r in ok)
+    # prior settings restored (tuning itself must not mutate the model)
+    assert m._dilated_impl == "direct"
+    assert m._dilated_zfold is False
+    assert m._compute_dtype is None
+    # apply=True leaves the winner applied
+    res2 = tune_sweep(m, steps=[(8, 8)], slab_batches=(1,), K=1,
+                      apply=True, verbose=False)
+    b2 = res2["best"]
+    assert m._dilated_impl == b2["impl"]
+    assert m._dilated_zfold == b2["zfold"]
+    assert m._compute_dtype == b2["dtype"]
+
+
+def test_tune_sweep_rejects_wrong_rank_step(rng):
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    m = mfp_model()                       # 2D graph
+    with pytest.raises(ValueError, match="spatial dims"):
+        tune_sweep(m, steps=[(8, 8, 8)], verbose=False)
+
+
+def test_tune_sweep_unsupported_graph_returns_none(rng):
+    """Decoder graphs (UpConv) live outside the dilated path: nothing to
+    tune — tune_sweep says so instead of raising."""
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    m = crop_concat_unet()
+    res = tune_sweep(m, steps=[(8, 8)], slab_batches=(1,), K=1,
+                     verbose=False)
+    assert res["best"] is None
+
+
+def test_tuned_config_preserves_dense_values(rng):
+    """Applying the tuner's winner changes speed, not voxels: the dense
+    output after apply=True matches the untuned output (exactly for f32
+    lowerings, within the documented bound for bf16 serving mode)."""
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    m = mfp_model()
+    vol = rng.rand(24, 24).astype(np.float32)
+    # sweep_knossos is 3D-only; use the model's own dense path to compare
+    ref = np.asarray(m.predict_dense_device(jnp.asarray(vol[None]),
+                                            pad_raw=True))
+    res = tune_sweep(m, steps=[(8, 8)], slab_batches=(1,), K=1,
+                     apply=True, verbose=False)
+    assert res["best"] is not None
+    got = np.asarray(m.predict_dense_device(jnp.asarray(vol[None]),
+                                            pad_raw=True))
+    if res["best"]["dtype"] is None:
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    else:                              # bf16 serving mode: bounded deviation
+        assert float(np.abs(got - ref).max()) < 0.05

@@ -265,3 +265,30 @@ def test_predict_cli_mesh_sweep(tmp_path, rng):
     ref = np.asarray(m.predict_dense_device(
         jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
     np.testing.assert_allclose(pred, ref, atol=1e-5)
+
+
+def test_predict_cli_tune_sweep(tmp_path, rng):
+    """--tune autotunes the serving config on device and the sweep still
+    matches the untuned single-device reference (f32 or bounded bf16)."""
+    import jax.numpy as jnp
+    import elektronn2_tpu.neuromancer as nm
+    from test_data import write_knossos
+    from elektronn2_tpu.utils.basic import h5load
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "mt.mdl")
+    m.save(mdl)
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    kdir = write_knossos(tmp_path, vol, cube_edge=8)
+    from elektronn2_tpu.scripts.predict import main
+    out = str(tmp_path / "outt.h5")
+    assert main([mdl, kdir, "-o", out, "--cpu", "--tune",
+                 "--step", "12,16,16"]) == 0
+    pred = h5load(out, "prediction")
+    ref = np.asarray(m.predict_dense_device(
+        jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
+    assert float(np.abs(pred - ref).max()) < 0.05   # bf16 may win the tune
