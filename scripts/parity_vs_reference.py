@@ -23,6 +23,14 @@ correlates — whether a flip is needed depends on which path the reference
 model used; try both if unsure.
 
 Exit code 0 on parity within tolerance.
+
+``--make-self-golden`` writes a golden.h5 in the exact schema above from
+THIS framework's oracle path (seeded params/input). It is not reference
+parity — that needs the reference (mount still empty as of r2) — but it
+(a) pins today's dense-path numerics as a committed regression lock
+(tests/golden/, checked by tests/test_parity_golden.py through this same
+harness) and (b) keeps the golden-file schema itself executable, so the
+day a real reference golden appears it drops straight in.
 """
 
 import argparse
@@ -36,13 +44,74 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
+def make_self_golden(path, cpu=True):
+    """Write a golden.h5 (harness schema) from this framework's own oracle
+    path with seeded params/input — the committed numeric regression lock
+    (see module docstring)."""
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import h5py
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.utils.cnncalculator import cnncalculator
+
+    spec = {"filters": [[1, 3, 3], [3, 3, 3]],
+            "pools": [[1, 2, 2], [2, 2, 2]],
+            "nof_filters": [6, 2], "mfp": True,
+            "activation": ["relu", "lin"], "n_lab": 2}
+    calc = cnncalculator(spec["filters"], spec["pools"],
+                         desired_patch_size=[12, 20, 20], mfp=True, ndim=3)
+    patch = [int(v) for v in calc.input]            # [11, 21, 21]
+    rng = np.random.RandomState(42)
+    raw = rng.rand(1, *patch).astype(np.float32)
+    weights = []
+    n_in = 1
+    for n_out, flt in zip(spec["nof_filters"], spec["filters"]):
+        fan_in = n_in * int(np.prod(flt))
+        w = (rng.randn(n_out, n_in, *flt) / np.sqrt(fan_in)).astype(
+            np.float32)
+        b = (rng.randn(n_out) * 0.1).astype(np.float32)
+        weights.append((w, b))
+        n_in = n_out
+
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1] + patch, "b,f,z,x,y", name="raw")
+    h = inp
+    for i, ((w, b), flt, pool, act) in enumerate(zip(
+            weights, spec["filters"], spec["pools"], spec["activation"])):
+        h = nm.Conv(h, w.shape[0], flt, pool, activation_func=act,
+                    mfp=True, w=w, b=b, name=f"conv{i}")
+    probs_n = nm.Softmax(h, name="probs")
+    model = nm.model_manager.getmodel("self_golden")
+    model.designate_nodes(input_node=inp, prediction_node=probs_n)
+    probs = np.asarray(model.predict_dense(raw, prefer_device=False),
+                       np.float32)
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=raw)
+        f.create_dataset("probs", data=probs)
+        f.attrs["spec"] = json.dumps(spec)
+        for i, (w, b) in enumerate(weights):
+            f.create_dataset(f"w{i}", data=w)
+            f.create_dataset(f"b{i}", data=b)
+    print(f"wrote {path}: raw {raw.shape}, probs {probs.shape}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("golden")
     ap.add_argument("--flip-filters", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--make-self-golden", action="store_true",
+                    help="WRITE the golden file from this framework's "
+                    "oracle path (self regression lock) instead of "
+                    "checking against it")
     args = ap.parse_args(argv)
+
+    if args.make_self_golden:
+        return make_self_golden(args.golden, cpu=args.cpu)
 
     import jax
     if args.cpu:
