@@ -21,6 +21,13 @@ import jax
 from elektronn2_tpu.log import logger
 
 
+# default slab-size candidates for tune_sweep on 3D graphs: the
+# sweep_knossos default plus the larger slab that measured fastest for the
+# flagship net on v5e (BASELINE.md r2: 124.7 vs ~114 Mvox/s — halo
+# amortisation)
+DEFAULT_TUNE_STEPS_3D = ((64, 384, 384), (96, 512, 512))
+
+
 class UnsupportedGraphError(ValueError):
     """Structural: this graph can never take the fused path (safe to
     negative-cache). State/shape-dependent failures raise plain
@@ -965,9 +972,14 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     ``steps``: candidate slab sizes (z, x, y) — defaults to the
     ``sweep_knossos`` default plus the larger slab that measured fastest
     on v5e. ``lowerings``: (impl, zfold, dtype) triples; the default grid
-    covers the bench.py contenders. ``apply=True`` leaves the winning
-    lowering/dtype applied to the model (otherwise prior settings are
-    restored).
+    covers the repo-root ``bench.py`` contenders, PLUS the model's
+    incumbent serving config with its FULL knob set (ztap/zmajor/
+    poolslice/activation-storage included), so a hand-tuned setup is
+    never displaced by an unmeasured "winner". ``apply=True`` leaves the
+    winning contender's COMPLETE knob set applied to the model
+    (otherwise prior settings are restored); since the incumbent is
+    itself a contender, apply never makes the model slower than it was
+    as measured.
 
     Returns ``{"best": {...}, "table": [...]}`` where ``best`` carries
     ``impl``/``zfold``/``dtype``/``slab_batch``/``step``/``mvox_s`` —
@@ -983,25 +995,41 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     fov = [int(f) for f in model.prediction_node.shape.fov]
     f_in = int(model.input_node.shape["f"])
     if steps is None:
-        steps = ([(64, 384, 384), (96, 512, 512)] if len(fov) == 3
+        steps = (list(DEFAULT_TUNE_STEPS_3D) if len(fov) == 3
                  else [(256,) * len(fov), (512,) * len(fov)])
     steps = [tuple(int(v) for v in s) for s in steps]
     for s in steps:
         if len(s) != len(fov):
             raise ValueError(f"step {s} has {len(s)} dims; the model "
                              f"graph has {len(fov)} spatial dims")
+    # contenders carry the FULL serving knob set; the default grid varies
+    # impl/zfold/dtype (the headline levers — BASELINE.md r2 table), the
+    # rest stay at their fast defaults
+    def _cfg(impl, zfold, dtype, ztap=False, zmajor=False, poolslice=False,
+             act=False):
+        return {"impl": impl, "zfold": bool(zfold), "dtype": dtype,
+                "ztap": ztap, "zmajor": bool(zmajor),
+                "poolslice": bool(poolslice), "act": bool(act)}
+
     if lowerings is None:
-        lowerings = [("direct", False, None), ("s2bg", False, None)]
+        configs = [_cfg("direct", False, None), _cfg("s2bg", False, None)]
         if include_bf16:
-            lowerings += [("s2bg", False, "bfloat16"),
-                          ("s2bg", True, "bfloat16")]
-    saved = (getattr(model, "_dilated_impl", "direct"),
-             bool(getattr(model, "_dilated_zfold", False)),
-             getattr(model, "_dilated_ztap", False),
-             bool(getattr(model, "_dilated_zmajor", False)),
-             bool(getattr(model, "_dilated_poolslice", False)),
-             getattr(model, "_compute_dtype", None),
-             bool(getattr(model, "_compute_act", False)))
+            configs += [_cfg("s2bg", False, "bfloat16"),
+                        _cfg("s2bg", True, "bfloat16")]
+    else:
+        configs = [_cfg(*low) for low in lowerings]
+    saved = _cfg(getattr(model, "_dilated_impl", "direct"),
+                 getattr(model, "_dilated_zfold", False),
+                 getattr(model, "_compute_dtype", None),
+                 ztap=getattr(model, "_dilated_ztap", False),
+                 zmajor=getattr(model, "_dilated_zmajor", False),
+                 poolslice=getattr(model, "_dilated_poolslice", False),
+                 act=getattr(model, "_compute_act", False))
+    # the incumbent is always measured (first), so a hand-tuned config
+    # (e.g. ztap/zmajor from the r2 layout study) competes rather than
+    # being silently displaced by apply=True
+    if saved not in configs:
+        configs.insert(0, saved)
     table = []
     try:
         for step in steps:
@@ -1016,13 +1044,16 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                     table.append({"step": step, "slab_batch": sb,
                                   "failed": f"staging: {e}"[:120]})
                     continue
-                for impl, zfold, dtype in lowerings:
-                    row = {"impl": impl, "zfold": bool(zfold),
-                           "dtype": dtype, "slab_batch": sb, "step": step}
+                for cfg in configs:
+                    row = dict(cfg, slab_batch=sb, step=step)
                     try:
-                        model.set_dilated_impl(impl, zfold=zfold)
-                        model.set_compute_dtype(dtype)
-                        fn = jax.jit(lambda p, s, v, _i=impl:
+                        model.set_dilated_impl(
+                            cfg["impl"], zfold=cfg["zfold"],
+                            ztap=cfg["ztap"], zmajor=cfg["zmajor"],
+                            poolslice=cfg["poolslice"])
+                        model.set_compute_dtype(cfg["dtype"],
+                                                activations=cfg["act"])
+                        fn = jax.jit(lambda p, s, v, _i=cfg["impl"]:
                                      dilated_dense_forward(
                                          model, v, batch=True, params=p,
                                          state=s, impl=_i))
@@ -1034,8 +1065,16 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                             acc = acc + jnp.sum(jnp.asarray(
                                 fn(model.params, model.state, vol),
                                 jnp.float32))
-                        assert np.isfinite(float(acc))
+                        # float() is the device sync that closes the timed
+                        # region — must NOT live inside an assert (stripped
+                        # under python -O, which would time async enqueue
+                        # only)
+                        checksum = float(acc)
                         dt = _time.perf_counter() - t0
+                        if not np.isfinite(checksum):
+                            raise FloatingPointError(
+                                f"non-finite checksum ({checksum}) from "
+                                f"contender {row}")
                     except UnsupportedGraphError:
                         # structural: no contender can run — stop early
                         if verbose:
@@ -1054,23 +1093,31 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                         float(np.prod(step)) * sb * K / dt / 1e6, 2)
                     table.append(row)
                     if verbose:
+                        extras = "".join(
+                            f"+{k}" for k in ("zfold", "ztap", "zmajor",
+                                              "poolslice", "act")
+                            if cfg[k])
                         logger.info(
-                            f"tune_sweep: {impl}"
-                            f"{'+zfold' if zfold else ''}"
-                            f"{'+' + dtype if dtype else ''} "
+                            f"tune_sweep: {cfg['impl']}{extras}"
+                            f"{'+' + cfg['dtype'] if cfg['dtype'] else ''} "
                             f"slab_batch={sb} step={step}: "
                             f"{row['mvox_s']} Mvox/s")
     finally:
-        model.set_dilated_impl(saved[0], zfold=saved[1], ztap=saved[2],
-                               zmajor=saved[3], poolslice=saved[4])
-        model.set_compute_dtype(saved[5], activations=saved[6])
+        model.set_dilated_impl(saved["impl"], zfold=saved["zfold"],
+                               ztap=saved["ztap"], zmajor=saved["zmajor"],
+                               poolslice=saved["poolslice"])
+        model.set_compute_dtype(saved["dtype"], activations=saved["act"])
     ok = [r for r in table if "mvox_s" in r]
     if not ok:
         return {"best": None, "table": table}
     best = max(ok, key=lambda r: r["mvox_s"])
     if apply:
-        model.set_dilated_impl(best["impl"], zfold=best["zfold"])
-        model.set_compute_dtype(best["dtype"])
+        # apply EXACTLY the measured winner's knob set (the incumbent was
+        # a contender, so this never regresses the model as measured)
+        model.set_dilated_impl(best["impl"], zfold=best["zfold"],
+                               ztap=best["ztap"], zmajor=best["zmajor"],
+                               poolslice=best["poolslice"])
+        model.set_compute_dtype(best["dtype"], activations=best["act"])
     if verbose:
         logger.info(f"tune_sweep: best {best}")
     return {"best": best, "table": table}

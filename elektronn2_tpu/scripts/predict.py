@@ -87,8 +87,29 @@ def main(argv=None):
                 ap.error(f"--step {args.step!r}: expected exactly three "
                          "comma-separated integers (z,x,y)")
         slab_batch = args.slab_batch
-        if args.tune:
-            cand = [step] if step else None   # tune at the user's step too
+        if args.tune and args.mesh:
+            # the sharded sweep hardwires the 'direct' lowering (halo
+            # exchange path) and its timings don't transfer from the
+            # single-device programs the tuner measures — tuning here
+            # would apply settings the pod execution ignores
+            logger.warning("--tune measures the single-device serving "
+                           "path and does not transfer to --mesh sweeps "
+                           "(the halo-sharded path uses the 'direct' "
+                           "lowering) — skipping autotune")
+        elif args.tune:
+            from elektronn2_tpu.neuromancer.inference import \
+                DEFAULT_TUNE_STEPS_3D
+            # the user's --step competes AGAINST the default candidates
+            # (it does not restrict the search — --tune overrides --step);
+            # candidates are clamped to the dataset extent (a slab larger
+            # than the region would never be dispatched by the sweep)
+            rshape = [int(v) for v in ka.shape[-3:]]
+            cand = []
+            for c in ([tuple(step)] if step else []) + list(
+                    DEFAULT_TUNE_STEPS_3D):
+                c = tuple(min(int(v), r) for v, r in zip(c, rshape))
+                if c not in cand:
+                    cand.append(c)
             tuned = model.tune_serving(steps=cand, apply=True)
             if tuned["best"] is not None:
                 step = list(tuned["best"]["step"])

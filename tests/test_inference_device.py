@@ -614,3 +614,36 @@ def test_tuned_config_preserves_dense_values(rng):
         np.testing.assert_allclose(got, ref, atol=1e-5)
     else:                              # bf16 serving mode: bounded deviation
         assert float(np.abs(got - ref).max()) < 0.05
+
+
+def test_tune_sweep_incumbent_competes_and_wins_restore(rng):
+    """A hand-tuned incumbent config (full knob set, e.g. ztap/zmajor from
+    the r2 layout study) is itself measured as a contender, and apply=True
+    applies exactly the measured winner's complete knob set — so tuning
+    can never leave the model slower than its measured incumbent."""
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    m.set_dilated_impl("s2bg", zfold=True, ztap="native", zmajor=True)
+    m.set_compute_dtype("bfloat16", activations=True)
+    res = tune_sweep(m, steps=[(6, 10, 10)], slab_batches=(1,), K=1,
+                     verbose=False)
+    ok = [r for r in res["table"] if "mvox_s" in r]
+    # the incumbent (ztap+zmajor+act) appears in the measured table
+    assert any(r["ztap"] == "native" and r["zmajor"] and r["act"]
+               for r in ok), ok
+    # apply=False: the full incumbent knob set is restored
+    assert m._dilated_impl == "s2bg" and m._dilated_zfold is True
+    assert m._dilated_ztap == "native" and m._dilated_zmajor is True
+    assert m._compute_dtype == "bfloat16" and m._compute_act is True
+    # apply=True: the winner's COMPLETE knob set lands on the model
+    res2 = tune_sweep(m, steps=[(6, 10, 10)], slab_batches=(1,), K=1,
+                      apply=True, verbose=False)
+    b = res2["best"]
+    assert (m._dilated_impl, m._dilated_zfold, m._dilated_ztap,
+            m._dilated_zmajor, m._compute_dtype, m._compute_act) == \
+        (b["impl"], b["zfold"], b["ztap"], b["zmajor"], b["dtype"],
+         b["act"])
