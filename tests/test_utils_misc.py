@@ -292,3 +292,19 @@ def test_predict_cli_tune_sweep(tmp_path, rng):
     ref = np.asarray(m.predict_dense_device(
         jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
     assert float(np.abs(pred - ref).max()) < 0.05   # bf16 may win the tune
+
+
+def test_api_reference_current():
+    """docs/api_reference.md is generated from live docstrings — fail when
+    an API change forgot to regenerate it."""
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_reference",
+        os.path.join(root, "scripts", "gen_api_reference.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "docs", "api_reference.md")) as f:
+        assert f.read() == mod.generate(), (
+            "docs/api_reference.md is stale — run "
+            "python scripts/gen_api_reference.py")
