@@ -434,3 +434,44 @@ def test_neuro3d_pod_example_config(tmp_path):
     hist = tr.run()
     losses = [row[2] for row in hist.timeline]
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_tracing3d_example_config(tmp_path, monkeypatch):
+    """The tracing example config end-to-end through the elektronn2-train
+    CLI (TracingTrainer via trainer_class), then the post-training
+    rollout_demo: batched device rollout + KNOSSOS .k.zip export that
+    round-trips through SkeletonMFK.load."""
+    monkeypatch.chdir(tmp_path)
+    from elektronn2_tpu.scripts.train import main
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "tracing3d.py")
+    assert main([cfg_path, "--cpu", "--n-steps", "8",
+                 "--save-path", str(tmp_path)]) in (0, None)
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("tracing3d_cfg", cfg_path)
+    cfg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cfg)
+    m = cfg.create_model()
+    kz = str(tmp_path / "demo.k.zip")
+    traces = cfg.rollout_demo(m, n_agents=3, max_steps=5, kzip_path=kz)
+    assert len(traces) == 3
+    assert all(len(t.coords) >= 1 for t in traces)
+    from elektronn2_tpu.data.skeleton import SkeletonMFK
+    sk = SkeletonMFK.load(kz)
+    assert len(sk.positions) >= 3
+
+
+def test_neuro3d_fast_example_config(tmp_path, monkeypatch):
+    """The max-throughput flagship config (device-sampled data + fused
+    multi-step training + bf16 + resume) through the train CLI, twice —
+    the second run exercises resume=True pickup of -LAST.mdl."""
+    monkeypatch.chdir(tmp_path)
+    from elektronn2_tpu.scripts.train import main
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "neuro3d_fast.py")
+    assert main([cfg_path, "--cpu", "--n-steps", "6",
+                 "--save-path", str(tmp_path)]) in (0, None)
+    assert (tmp_path / "neuro3d_fast-LAST.mdl").exists()
+    assert main([cfg_path, "--cpu", "--n-steps", "4",
+                 "--save-path", str(tmp_path)]) in (0, None)
