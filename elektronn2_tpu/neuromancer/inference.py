@@ -146,7 +146,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     from elektronn2_tpu.neuromancer.node_basic import Input
     from elektronn2_tpu.ops.conv import (conv as ops_conv, conv_s2b,
                                          conv_ztap, pool_s2b,
-                                         apply_activation)
+                                         apply_activation, quantized_conv)
 
     # dilated-op lowering: 'direct' = rhs_dilation / window_dilation;
     # 's2b' = space-to-batch around EVERY op (phases batched, undilated
@@ -186,6 +186,15 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     if use_zmajor and not ztap_mode:
         ztap_mode = "native"
     cdtype = getattr(model, "_compute_dtype", None)
+    # int8 quantised serving (set_compute_dtype('int8')): convs run
+    # through ops.conv.quantized_conv (per-channel weight + dynamic
+    # activation scales, int32 accumulation); everything between convs
+    # stays f32, so cdtype-based casting is disabled here
+    quant = cdtype == "int8"
+    if quant:
+        if use_ztap or use_zmajor:      # set_* guards this; belt+braces
+            raise ValueError("int8 serving: ztap/zmajor unsupported")
+        cdtype = None
     # store inter-layer activations in cdtype (bit-identical for
     # conv/pool/relu chains: conv outputs are already cdtype-rounded since
     # the operands are; halves inter-layer HBM traffic) — see
@@ -418,7 +427,10 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 x2 = xin.transpose(0, 2, 1, 3, 4).reshape(
                     (B2 * Z2, C2) + tuple(xin.shape[3:]))
                 w2 = w[:, :, 0]
-                if cdtype is not None:
+                if quant:
+                    y = quantized_conv(x2, w2, conv_fn=ops_conv,
+                                       dilation=eff_dil[1:])
+                elif cdtype is not None:
                     y = ops_conv(x2.astype(cdtype), w2.astype(cdtype),
                                  dilation=eff_dil[1:]).astype(jnp.float32)
                 else:
@@ -443,7 +455,12 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                     cfn = conv_s2b if use_s2b else (
                         lambda a, b, dilation: ops_conv(
                             a, b, dilation=dilation))
-                if cdtype is not None:
+                if quant:
+                    y = quantized_conv(xin, w,
+                                       conv_fn=(conv_s2b if use_s2b
+                                                else ops_conv),
+                                       dilation=eff_dil)
+                elif cdtype is not None:
                     y = cfn(xin.astype(cdtype), w.astype(cdtype),
                             dilation=eff_dil).astype(jnp.float32)
                 else:
@@ -952,8 +969,8 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
 
 
 def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
-               include_bf16=True, lowerings=None, apply=False,
-               verbose=True):
+               include_bf16=True, include_int8=True, lowerings=None,
+               apply=False, verbose=True):
     """Autotune the serving configuration for KNOSSOS sweeps ON THIS device.
 
     The dense path has several mathematically-equivalent lowerings
@@ -1016,6 +1033,11 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         if include_bf16:
             configs += [_cfg("s2bg", False, "bfloat16"),
                         _cfg("s2bg", True, "bfloat16")]
+        if include_int8:
+            # quantised serving (distribution-grade — PARITY.md);
+            # include_int8=False (like include_bf16=False) restricts the
+            # tune to parity-grade f32 lowerings
+            configs += [_cfg("s2bg", True, "int8")]
     else:
         configs = [_cfg(*low) for low in lowerings]
     saved = _cfg(getattr(model, "_dilated_impl", "direct"),
@@ -1047,6 +1069,10 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                 for cfg in configs:
                     row = dict(cfg, slab_batch=sb, step=step)
                     try:
+                        # dtype cleared FIRST: the int8↔ztap/zmajor
+                        # cross-guards in the setters would otherwise
+                        # reject valid transitions between contenders
+                        model.set_compute_dtype(None)
                         model.set_dilated_impl(
                             cfg["impl"], zfold=cfg["zfold"],
                             ztap=cfg["ztap"], zmajor=cfg["zmajor"],
@@ -1103,6 +1129,7 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                             f"slab_batch={sb} step={step}: "
                             f"{row['mvox_s']} Mvox/s")
     finally:
+        model.set_compute_dtype(None)       # see cross-guard note above
         model.set_dilated_impl(saved["impl"], zfold=saved["zfold"],
                                ztap=saved["ztap"], zmajor=saved["zmajor"],
                                poolslice=saved["poolslice"])
@@ -1114,6 +1141,7 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     if apply:
         # apply EXACTLY the measured winner's knob set (the incumbent was
         # a contender, so this never regresses the model as measured)
+        model.set_compute_dtype(None)       # see cross-guard note above
         model.set_dilated_impl(best["impl"], zfold=best["zfold"],
                                ztap=best["ztap"], zmajor=best["zmajor"],
                                poolslice=best["poolslice"])

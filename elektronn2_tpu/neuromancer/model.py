@@ -161,6 +161,10 @@ class Model:
             # back to the native tap loop — the user would benchmark a
             # different lowering than requested (review r2)
             raise ValueError(f"ztap={ztap!r} requires zmajor=True")
+        if (ztap or zmajor) \
+                and getattr(self, "_compute_dtype", None) == "int8":
+            raise ValueError("ztap/zmajor lowerings are not available in "
+                             "int8 serving mode (set_compute_dtype)")
         self._dilated_impl = impl
         self._dilated_zfold = bool(zfold)
         self._dilated_ztap = ztap
@@ -191,7 +195,30 @@ class Model:
         operands are — the f32 inter-layer buffers hold bf16-precision
         values at twice the bytes) but halves inter-layer HBM traffic;
         epilogues (bias/BN/activation) still evaluate in f32 before the
-        store. Dense/serving path only; training keeps f32 activations."""
+        store. Dense/serving path only; training keeps f32 activations.
+
+        ``'int8'``: QUANTIZED dense serving — per-output-channel weight
+        quant + dynamic per-tensor activation quant, int8×int8 MXU with
+        int32 accumulation (``ops.conv.quantized_conv``; 2× the bf16 MXU
+        peak on v5e). Applies to the dilated dense path only
+        ('direct'/'s2bg', ``zfold`` ok); training and the tiled/conv
+        fallbacks keep f32 (quantised backprop is out of scope).
+        Accuracy is distribution-grade — bound locked by tests and
+        PARITY.md, alongside the bf16 serving mode."""
+        if dtype not in (None, "bfloat16", "float16", "float32", "int8"):
+            raise ValueError(f"dtype={dtype!r}: expected None, 'bfloat16',"
+                             " 'float16', 'float32' or 'int8'")
+        if dtype == "int8":
+            if activations:
+                raise ValueError("int8 serving keeps f32 inter-layer "
+                                 "activations (epilogues/softmax are f32);"
+                                 " activations=True is unsupported")
+            if getattr(self, "_dilated_ztap", False) \
+                    or getattr(self, "_dilated_zmajor", False):
+                raise ValueError(
+                    "int8 serving supports the 'direct'/'s2bg' lowerings "
+                    "(+zfold); disable ztap/zmajor first "
+                    "(set_dilated_impl)")
         self._compute_dtype = dtype
         self._compute_act = bool(activations) and dtype is not None
         self._step_fn = None
@@ -571,15 +598,20 @@ class Model:
                              batch_axis=batch_axis)
 
     def tune_serving(self, steps=None, slab_batches=(1, 2), K=4,
-                     include_bf16=True, apply=True, verbose=True):
+                     include_bf16=True, include_int8=True, apply=True,
+                     verbose=True):
         """Autotune the dense-serving configuration on the live device:
-        measures the equivalent dilated lowerings × dtype × slab size ×
-        slab batch with the sustained-dispatch protocol and (by default)
-        applies the winner. Returns ``{"best": ..., "table": ...}`` —
-        feed ``best["step"]``/``best["slab_batch"]`` to ``sweep_knossos``."""
+        measures the equivalent dilated lowerings × dtype (f32 / bf16 /
+        int8-quantised) × slab size × slab batch with the
+        sustained-dispatch protocol and (by default) applies the winner.
+        Pass ``include_bf16=False, include_int8=False`` to restrict to
+        parity-grade f32 lowerings. Returns ``{"best": ..., "table":
+        ...}`` — feed ``best["step"]``/``best["slab_batch"]`` to
+        ``sweep_knossos``."""
         from elektronn2_tpu.neuromancer.inference import tune_sweep
         return tune_sweep(self, steps=steps, slab_batches=slab_batches,
-                          K=K, include_bf16=include_bf16, apply=apply,
+                          K=K, include_bf16=include_bf16,
+                          include_int8=include_int8, apply=apply,
                           verbose=verbose)
 
     # ------------------------------------------------------------------ stats

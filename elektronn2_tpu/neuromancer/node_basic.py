@@ -46,8 +46,13 @@ class TraceCtx:
         self.values = {}
         self._node_index = node_index or {}
         #: mixed precision: compute-heavy nodes cast activations/weights to
-        #: this dtype (bfloat16 on TPU), accumulate in float32
-        self.compute_dtype = compute_dtype
+        #: this dtype (bfloat16 on TPU), accumulate in float32.
+        #: 'int8' is a DENSE-SERVING mode (quantised convs live in
+        #: inference.py::dilated_dense_forward); casting float activations
+        #: through .astype('int8') here would truncate them — node traces
+        #: (training, patch predict, tiled/conv fallbacks) stay f32
+        self.compute_dtype = None if compute_dtype == "int8" \
+            else compute_dtype
         #: rematerialise node outputs in the backward pass (jax.checkpoint)
         self.remat = False
 

@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 conv operands for the sweep (serving "
                     "mode; ~0.02 max softmax deviation, +47%% measured)")
+    ap.add_argument("--int8", action="store_true",
+                    help="QUANTIZED serving: int8 convs with int32 "
+                    "accumulation (per-channel weight + dynamic "
+                    "activation scales; ~0.014 max softmax deviation, "
+                    "2x bf16 MXU peak on v5e)")
     ap.add_argument("--tune", action="store_true",
                     help="KNOSSOS sweeps: autotune lowering/dtype/slab "
                     "size/slab batch on the live device first "
@@ -71,8 +76,12 @@ def main(argv=None):
         logger.info(f"rebuilt for inference: patch="
                     f"{model.input_node.shape.spatial_shape}")
 
+    if args.bf16 and args.int8:
+        ap.error("--bf16 and --int8 are mutually exclusive")
     if args.bf16:
         model.set_compute_dtype("bfloat16")
+    elif args.int8:
+        model.set_compute_dtype("int8")
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)

@@ -647,3 +647,114 @@ def test_tune_sweep_incumbent_competes_and_wins_restore(rng):
             m._dilated_zmajor, m._compute_dtype, m._compute_act) == \
         (b["impl"], b["zfold"], b["ztap"], b["zmajor"], b["dtype"],
          b["act"])
+
+
+def _int8_probe_model():
+    inp = nm.Input([1, 1, 11, 21, 21], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 6, (1, 3, 3), (1, 2, 2), mfp=True, name="c1")
+    c2 = nm.Conv(c1, 8, 3, 2, mfp=True, name="c2")
+    probs = nm.Softmax(nm.Conv(c2, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    return m
+
+
+def test_int8_serving_deviation_bound(rng):
+    """Quantised (int8) dense serving: bounded softmax deviation vs f32,
+    near-total argmax agreement, and BIT-IDENTICAL results across the
+    equivalent lowerings (max-abs scales are permutation-invariant, so
+    s2bg's phase split cannot change the quantisation)."""
+    m = _int8_probe_model()
+    vol = jnp.asarray(rng.rand(1, 16, 28, 28).astype(np.float32))
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    outs = []
+    for impl, zfold in (("direct", False), ("s2bg", False), ("s2bg", True)):
+        m.set_dilated_impl(impl, zfold=zfold)
+        m.set_compute_dtype("int8")
+        q = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+        m.set_compute_dtype(None)
+        assert float(np.abs(q - ref).max()) < 0.05
+        assert (q.argmax(0) == ref.argmax(0)).mean() > 0.97
+        outs.append(q)
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_quantized_conv_matches_manual(rng):
+    """ops.conv.quantized_conv reproduces the manual per-channel-weight /
+    per-tensor-activation int8 quantisation exactly (int32 accumulation
+    is exact, dequant is one f32 multiply)."""
+    from elektronn2_tpu.ops.conv import conv as ops_conv, quantized_conv
+    x = rng.randn(2, 3, 8, 9).astype(np.float32)
+    w = rng.randn(5, 3, 3, 3).astype(np.float32)
+    got = np.asarray(quantized_conv(jnp.asarray(x), jnp.asarray(w)))
+    s_x = np.abs(x).max() / 127.0
+    s_w = np.abs(w).max(axis=(1, 2, 3)) / 127.0
+    xq = np.clip(np.round(x / s_x), -127, 127).astype(np.int8)
+    wq = np.clip(np.round(w / s_w[:, None, None, None]),
+                 -127, 127).astype(np.int8)
+    yq = np.asarray(ops_conv(jnp.asarray(xq), jnp.asarray(wq),
+                             preferred_element_type=jnp.int32))
+    want = yq.astype(np.float32) * (s_x * s_w)[None, :, None, None]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and it tracks the f32 conv within quantisation error
+    ref = np.asarray(ops_conv(jnp.asarray(x), jnp.asarray(w)))
+    assert np.abs(got - ref).max() < 0.05 * np.abs(ref).max() + 0.05
+
+
+def test_int8_mode_guards(rng):
+    m = _int8_probe_model()
+    with pytest.raises(ValueError, match="activations"):
+        m.set_compute_dtype("int8", activations=True)
+    with pytest.raises(ValueError, match="expected None"):
+        m.set_compute_dtype("float8")
+    m.set_dilated_impl("s2bg", zfold=True, ztap="native", zmajor=True)
+    with pytest.raises(ValueError, match="ztap/zmajor"):
+        m.set_compute_dtype("int8")
+    m.set_dilated_impl("s2bg", zfold=True)
+    m.set_compute_dtype("int8")
+    with pytest.raises(ValueError, match="int8"):
+        m.set_dilated_impl("s2bg", ztap="native", zmajor=True)
+
+
+def test_int8_training_stays_f32(rng):
+    """set_compute_dtype('int8') is a dense-serving mode: node traces
+    (training, patch predict) keep f32 — losses match the f32 run
+    exactly and master params stay f32."""
+    def build():
+        inp = nm.Input([2, 1, 16, 16], "b,f,x,y", name="raw")
+        c1 = nm.Conv(inp, 8, 3, 2, name="c1")
+        probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+        tgt = nm.Input([2, *probs.shape.spatial_shape], "b,x,y",
+                       dtype="int32", name="target")
+        loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                                  target_is_sparse=True))
+        m = model_manager.getmodel()
+        m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                          prediction_node=probs)
+        m.set_opt("SGD", lr=1e-2)
+        return m
+    x = rng.randn(2, 1, 16, 16).astype(np.float32)
+    m1 = build()
+    osz = m1.prediction_node.shape.spatial_shape[0]
+    y = (x[:, 0, :osz, :osz] > 0).astype(np.int32)
+    ref = [float(m1.trainingstep(x, y)[0]) for _ in range(3)]
+    model_manager.reset(seed=9)
+    m2 = build()
+    m2.set_compute_dtype("int8")
+    got = [float(m2.trainingstep(x, y)[0]) for _ in range(3)]
+    assert got == ref
+    assert m2.params["c1"]["w"].dtype == jnp.float32
+
+
+def test_tune_sweep_includes_int8_contender(rng):
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    m = _int8_probe_model()
+    res = tune_sweep(m, steps=[(6, 10, 10)], slab_batches=(1,), K=1,
+                     verbose=False)
+    ok = [r for r in res["table"] if "mvox_s" in r]
+    assert any(r["dtype"] == "int8" for r in ok)
+    res2 = tune_sweep(m, steps=[(6, 10, 10)], slab_batches=(1,), K=1,
+                      include_int8=False, include_bf16=False,
+                      verbose=False)
+    assert all(r["dtype"] is None for r in res2["table"])

@@ -308,3 +308,33 @@ def test_api_reference_current():
         assert f.read() == mod.generate(), (
             "docs/api_reference.md is stale — run "
             "python scripts/gen_api_reference.py")
+
+
+def test_predict_cli_int8_sweep(tmp_path, rng):
+    """--int8 quantized serving through the CLI: bounded deviation and
+    matching argmax vs the f32 sweep."""
+    import jax.numpy as jnp
+    import elektronn2_tpu.neuromancer as nm
+    from test_data import write_knossos
+    from elektronn2_tpu.utils.basic import h5load
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 9, 17, 17], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "mq.mdl")
+    m.save(mdl)
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    kdir = write_knossos(tmp_path, vol, cube_edge=8)
+    from elektronn2_tpu.scripts.predict import main
+    out = str(tmp_path / "outq.h5")
+    assert main([mdl, kdir, "-o", out, "--cpu", "--int8",
+                 "--step", "12,16,16"]) == 0
+    pred = h5load(out, "prediction")
+    ref = np.asarray(m.predict_dense_device(
+        jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
+    assert float(np.abs(pred - ref).max()) < 0.1
+    assert (pred.argmax(0) == ref.argmax(0)).mean() > 0.97
+    with pytest.raises(SystemExit):
+        main([mdl, kdir, "--cpu", "--int8", "--bf16"])
