@@ -687,6 +687,10 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     ctx = TraceCtx(params, {inp.name: x[None]}, None, train=False,
                    state_in=state, node_index=model._node_index,
                    compute_dtype=getattr(model, "_compute_dtype", None))
+    # int8 quantised serving extends to this path because it is
+    # whole-volume (one trace, global activation scales — no tile seams);
+    # the tiled fallback keeps f32 (see neural.Conv._compute)
+    ctx.quant_serving = getattr(model, "_compute_dtype", None) == "int8"
     y = ctx.get(pred)[0]
     return y[(slice(None),) + tuple(slice(0, w) for w in want_out)]
 

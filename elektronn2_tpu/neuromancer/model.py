@@ -200,11 +200,13 @@ class Model:
         ``'int8'``: QUANTIZED dense serving — per-output-channel weight
         quant + dynamic per-tensor activation quant, int8×int8 MXU with
         int32 accumulation (``ops.conv.quantized_conv``; 2× the bf16 MXU
-        peak on v5e). Applies to the dilated dense path only
-        ('direct'/'s2bg', ``zfold`` ok); training and the tiled/conv
-        fallbacks keep f32 (quantised backprop is out of scope).
-        Accuracy is distribution-grade — bound locked by tests and
-        PARITY.md, alongside the bf16 serving mode."""
+        peak on v5e). Applies to the WHOLE-VOLUME dense paths: dilated
+        ('direct'/'s2bg', ``zfold`` ok; ztap/zmajor cross-guarded) and
+        convolutional (decoder/U-Net graphs). Training, patch predict
+        and the overlap-TILED fallback keep f32 (quantised backprop is
+        out of scope; per-tile dynamic scales would seam a stitched
+        output). Accuracy is distribution-grade — bounds locked by tests
+        and PARITY.md, alongside the bf16 serving mode."""
         if dtype not in (None, "bfloat16", "float16", "float32", "int8"):
             raise ValueError(f"dtype={dtype!r}: expected None, 'bfloat16',"
                              " 'float16', 'float32' or 'int8'")

@@ -281,7 +281,16 @@ class Conv(Node, _BNMixin):
             # filter's z halo from the next rank; output keeps z_local rows
             from elektronn2_tpu.parallel.halo import halo_gather
             x = halo_gather(x, self.filter_shape[0] - 1, halo_axis)
-        if ctx.compute_dtype is not None:
+        if getattr(ctx, "quant_serving", False):
+            # int8 quantised WHOLE-VOLUME serving (conv-dense path for
+            # decoder graphs): one trace per volume, so the dynamic
+            # activation scale is global — per-TILE scales would seam a
+            # stitched output, which is why the tiled fallback never sets
+            # this flag (inference.py::convolutional_dense_forward)
+            from elektronn2_tpu.ops.conv import quantized_conv
+            y = quantized_conv(x, w) \
+                + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+        elif ctx.compute_dtype is not None:
             # mixed precision: bf16 operands on the MXU (internal f32
             # accumulation), cast back for the elementwise tail — the
             # explicit astype keeps the conv dtype-uniform so its gradient

@@ -758,3 +758,23 @@ def test_tune_sweep_includes_int8_contender(rng):
                       include_int8=False, include_bf16=False,
                       verbose=False)
     assert all(r["dtype"] is None for r in res2["table"])
+
+
+def test_int8_unet_conv_dense_bound(rng):
+    """int8 serving extends to the whole-volume convolutional (decoder)
+    path: bounded deviation + argmax agreement vs f32; tiled/patch paths
+    stay f32-exact (per-tile dynamic scales would seam the stitch)."""
+    m = faithless_unet3d()
+    vol = jnp.asarray(rng.rand(1, 10, 20, 20).astype(np.float32))
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    m.set_compute_dtype("int8")
+    q = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    assert q.shape == ref.shape
+    assert float(np.abs(q - ref).max()) < 0.1
+    assert (q.argmax(0) == ref.argmax(0)).mean() > 0.95
+    # patch prediction under int8 stays f32-exact (serving-only mode)
+    m.set_compute_dtype(None)
+    x = rng.rand(1, 1, 8, 16, 16).astype(np.float32)
+    p_ref = np.asarray(m.predict(x))
+    m.set_compute_dtype("int8")
+    np.testing.assert_array_equal(np.asarray(m.predict(x)), p_ref)
