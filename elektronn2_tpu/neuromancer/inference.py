@@ -117,7 +117,8 @@ def _dense_geometry(pred_shape):
 
 
 def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
-                          params=None, state=None, impl=None):
+                          params=None, state=None, impl=None,
+                          quant_scale_axes=None):
     """Dense prediction via the à-trous (dilated convolution) identity.
 
     MFP (fragment pooling + restitch) computes the network at every pooling
@@ -456,10 +457,19 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                         lambda a, b, dilation: ops_conv(
                             a, b, dilation=dilation))
                 if quant:
+                    # under sharding the activation scale reduces over
+                    # every mesh axis the tensor is split on (pmax) —
+                    # per-shard scales would seam the output at shard
+                    # boundaries (z) or diverge from the unsharded
+                    # batched program (slab batch)
                     y = quantized_conv(xin, w,
                                        conv_fn=(conv_s2b if use_s2b
                                                 else ops_conv),
-                                       dilation=eff_dil)
+                                       dilation=eff_dil,
+                                       axis_name=(quant_scale_axes
+                                                  if quant_scale_axes
+                                                  is not None
+                                                  else halo_axis))
                 elif cdtype is not None:
                     y = cfn(xin.astype(cdtype), w.astype(cdtype),
                             dilation=eff_dil).astype(jnp.float32)
@@ -755,10 +765,13 @@ def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
            tuple(int(s) for s in vols.shape), int(Z))
     run = model._dilated_fns.get(key)
     if run is None:
+        qaxes = ((batch_axis, axis_name) if batch_axis is not None
+                 else axis_name)      # int8: global scales over BOTH axes
         shard_fn = jax.shard_map(
             lambda p, s, v: dilated_dense_forward(model, v, batch=True,
                                                   halo_axis=axis_name,
-                                                  params=p, state=s),
+                                                  params=p, state=s,
+                                                  quant_scale_axes=qaxes),
             mesh=mesh,
             in_specs=(P(), P(), P(batch_axis, None, axis_name, None, None)),
             out_specs=P(batch_axis, None, axis_name, None, None),

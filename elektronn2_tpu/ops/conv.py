@@ -157,9 +157,20 @@ def quantized_conv(x, w, conv_fn=None, **kw):
     (e.g. ``dilation``) forward to it. Accuracy is distribution-grade:
     bound locked by tests (max softmax deviation on the flagship-class
     net) and recorded in PARITY.md next to the bf16 serving mode.
+
+    ``axis_name``: inside ``shard_map`` (spatially-sharded serving), the
+    activation max-abs is reduced over that mesh axis (``lax.pmax``) so
+    every shard quantises with the GLOBAL scale — per-shard scales would
+    seam the stitched volume at shard boundaries. With the global scale
+    the sharded int8 output equals the unsharded int8 output exactly
+    (tests).
     """
+    axis_name = kw.pop("axis_name", None)
     conv_fn = conv_fn or conv
-    s_x = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    s_x = jnp.max(jnp.abs(x))
+    if axis_name is not None:
+        s_x = lax.pmax(s_x, axis_name)
+    s_x = jnp.maximum(s_x, 1e-12) / 127.0
     red = tuple(range(1, w.ndim))
     s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=red), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)

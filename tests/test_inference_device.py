@@ -778,3 +778,33 @@ def test_int8_unet_conv_dense_bound(rng):
     p_ref = np.asarray(m.predict(x))
     m.set_compute_dtype("int8")
     np.testing.assert_array_equal(np.asarray(m.predict(x)), p_ref)
+
+
+def test_int8_sharded_sweep_matches_unsharded_exactly(rng):
+    """z-sharded int8 serving: the activation scale is pmax-reduced over
+    the mesh axis, so the sharded output equals the unsharded int8 output
+    EXACTLY (per-shard scales would seam shard boundaries)."""
+    from elektronn2_tpu.parallel import make_mesh
+    m = _int8_probe_model()
+    m.set_compute_dtype("int8")
+    vol = jnp.asarray(rng.rand(1, 24, 28, 28).astype(np.float32))
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    mesh = make_mesh({"space": 4}, n_devices=4)
+    got = np.asarray(m.predict_dense_sharded(vol, mesh, pad_raw=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_int8_dp_sp_batched_matches_unsharded_batched(rng):
+    """DP×SP int8 serving: activation scales pmax over BOTH mesh axes, so
+    the sharded batched sweep equals the unsharded batched int8 program
+    exactly."""
+    from elektronn2_tpu.parallel import make_mesh
+    from elektronn2_tpu.neuromancer.inference import dilated_dense_forward
+    m = _int8_probe_model()
+    m.set_compute_dtype("int8")
+    vols = jnp.asarray(rng.rand(2, 1, 24, 28, 28).astype(np.float32))
+    ref = np.asarray(jax.jit(lambda p, s, v: dilated_dense_forward(
+        m, v, batch=True, params=p, state=s))(m.params, m.state, vols))
+    mesh = make_mesh({"data": 2, "space": 4})
+    got = np.asarray(m.predict_dense_sharded_batch(vols, mesh))
+    np.testing.assert_array_equal(got[:, :, :ref.shape[2]], ref)
