@@ -417,8 +417,15 @@ class UpConv(Node):
     def _compute(self, ctx, x):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
-        y = ops_upconv(x, w, self.pool_shape) \
-            + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+        if getattr(ctx, "quant_serving", False):
+            # int8 whole-volume serving (see Conv._compute): transposed
+            # convs quantise the same way — int8 operands, int32 accum
+            from elektronn2_tpu.ops.conv import quantized_conv
+            y = quantized_conv(x, w, conv_fn=ops_upconv,
+                               pool_shape=self.pool_shape)
+        else:
+            y = ops_upconv(x, w, self.pool_shape)
+        y = y + b.reshape((1, -1) + (1,) * (x.ndim - 2))
         from elektronn2_tpu.ops.conv import apply_activation
         return apply_activation(y, self.activation_func)
 

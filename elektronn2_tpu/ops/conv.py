@@ -256,7 +256,7 @@ def pool_s2b(x, pool, dilation, mode="max"):
     return _s2b_merge(y, d, B, valid)
 
 
-def upconv(x, w, pool_shape, precision=None):
+def upconv(x, w, pool_shape, precision=None, preferred_element_type=None):
     """Transposed convolution ("upconv") with stride = kernel = pool_shape.
 
     Reference: ``computations.py::upconv`` — used by decoder paths to invert
@@ -275,7 +275,7 @@ def upconv(x, w, pool_shape, precision=None):
     return lax.conv_general_dilated(
         x, w_flipped.astype(x.dtype), window_strides=(1,) * nsp, padding=pad,
         lhs_dilation=pool_shape, dimension_numbers=_dim_numbers(nsp),
-        precision=precision)
+        precision=precision, preferred_element_type=preferred_element_type)
 
 
 def dot(x, w, axis=1, precision=None):
