@@ -118,7 +118,8 @@ def _dense_geometry(pred_shape):
 
 def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                           params=None, state=None, impl=None,
-                          quant_scale_axes=None):
+                          quant_scale_axes=None, quant_shard=None,
+                          quant_calibrate=None):
     """Dense prediction via the à-trous (dilated convolution) identity.
 
     MFP (fragment pooling + restitch) computes the network at every pooling
@@ -190,12 +191,23 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     # int8 quantised serving (set_compute_dtype('int8')): convs run
     # through ops.conv.quantized_conv (per-channel weight + dynamic
     # activation scales, int32 accumulation); everything between convs
-    # stays f32, so cdtype-based casting is disabled here
-    quant = cdtype == "int8"
-    if quant:
+    # stays f32, so cdtype-based casting is disabled here.
+    # ``quant_calibrate``: a dict to fill with per-conv input max-abs —
+    # the forward then runs plain f32 (eager calibration pass backing
+    # Model.calibrate_int8's STATIC scales, which make slab sweeps
+    # seam-free and shard-invariant by construction).
+    quant = cdtype == "int8" and quant_calibrate is None
+    qscales = getattr(model, "_quant_scales", None) if quant else None
+    if quant or quant_calibrate is not None:
         if use_ztap or use_zmajor:      # set_* guards this; belt+braces
             raise ValueError("int8 serving: ztap/zmajor unsupported")
         cdtype = None
+    # cumulative z rows consumed before each node's input — under halo
+    # sharding the last rank's trailing rows past the global valid extent
+    # hold zero-halo garbage; they must be masked OUT of the dynamic
+    # activation max or the quantisation scale differs from the unsharded
+    # program's (review r2 s5: reproduced 1e-2 divergence)
+    zcons = {}
     # store inter-layer activations in cdtype (bit-identical for
     # conv/pool/relu chains: conv outputs are already cdtype-rounded since
     # the operands are; halves inter-layer HBM traffic) — see
@@ -336,12 +348,23 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             xin, dil, ph = evaluate(node.parents[0])
             w = params[node.name]["w"]
             b = params[node.name]["b"]
+            if quant_calibrate is not None:
+                # eager f32 calibration pass: record this conv's input
+                # activation max-abs (== what the dynamic path would use)
+                quant_calibrate[node.name] = float(jnp.max(jnp.abs(xin)))
+            zcons_in = zcons.get(node.parents[0].name, 0)
             xin, ph = _maybe_split(xin, dil, ph)
             if ph is not None and any(p > 1 for p in node.pool_shape):
                 raise UnsupportedGraphError(
                     "dilated dense path (s2bg): pooling past the dilation "
                     "plateau — dilation schedule is inconsistent")
             eff_dil = (1,) * nsp if ph is not None else dil
+            zcons[node.name] = (
+                zcons_in + (eff_dil[0] * (w.shape[2] - 1) if nsp == 3
+                            else 0)
+                + (dil[0] * (node.pool_shape[0] - 1)
+                   if nsp == 3 and any(p > 1 for p in node.pool_shape)
+                   else 0))
             v = tuple(s - d * (k - 1)
                       for s, d, k in zip(vext[node.parents[0].name], dil,
                                          w.shape[2:]))
@@ -430,7 +453,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 w2 = w[:, :, 0]
                 if quant:
                     y = quantized_conv(x2, w2, conv_fn=ops_conv,
-                                       dilation=eff_dil[1:])
+                                       dilation=eff_dil[1:],
+                                       x_absmax=(qscales or {}).get(
+                                           node.name))
                 elif cdtype is not None:
                     y = ops_conv(x2.astype(cdtype), w2.astype(cdtype),
                                  dilation=eff_dil[1:]).astype(jnp.float32)
@@ -446,6 +471,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 y = y.reshape((B2, Z2) + tuple(y.shape[1:])
                               ).transpose(0, 2, 1, 3, 4)
             else:
+                zl_pre = int(xin.shape[2]) if nsp == 3 else 0
                 if nsp == 3:
                     xin = halo(xin, eff_dil[0] * (w.shape[2] - 1))
                 if use_ztap and w.shape[2] > 1:
@@ -462,6 +488,23 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                     # per-shard scales would seam the output at shard
                     # boundaries (z) or diverge from the unsharded
                     # batched program (slab batch)
+                    sx = (qscales or {}).get(node.name)
+                    if sx is None and halo_axis is not None:
+                        # dynamic scale under halo sharding: rows past
+                        # the global valid extent hold zero-halo garbage
+                        # (and pad_z reflect rows the unsharded program
+                        # never sees) — mask them out of the max, else
+                        # the scale diverges from the unsharded program
+                        qi = quant_shard or {}
+                        r = lax.axis_index(halo_axis)
+                        Zg = zl_pre * int(qi.get("n_z", 1)) \
+                            - int(qi.get("pad_z", 0))
+                        li = jnp.arange(int(xin.shape[2]))
+                        gi = jnp.where(li < zl_pre, r * zl_pre + li,
+                                       (r + 1) * zl_pre + (li - zl_pre))
+                        msk = (gi < Zg - zcons_in).reshape(
+                            (1, 1, -1, 1, 1))
+                        sx = jnp.max(jnp.where(msk, jnp.abs(xin), 0.0))
                     y = quantized_conv(xin, w,
                                        conv_fn=(conv_s2b if use_s2b
                                                 else ops_conv),
@@ -469,7 +512,8 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                                        axis_name=(quant_scale_axes
                                                   if quant_scale_axes
                                                   is not None
-                                                  else halo_axis))
+                                                  else halo_axis),
+                                       x_absmax=sx)
                 elif cdtype is not None:
                     y = cfn(xin.astype(cdtype), w.astype(cdtype),
                             dilation=eff_dil).astype(jnp.float32)
@@ -497,6 +541,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 raise UnsupportedGraphError(
                     "dilated dense path (s2bg): pooling past the dilation "
                     "plateau — dilation schedule is inconsistent")
+            zcons[node.name] = (zcons.get(node.parents[0].name, 0)
+                                + (dil[0] * (node.pool_shape[0] - 1)
+                                   if nsp == 3 else 0))
             y = dilated_pool(xin, node.pool_shape, dil, mode=node.mode)
             vext[node.name] = tuple(
                 s - d * (p - 1) for s, d, p in
@@ -581,6 +628,12 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             raise UnsupportedGraphError(
                 f"dilated dense path: unsupported node type "
                 f"{type(node).__name__}")
+        # z-consumption inherits through passthrough nodes (Concat, BN,
+        # Softmax, functors…); Conv/Pool set their own entry above.
+        # Concat parents share one consumption (same valid extent).
+        if node.name not in zcons:
+            zcons[node.name] = (zcons.get(node.parents[0].name, 0)
+                                if node.parents else 0)
         values[node.name] = out
         return out
 
@@ -767,11 +820,13 @@ def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
     if run is None:
         qaxes = ((batch_axis, axis_name) if batch_axis is not None
                  else axis_name)      # int8: global scales over BOTH axes
+        qshard = {"n_z": int(mesh.shape[axis_name]), "pad_z": int(pad_z)}
         shard_fn = jax.shard_map(
             lambda p, s, v: dilated_dense_forward(model, v, batch=True,
                                                   halo_axis=axis_name,
                                                   params=p, state=s,
-                                                  quant_scale_axes=qaxes),
+                                                  quant_scale_axes=qaxes,
+                                                  quant_shard=qshard),
             mesh=mesh,
             in_specs=(P(), P(), P(batch_axis, None, axis_name, None, None)),
             out_specs=P(batch_axis, None, axis_name, None, None),
@@ -882,6 +937,20 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
             logger.info(f"sweep_knossos: slab {i + 1}/{len(origins)}")
 
     from concurrent.futures import ThreadPoolExecutor
+
+    if getattr(model, "_compute_dtype", None) == "int8" \
+            and not getattr(model, "_quant_scales", None):
+        # dynamic per-dispatch scales would quantise each slab
+        # independently and step values at slab faces — calibrate static
+        # scales on the first slab so the whole sweep shares them
+        # (seam-free and slab-grid-invariant; Model.calibrate_int8)
+        logger.info("sweep_knossos: calibrating int8 activation scales "
+                    "on the first slab (static scales — seam-free)")
+        try:
+            model.calibrate_int8(stage(origins[0]))
+        except ValueError as e:
+            logger.warning(f"sweep_knossos: int8 calibration failed "
+                           f"({e}) — proceeding with dynamic scales")
 
     use_batch = slab_batch > 1
     if use_batch and mesh is not None:
@@ -1254,6 +1323,16 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     except (ValueError, TypeError):
         pass    # shape-dependent failure or rejected graph → tiled fallback
 
+    if getattr(model, "_compute_dtype", None) == "int8" \
+            and not getattr(model, "_warned_int8_tiled", False):
+        # int8 covers the whole-volume paths only; falling through to the
+        # overlap-tiled sweep silently running f32 would let the user
+        # believe they are serving quantised (review r2 s5)
+        model._warned_int8_tiled = True
+        logger.warning(
+            "int8 serving requested, but this graph/volume routes to the "
+            "overlap-TILED fallback, which runs f32 (per-tile dynamic "
+            "scales would seam the stitched output)")
     V_orig = list(vol.shape[1:])
     if pad_raw:
         pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]

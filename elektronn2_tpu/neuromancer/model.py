@@ -223,11 +223,47 @@ class Model:
                     "(set_dilated_impl)")
         self._compute_dtype = dtype
         self._compute_act = bool(activations) and dtype is not None
-        self._step_fn = None
+        self._quant_scales = None     # int8 calibration: re-calibrate
+        self._step_fn = None          # after changing the dtype
         self._loss_fn = None
         self._predict_fns = {}
         self._dilated_fns = {}
         return self
+
+    def calibrate_int8(self, vol):
+        """Record per-conv activation scales from a calibration volume
+        ((f, Z, X, Y) or (b, f, …) array) for int8 dense serving.
+
+        Without calibration the int8 path uses dynamic per-dispatch
+        scales: each ``sweep_knossos`` slab then quantises independently,
+        which steps values slightly at slab faces (review r2 s5). With
+        STATIC calibrated scales the quantisation is slab-grid- and
+        shard-invariant by construction — sweep outputs equal the
+        whole-volume int8 sweep exactly (tests). Call AFTER
+        ``set_compute_dtype('int8')`` (changing the dtype clears the
+        calibration); activations beyond a calibrated max clip at ±127
+        (standard post-training quantisation). ``sweep_knossos``
+        auto-calibrates on its first slab when scales are absent."""
+        import jax.numpy as jnp
+        from elektronn2_tpu.neuromancer.inference import (
+            dilated_dense_forward)
+        if getattr(self, "_compute_dtype", None) != "int8":
+            raise ValueError("calibrate_int8 requires "
+                             "set_compute_dtype('int8') first")
+        nsp = len(self.input_node.shape.spatial_axes)
+        vol = jnp.asarray(vol, jnp.float32)
+        if vol.ndim not in (nsp + 1, nsp + 2):
+            raise ValueError(f"calibration volume rank {vol.ndim} does "
+                             f"not match the {nsp}-D graph")
+        scales = {}
+        dilated_dense_forward(self, vol, batch=(vol.ndim == nsp + 2),
+                              params=self.params, state=self.state,
+                              quant_calibrate=scales)
+        if not scales:
+            raise ValueError("calibration pass reached no Conv nodes")
+        self._quant_scales = scales
+        self._dilated_fns = {}        # bake the constants into new traces
+        return dict(scales)
 
     def _apply(self, out_nodes, params, state, feed, rng, train):
         ctx = TraceCtx(params, feed, rng, train=train, state_in=state,

@@ -163,11 +163,22 @@ def quantized_conv(x, w, conv_fn=None, **kw):
     every shard quantises with the GLOBAL scale — per-shard scales would
     seam the stitched volume at shard boundaries. With the global scale
     the sharded int8 output equals the unsharded int8 output exactly
-    (tests).
+    (tests). ``x_absmax`` overrides the dynamic activation max-abs: the
+    sharded dense path passes a masked max (invalid zero-halo tail rows
+    excluded — review r2 s5: they polluted the scale), and calibrated
+    static scales (``Model.calibrate_int8``) arrive here as constants.
+
+    Weight scales ARE recomputed per dispatch on purpose: these nets
+    carry <1 MB of weights vs GBs of activations per sweep, so the
+    rounding work and f32 weight reads are noise, and keeping weights as
+    plain traced f32 arguments means param updates never retrace the
+    serving program.
     """
     axis_name = kw.pop("axis_name", None)
+    x_absmax = kw.pop("x_absmax", None)
     conv_fn = conv_fn or conv
-    s_x = jnp.max(jnp.abs(x))
+    s_x = jnp.max(jnp.abs(x)) if x_absmax is None else jnp.asarray(
+        x_absmax, jnp.float32)
     if axis_name is not None:
         s_x = lax.pmax(s_x, axis_name)
     s_x = jnp.maximum(s_x, 1e-12) / 127.0

@@ -48,7 +48,8 @@ def main(argv=None):
                     help="KNOSSOS sweeps: autotune lowering/dtype/slab "
                     "size/slab batch on the live device first "
                     "(Model.tune_serving) and sweep with the winner; "
-                    "overrides --step/--slab-batch/--bf16")
+                    "overrides --step/--slab-batch/--bf16/--int8 "
+                    "(the measured winner's dtype is applied)")
     ap.add_argument("--mesh", default=None, metavar="AXES",
                     help="pod-scale KNOSSOS sweeps: device-mesh axes as "
                     "'space=8' (z-sharded slabs, halo exchange) or "
@@ -124,6 +125,14 @@ def main(argv=None):
                 step = list(tuned["best"]["step"])
                 slab_batch = int(tuned["best"]["slab_batch"])
                 logger.info(f"--tune picked {tuned['best']}")
+                asked = ("bfloat16" if args.bf16
+                         else "int8" if args.int8 else None)
+                if asked and tuned["best"]["dtype"] != asked:
+                    logger.info(
+                        f"--tune overrode the requested --"
+                        f"{'bf16' if asked == 'bfloat16' else 'int8'}: "
+                        f"the measured winner runs "
+                        f"{tuned['best']['dtype'] or 'f32'}")
             else:
                 logger.warning("--tune: no contender ran (graph outside "
                                "the dilated path) — using CLI settings")

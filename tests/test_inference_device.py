@@ -808,3 +808,63 @@ def test_int8_dp_sp_batched_matches_unsharded_batched(rng):
     mesh = make_mesh({"data": 2, "space": 4})
     got = np.asarray(m.predict_dense_sharded_batch(vols, mesh))
     np.testing.assert_array_equal(got[:, :, :ref.shape[2]], ref)
+
+
+def test_int8_sharded_exact_adversarial_scale_pollution(rng):
+    """Review r2 s5 repro: cancelling z-taps + z-constant input make the
+    zero-halo tail rows LARGER than any valid activation; with the
+    masked scale the sharded int8 sweep must still equal the unsharded
+    one exactly (unmasked scales diverged by ~1e-2). Also covers
+    pad_z != 0 (Z not divisible by the mesh axis)."""
+    from elektronn2_tpu.parallel import make_mesh
+    m = _int8_probe_model()
+    w = np.asarray(m.params["c2"]["w"]).copy()
+    w[:] = 0.0
+    w[:, :, 0] = 0.5
+    w[:, :, 2] = -0.5            # cancels on z-constant input
+    m.params["c2"]["w"] = jnp.asarray(w)
+    m.set_compute_dtype("int8")
+    base = rng.rand(1, 1, 28, 28).astype(np.float32)
+    for Z, n in ((24, 4), (22, 4)):           # divisible and pad_z=2
+        vol = jnp.asarray(np.repeat(base, Z, axis=1))   # z-constant
+        ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+        mesh = make_mesh({"space": n}, n_devices=n)
+        got = np.asarray(m.predict_dense_sharded(vol, mesh, pad_raw=True))
+        np.testing.assert_array_equal(got, ref, err_msg=f"Z={Z}")
+
+
+def test_int8_calibrated_sweep_is_seam_free(rng, tmp_path):
+    """Static calibrated scales make the slab sweep equal the
+    whole-volume int8 sweep EXACTLY — no seams at slab faces, invariant
+    to the slab grid (dynamic per-dispatch scales would step at every
+    slab boundary). sweep_knossos auto-calibrates on its first slab."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    m = _int8_probe_model()
+    m.set_compute_dtype("int8")
+    vol = (rng.rand(24, 32, 32) * 255).astype(np.uint8)
+    ka = KnossosArray(write_knossos(tmp_path, vol, cube_edge=8))
+    volf = jnp.asarray(vol[None].astype(np.float32) / 255.0)
+    out = m.sweep_knossos(ka, step=[12, 16, 16])      # auto-calibrates
+    assert m._quant_scales                             # scales recorded
+    ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
+    np.testing.assert_array_equal(out, ref)
+    # a DIFFERENT slab grid gives the identical output (grid-invariance)
+    m2_out = m.sweep_knossos(ka, step=[24, 32, 16])
+    np.testing.assert_array_equal(m2_out, out)
+
+
+def test_int8_tiled_fallback_warns(rng):
+    """int8 on a graph that routes to the overlap-tiled fallback must
+    warn (it runs f32 there) instead of silently degrading."""
+    inp = nm.Input([1, 1, 21, 21], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, mfp=True, name="c1")
+    bn = nm.BatchNorm(c1)            # no running stats -> tiled fallback
+    probs = nm.Softmax(nm.Conv(bn, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    m.set_compute_dtype("int8")
+    raw = rng.randn(1, 27, 27).astype(np.float32)
+    out = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert np.isfinite(out).all()
+    assert getattr(m, "_warned_int8_tiled", False)
