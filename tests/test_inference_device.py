@@ -193,6 +193,13 @@ def test_fuzz_random_stacks_dense_paths_agree(seed):
         m.predict(tile[None]), probs.shape.mfp_offsets))[0]
     np.testing.assert_allclose(
         host[:, :direct.shape[1], :direct.shape[2]], direct, atol=2e-5)
+    # int8 quantised serving on the same random stack: bounded softmax
+    # deviation, high argmax agreement (fuzz-locks the quant path over
+    # the graph family, not just the hand-built probes)
+    m.set_compute_dtype("int8")
+    q = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert float(np.abs(q - dev).max()) < 0.12
+    assert (q.argmax(0) == dev.argmax(0)).mean() > 0.9
 
 
 # ------------------------------------------------- convolutional dense path
