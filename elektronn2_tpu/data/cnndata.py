@@ -253,6 +253,20 @@ class BatchCreatorImage:
         do_warp = bool(warp) and (warp is True or self.rng.rand() < warp) \
             and source == "train"
         M = None
+        flip_only = False
+        if not do_warp and flip and source == "train":
+            # flips live inside the warp matrix, so flip=True was silently
+            # inert whenever the warp gate didn't fire (review r2 s5):
+            # amount=0 yields an identity rot/shear/scale with random
+            # flips only. The position is integer-aligned below, so the
+            # flipped coordinates land on the voxel lattice and the
+            # interpolation is an exact axis reversal (no blur).
+            fkw = {k: warp_args[k] for k in ("lock_z", "no_x_flip")
+                   if k in warp_args}
+            params = get_random_warp_params(self.rng, amount=0.0, **fkw)
+            if any(params[f] for f in ("flip_x", "flip_y", "flip_z")):
+                M = make_warp_matrix(**params)
+                flip_only = True
         if do_warp:
             # NOTE: no .pop — warp_args is shared across samples/retries
             amount = warp_args.get("amount", 1.0)
@@ -269,13 +283,15 @@ class BatchCreatorImage:
                 M = aniso_warp_matrix(M, self.aniso_factor)
         diag = np.linalg.norm(np.asarray(self.patch_size, np.float64))
         margin = (np.asarray(self.patch_size, np.float64) / 2 + 1
-                  if M is None else
+                  if M is None or flip_only else
                   np.minimum(np.asarray(vol_d.shape[1:], np.float64) / 2 - 1,
                              diag / 2 + 2))
         position = self._sample_position(vol_d.shape[1:], margin)
-        if M is None:
+        if M is None or flip_only:
             # no warp → integer-align so the patch is an exact voxel crop
             # (no interpolation blur), as in the reference's unwarped path
+            # (a flip-only matrix keeps the lattice alignment: reversal
+            # about an aligned centre hits integer coordinates)
             p = np.asarray(self.patch_size, np.float64)
             position = np.floor(position - (p - 1) / 2) + (p - 1) / 2
         tsz = self.target_size
@@ -285,7 +301,9 @@ class BatchCreatorImage:
                               target=vol_l, target_patch_size=tsz,
                               target_strides=tst)
             return d, t
-        # MFP training: one target per fragment, shifted by its offset
+        # MFP training: one target per fragment, shifted by its offset —
+        # the image patch is interpolated ONCE (skip_img: the per-fragment
+        # calls cut targets only; review r2 s5)
         d = warp_slice(vol_d, self.patch_size, M=M, position=position)
         frags = []
         for off in self.frag_offsets:
@@ -293,7 +311,8 @@ class BatchCreatorImage:
             off3[-len(off):] = off
             _, t = warp_slice(vol_d, self.patch_size, M=M, position=position,
                               target=vol_l, target_patch_size=tsz,
-                              target_strides=tst, target_offset=off3)
+                              target_strides=tst, target_offset=off3,
+                              skip_img=True)
             frags.append(t)
         return d, np.stack(frags)
 
@@ -328,9 +347,17 @@ class GridData(BatchCreatorImage):
                    else int(max(int(c.max()) for c in self._all_labels))
                    + 1)
             # pair with cubes in the ORIGINAL order the user supplied
-            # (train/valid splitting reorders train_l/valid_l)
-            for cube_l, pts in zip(self._all_labels, self.grid_points):
-                sh = cube_l.shape[-3:]
+            # (train/valid splitting reorders train_l/valid_l); own the
+            # list before swapping entries (it may be the caller's)
+            self._all_labels = list(self._all_labels)
+            for ci, (cube_l, pts) in enumerate(zip(self._all_labels,
+                                                   self.grid_points)):
+                # rasterise into a COPY — writing the caller's array would
+                # pollute it permanently (and a second GridData over the
+                # same arrays would derive lab = max+1 from the already-
+                # rasterised spheres; review r2 s5)
+                out_l = np.array(cube_l, copy=True)
+                sh = out_l.shape[-3:]
                 for p in np.asarray(pts, np.float64).reshape(-1, 3):
                     lo = np.maximum(np.floor(p - r).astype(int), 0)
                     hi = np.minimum(np.ceil(p + r).astype(int) + 1, sh)
@@ -340,8 +367,15 @@ class GridData(BatchCreatorImage):
                     m = ((zz - p[0]) ** 2 + (xx - p[1]) ** 2
                          + (yy - p[2]) ** 2) <= self.point_radius ** 2
                     # mask the trailing spatial axes (labels may be 4D)
-                    cube_l[..., lo[0]:hi[0], lo[1]:hi[1],
-                           lo[2]:hi[2]][..., m] = lab
+                    out_l[..., lo[0]:hi[0], lo[1]:hi[1],
+                          lo[2]:hi[2]][..., m] = lab
+                # swap the copy in wherever the original is referenced
+                # (train/valid splits hold the same objects)
+                for coll in (self.train_l, self.valid_l):
+                    for k, c in enumerate(coll):
+                        if c is cube_l:
+                            coll[k] = out_l
+                self._all_labels[ci] = out_l
 
 
 class AgentData(BatchCreatorImage):
@@ -354,10 +388,15 @@ class AgentData(BatchCreatorImage):
     Completed in the tracing stage (see data/skeleton.py).
     """
 
-    def __init__(self, *args, skeleton_files=None, **kwargs):
+    def __init__(self, *args, skeleton_files=None, skeleton_cube=None,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         from elektronn2_tpu.data.skeleton import SkeletonMFK
         self.skeletons = [SkeletonMFK.load(f) for f in (skeleton_files or [])]
+        #: one cube index per skeleton (which cube each skeleton
+        #: annotates); None → paired by position / single-cube default
+        self.skeleton_cube = (None if skeleton_cube is None
+                              else [int(c) for c in skeleton_cube])
 
     def get_tracing_batch(self, batch_size=1, n_steps=8, source="train"):
         from elektronn2_tpu.data.skeleton import sample_tracing_batch

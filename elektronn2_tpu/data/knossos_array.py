@@ -68,18 +68,35 @@ class KnossosArray:
         if len(boundary) == 3:
             self.shape = (boundary["z"], boundary["x"], boundary["y"])
         else:
-            # infer from directory structure of magnification 1
+            # infer from directory structure of magnification 1 — only
+            # x*/y*/z* DIRECTORIES count (knossos.conf itself, .DS_Store
+            # and other stray files live alongside the cube tree and
+            # crashed the scan; review r2 s5)
             magdir = self._magdir()
-            xs = sorted(int(d[1:]) for d in os.listdir(magdir)
-                        if d.startswith("x"))
+
+            def _leveldirs(parent, prefix):
+                out = []
+                for d in os.listdir(parent):
+                    if d.startswith(prefix) and d[1:].isdigit() \
+                            and os.path.isdir(os.path.join(parent, d)):
+                        out.append(d)
+                return out
+
+            xds = _leveldirs(magdir, "x")
+            if not xds:
+                raise FileNotFoundError(
+                    f"cannot infer dataset shape: no boundary in "
+                    f"knossos.conf and no x*/ cube dirs under {magdir}")
             ymax = zmax = 0
-            for xd in os.listdir(magdir):
-                for yd in os.listdir(os.path.join(magdir, xd)):
+            for xd in xds:
+                for yd in _leveldirs(os.path.join(magdir, xd), "y"):
                     ymax = max(ymax, int(yd[1:]))
-                    for zd in os.listdir(os.path.join(magdir, xd, yd)):
+                    for zd in _leveldirs(os.path.join(magdir, xd, yd),
+                                         "z"):
                         zmax = max(zmax, int(zd[1:]))
             self.shape = ((zmax + 1) * self.cube_edge,
-                          (max(xs) + 1) * self.cube_edge,
+                          (max(int(d[1:]) for d in xds) + 1)
+                          * self.cube_edge,
                           (ymax + 1) * self.cube_edge)
         if self._exp_name is None:
             self._exp_name = os.path.basename(self.path.rstrip("/"))
@@ -167,7 +184,17 @@ class KnossosArray:
                 if step != 1:
                     raise IndexError("KnossosArray supports step-1 slices")
             else:
-                lo, hi = int(s), int(s) + 1
+                # normalise negative integers like ndarray (an
+                # unnormalised -1 silently read the missing-cube zeros
+                # fallback; review r2 s5)
+                lo = int(s)
+                if lo < 0:
+                    lo += self.shape[d]
+                if not 0 <= lo < self.shape[d]:
+                    raise IndexError(
+                        f"index {int(s)} out of bounds for dim {d} "
+                        f"(size {self.shape[d]})")
+                hi = lo + 1
             bounds.append((lo, hi))
         (z0, z1), (x0, x1), (y0, y1) = bounds
         e = self.cube_edge

@@ -405,6 +405,14 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
     sequences shaped (n_steps, b, ...) for ScanN consumption.
     ``source='valid'`` cuts patches from the held-out cubes so validation
     metrics are genuinely out-of-sample.
+
+    Skeletons are PAIRED with the cube they annotate (review r2 s5: an
+    independent draw trained on mismatched supervision): explicitly via
+    ``agent_data.skeleton_cube`` (one cube index per skeleton), by
+    position when the counts match, or trivially with a single cube;
+    ambiguous configurations raise. Skeleton coordinates must be valid in
+    the paired cube — for ``source='valid'`` that means skeletons
+    annotated on the validation cubes.
     """
     from elektronn2_tpu.data.transformations import warp_slice, WarpingOOBError
     if not agent_data.skeletons:
@@ -418,9 +426,27 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
     ps = agent_data.patch_size
     seq_d = np.zeros((n_steps, batch_size, agent_data.n_ch, *ps), np.float32)
     seq_t = np.zeros((n_steps, batch_size, 3), np.float32)
+    cubes = getattr(agent_data, "skeleton_cube", None)
+    n_sk = len(agent_data.skeletons)
     for b in range(batch_size):
-        sk = agent_data.skeletons[rng.randint(len(agent_data.skeletons))]
-        vol = vols[rng.randint(len(vols))]
+        j = rng.randint(n_sk)
+        sk = agent_data.skeletons[j]
+        if cubes is not None:
+            ci = int(cubes[j])
+            if not 0 <= ci < len(vols):
+                raise ValueError(
+                    f"skeleton_cube[{j}]={ci} out of range for "
+                    f"{len(vols)} {source} cube(s)")
+        elif len(vols) == 1:
+            ci = 0
+        elif len(vols) == n_sk:
+            ci = j
+        else:
+            raise ValueError(
+                f"cannot pair {n_sk} skeletons with {len(vols)} {source} "
+                f"cubes — pass AgentData(skeleton_cube=[...]) with one "
+                f"cube index per skeleton")
+        vol = vols[ci]
         path = sk.walk(sk.sample_node(rng), n_steps, rng)
         for t in range(n_steps):
             pos = sk.positions[path[t]]

@@ -353,7 +353,7 @@ def source_bbox(coords, margin=1):
 def warp_slice(img, patch_size, M=None, position=None, target=None,
                target_patch_size=None, target_strides=None,
                target_offset=None, elastic=None, rng=None,
-               elastic_params=None):
+               elastic_params=None, skip_img=False):
     """Cut a warped patch (and optionally an aligned target patch).
 
     Reference: ``transformations.py::warp_slice`` — THE augmentation entry
@@ -367,6 +367,12 @@ def warp_slice(img, patch_size, M=None, position=None, target=None,
 
     Raises :class:`WarpingOOBError` if the warped patch needs out-of-bounds
     voxels — callers retry with a different position.
+
+    ``skip_img=True`` (requires ``target``) interpolates ONLY the target
+    patch and returns ``(None, t_out)`` — MFP training cuts one image
+    patch but one target per fragment offset, and re-interpolating the
+    full image per fragment was ~n_frag× redundant host work on the hot
+    batch path (review r2 s5).
     """
     img_shape = np.array(img.shape[-3:], dtype=np.int64)
     patch_size = tuple(int(p) for p in patch_size)
@@ -376,18 +382,24 @@ def warp_slice(img, patch_size, M=None, position=None, target=None,
         rng = rng or np.random
         elastic = make_elastic_field(rng, patch_size, **elastic_params)
 
-    coords, _ = warp_coords(patch_size, M, position, elastic)
-    lo, hi = source_bbox(coords, margin=(img_shape > 1).astype(np.int64))
-    if np.any(lo < 0) or np.any(hi > img_shape):
-        raise WarpingOOBError(
-            f"warped patch bbox [{lo}, {hi}) exceeds source volume "
-            f"{tuple(img_shape)}")
+    if skip_img:
+        if target is None:
+            raise ValueError("skip_img=True requires a target")
+        out = None
+    else:
+        coords, _ = warp_coords(patch_size, M, position, elastic)
+        lo, hi = source_bbox(coords,
+                             margin=(img_shape > 1).astype(np.int64))
+        if np.any(lo < 0) or np.any(hi > img_shape):
+            raise WarpingOOBError(
+                f"warped patch bbox [{lo}, {hi}) exceeds source volume "
+                f"{tuple(img_shape)}")
 
-    # lazy slab read: only the bbox is materialised from the backing store
-    slab = np.asarray(img[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]])
-    local = coords - lo.reshape(3, 1)
-    out = map_coordinates_linear(slab, local)
-    out = out.reshape((-1,) + patch_size).astype(np.float32)
+        # lazy slab read: only the bbox is materialised from the store
+        slab = np.asarray(img[..., lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]])
+        local = coords - lo.reshape(3, 1)
+        out = map_coordinates_linear(slab, local)
+        out = out.reshape((-1,) + patch_size).astype(np.float32)
 
     if target is None:
         return out

@@ -112,8 +112,9 @@ class Trainer:
                                       self.save_name + ".log"))
         self.history = HistoryTracker()
         self.console = None
-        self._bind_schedules()
         self.step = getattr(self.model, "_step_count", 0)
+        self._bind_schedules()       # after self.step: lindec resume
+        # semantics need the checkpointed step (Schedule.bind_variable)
         if self.step and self.data is not None \
                 and hasattr(self.data, "reseed"):
             # restart-from-checkpoint must NOT replay the batch sequence
@@ -145,9 +146,13 @@ class Trainer:
             if isinstance(sched, dict):
                 sched = Schedule(**sched)
             if key in self.model.optimiser.hyperparams:
-                sched.bind_variable(obj=self.model.optimiser, prop_name=key)
+                sched.bind_variable(obj=self.model.optimiser, prop_name=key,
+                                    start_step=self.step,
+                                    total_steps=self.n_steps)
             else:
-                sched.bind_variable(obj=self, prop_name=key)
+                sched.bind_variable(obj=self, prop_name=key,
+                                    start_step=self.step,
+                                    total_steps=self.n_steps)
             bound[key] = sched
         self.schedules = bound
 
@@ -245,8 +250,15 @@ class Trainer:
                 target_kwargs=dict(self.data_batch_args),
                 queue_size=max(2, self.n_workers * 2),
                 mode=self.cfg.get("worker_mode", "process"))
+            if getattr(self._bg, "_target_lock", None) is not None:
+                # thread-mode workers share the data source's RandomState
+                # with the main thread's validation/preview getbatch calls
+                # — serialise them on the worker lock (review r2 s5;
+                # process/spawn modes fork their own copy, no lock there)
+                self._data_lock = self._bg._target_lock
         last_loss, last_err = np.nan, np.nan
         t_step = time.time()
+        self._t_step_at = self.step
         # async monitoring: the loss scalar of step N is materialised only
         # AFTER step N+1 has been dispatched (a one-step lag), so the host
         # round-trip overlaps device compute instead of stalling it; every
@@ -305,8 +317,12 @@ class Trainer:
                                      float(aux["error"])
                                      if "error" in aux else np.nan)
                 if self.step % 50 == 0 or self.step == 1:
-                    dt = (time.time() - t_step) / max(1, 50)
+                    # divide by the steps actually elapsed since the last
+                    # log (1 at the step==1 log, up to 50 after)
+                    n_since = (self.step - getattr(self, "_t_step_at", 0))
+                    dt = (time.time() - t_step) / max(1, n_since)
                     t_step = time.time()
+                    self._t_step_at = self.step
                     logger.info(
                         f"step {self.step}/{self.n_steps} "
                         f"loss={loss_f:.4f} "

@@ -208,12 +208,22 @@ class Schedule:
         self._initial = None
         self._last_step = None
 
-    def bind_variable(self, obj=None, prop_name=None, initial_val=None):
+    def bind_variable(self, obj=None, prop_name=None, initial_val=None,
+                      start_step=0, total_steps=None):
         self._obj = obj
         self._prop = prop_name
         if initial_val is not None:
             self._set(initial_val)
         self._initial = self._get()
+        if self.lindec is not None and start_step:
+            # resume: the bound value was checkpointed ALREADY decayed at
+            # start_step — reconstruct the step-0 initial, else the next
+            # update() decays twice (0.5·lr0 at half-way would resume as
+            # 0.25·lr0 with the wrong slope; review r2 s5)
+            total = float(total_steps or self.lindec)
+            frac = 1.0 - start_step / total
+            if frac > 1e-9:
+                self._initial = self._get() / frac
         return self
 
     def _get(self):

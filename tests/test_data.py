@@ -218,7 +218,7 @@ def test_batch_creator_identity_warp_consistency(rng):
     raws = [raws[0]]
     bc = BatchCreatorImage(input_data=raws, target_data=labs)
     bc.set_geometry((9, 9, 9), (3, 3, 3))
-    d, t = bc.getbatch(batch_size=1, warp=False)
+    d, t = bc.getbatch(batch_size=1, warp=False, flip=False)
     # locate the patch in the raw volume by matching
     from scipy.signal import fftconvolve  # noqa: F401 (cheap presence check)
     # target must equal labels at the centre of wherever the patch came from
@@ -431,7 +431,7 @@ def test_mfp_fragment_target_alignment(rng):
     lab = np.arange(size * size).reshape(1, size, size).astype(np.int32)
     bc = BatchCreatorImage(input_data=[raw], target_data=[lab])
     bc.link_model_geometry(m)
-    d, t = bc.getbatch(1, warp=False)
+    d, t = bc.getbatch(1, warp=False, flip=False)
     assert t.shape == (4, 1, 5, 5)   # 4 fragments × b=1
 
     # locate the (1,13,13) patch in the raw volume
@@ -481,3 +481,123 @@ def test_save_knossos_roundtrip(rng, tmp_path):
     ka = KnossosArray(path, cube_edge=8)
     assert ka.shape == (10, 20, 12)
     np.testing.assert_array_equal(ka[:, :, :], vol)
+
+
+def test_flip_applies_without_warp(rng):
+    """flip=True acts on UNWARPED draws (it was silently inert when the
+    warp gate didn't fire): patches are exact axis-reversed voxel crops,
+    and targets follow the same flip."""
+    from elektronn2_tpu.data import BatchCreatorImage
+    size = 32
+    raw = rng.rand(1, size, size, size).astype(np.float32)
+    lab = (raw[0] > 0.5).astype(np.int16)
+    bc = BatchCreatorImage(input_data=[raw], target_data=[lab])
+    bc.set_geometry((9, 9, 9), (3, 3, 3))
+    flipped_seen = exact_crop = 0
+    for _ in range(12):
+        d, t = bc.getbatch(batch_size=1, warp=False, flip=True)
+        patch = d[0, 0]
+        found = None
+        vol = raw[0]
+        for fz in (1, -1):
+            for fx in (1, -1):
+                for fy in (1, -1):
+                    cand = patch[::fz, ::fx, ::fy]
+                    # locate cand as an exact crop
+                    corr = (vol[:size - 8, :size - 8, :size - 8]
+                            == cand[0, 0, 0])
+                    for z, x, y in np.argwhere(corr):
+                        if np.array_equal(
+                                vol[z:z + 9, x:x + 9, y:y + 9], cand):
+                            found = (fz, fx, fy, z, x, y)
+                            break
+                    if found:
+                        break
+                if found:
+                    break
+            if found:
+                break
+        assert found is not None, "patch is not an exact (flipped) crop"
+        fz, fx, fy, z, x, y = found
+        if (fz, fx, fy) != (1, 1, 1):
+            flipped_seen += 1
+        else:
+            exact_crop += 1
+        # target matches the same flip of the label crop
+        want = lab[z + 3:z + 6, x + 3:x + 6, y + 3:y + 6][
+            ::fz, ::fx, ::fy]
+        np.testing.assert_array_equal(t[0], want)
+    assert flipped_seen > 0            # flips actually fire without warp
+
+
+def test_knossos_negative_and_oob_int_index(tmp_path, rng):
+    """Negative integer indices normalise like ndarray (they used to read
+    the missing-cube zeros fallback silently); out-of-range ints raise."""
+    from elektronn2_tpu.data import KnossosArray
+    vol = (rng.rand(16, 16, 16) * 255).astype(np.uint8)
+    ka = KnossosArray(write_knossos(tmp_path, vol, cube_edge=8))
+    np.testing.assert_array_equal(np.asarray(ka[-1]),
+                                  np.asarray(ka[15]))
+    np.testing.assert_array_equal(np.asarray(ka[2, -3, 1:5]),
+                                  np.asarray(ka[2, 13, 1:5]))
+    with pytest.raises(IndexError):
+        ka[16]
+    with pytest.raises(IndexError):
+        ka[-17]
+
+
+def test_knossos_shape_inference_ignores_stray_files(tmp_path, rng):
+    """Directory-structure shape inference (conf without boundary lines)
+    skips stray files (.DS_Store, the conf itself) instead of crashing."""
+    from elektronn2_tpu.data import KnossosArray
+    vol = (rng.rand(16, 16, 16) * 255).astype(np.uint8)
+    root = write_knossos(tmp_path, vol, cube_edge=8)
+    (tmp_path / "testds" / "knossos.conf").write_text(
+        'experiment name "testds";\nedge length 8;\nmagnification 1;\n')
+    (tmp_path / "testds" / "mag1" / ".DS_Store").write_text("junk")
+    (tmp_path / "testds" / "mag1" / "x0000" / "stray.txt").write_text("x")
+    ka = KnossosArray(root)
+    assert ka.shape == (16, 16, 16)
+    np.testing.assert_array_equal(np.asarray(ka[:, :, :]), vol)
+
+
+def test_griddata_does_not_mutate_caller_labels(rng):
+    """GridData rasterises point labels into COPIES — the caller's arrays
+    stay pristine, and a second GridData over the same arrays derives the
+    same point label id."""
+    from elektronn2_tpu.data import GridData
+    raw = rng.rand(1, 24, 24, 24).astype(np.float32)
+    lab = (raw[0] > 0.5).astype(np.int16)
+    lab_before = lab.copy()
+    pts = [np.array([[12.0, 12.0, 12.0]])]
+    gd = GridData(input_data=[raw], target_data=[lab], grid_points=pts,
+                  point_radius=2)
+    np.testing.assert_array_equal(lab, lab_before)     # caller untouched
+    gd2 = GridData(input_data=[raw], target_data=[lab], grid_points=pts,
+                   point_radius=2)
+    # both instances rasterised the SAME new label id (max+1 == 2)
+    assert max(int(c.max()) for c in gd._all_labels) == 2
+    assert max(int(c.max()) for c in gd2._all_labels) == 2
+
+
+def test_agentdata_skeleton_cube_pairing(rng):
+    """Skeletons pair with the cube they annotate: ambiguous counts raise;
+    explicit skeleton_cube indexes the right volume."""
+    from elektronn2_tpu.data.cnndata import AgentData
+    from elektronn2_tpu.data.skeleton import SkeletonMFK
+    vols = [rng.rand(1, 32, 32, 32).astype(np.float32) for _ in range(3)]
+    labs = [(v[0] > 0.5).astype(np.int16) for v in vols]
+    ad = AgentData(input_data=vols, target_data=labs)
+    ad.set_geometry((7, 7, 7))
+    t = np.linspace(0, 2 * np.pi, 20)
+    pos = np.stack([16 + 6 * np.cos(t), 16 + 6 * np.sin(t),
+                    np.linspace(10, 22, 20)], 1)
+    ad.skeletons = [SkeletonMFK(pos, [(i, i + 1) for i in range(19)])]
+    with pytest.raises(ValueError, match="skeleton_cube"):
+        ad.get_tracing_batch(batch_size=1, n_steps=2)
+    ad.skeleton_cube = [2]
+    d, tg = ad.get_tracing_batch(batch_size=1, n_steps=2)
+    assert d.shape[:2] == (2, 1) and np.isfinite(tg).all()
+    ad.skeleton_cube = [7]
+    with pytest.raises(ValueError, match="out of range"):
+        ad.get_tracing_batch(batch_size=1, n_steps=2)

@@ -447,3 +447,22 @@ def test_tracing_trainer_fused(rng, tmp_path):
     hist2 = tr2.run()
     assert tr2.step == 6
     assert np.isfinite([row[2] for row in hist2.timeline]).all()
+
+
+def test_schedule_lindec_resume_no_double_decay():
+    """lindec resume: binding to an already-decayed checkpointed value at
+    start_step reconstructs the step-0 initial — the next update keeps the
+    original line instead of decaying twice."""
+    from elektronn2_tpu.training.trainutils import Schedule
+
+    class Obj:
+        lr = 0.5                       # checkpointed at step 5000 of 10000
+
+    s = Schedule(lindec=10000)
+    s.bind_variable(obj=Obj, prop_name="lr", start_step=5000,
+                    total_steps=10000)
+    assert abs(s._initial - 1.0) < 1e-12
+    s.update(5000, 10000)
+    assert abs(Obj.lr - 0.5) < 1e-12   # unchanged at the resume step
+    s.update(7500, 10000)
+    assert abs(Obj.lr - 0.25) < 1e-12  # original slope
