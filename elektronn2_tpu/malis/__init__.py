@@ -10,9 +10,13 @@ setup_malis.py) and a pure-numpy fallback when the extension is absent —
 the same graceful-degradation policy as the reference's optional Cython
 build.
 
-Affinity-map conventions: ``aff[e, z, y, x]`` is the affinity of voxel v to
-voxel ``v + nhood[e]``; ground-truth affinity is 1 iff both voxels carry the
-same nonzero segment id.
+Affinity-map conventions: volumes are (Z, X, Y) like everywhere else in
+this package — ``aff[e, z, x, y]`` is the affinity of voxel v to voxel
+``v + nhood[e]`` with ``nhood`` offsets in (z, x, y) column order (the
+same order the C core and ``native.py`` document); ground-truth affinity
+is 1 iff both voxels carry the same nonzero segment id. (The counting
+itself is convention-agnostic: offset column d steps axis d of the
+volume.)
 """
 
 from __future__ import annotations
@@ -38,7 +42,8 @@ def mknhood3d(radius=1):
     """Nearest-neighbour 3D edge neighbourhood.
 
     Reference: ``malis_utils.py::mknhood3d``. radius 1 → the 3 backward
-    unit edges (z, y, x).
+    unit edges; offset columns are (z, x, y), matching this package's
+    (Z, X, Y) volume layout.
     """
     if radius == 1:
         return np.array([[-1, 0, 0], [0, -1, 0], [0, 0, -1]], dtype=np.int32)
@@ -113,14 +118,14 @@ def bmap_to_affgraph(bmap, nhood):
 
 
 class _UnionFind:
-    __slots__ = ("parent", "rank", "counts", "total")
+    __slots__ = ("parent", "rank", "counts")
 
     def __init__(self, n_vox, labels):
         self.parent = np.arange(n_vox, dtype=np.int64)
         self.rank = np.zeros(n_vox, dtype=np.int8)
-        # per-root histogram of nonzero gt labels, + total voxel count
+        # per-root histogram of nonzero gt labels (unlabeled voxels join
+        # components but never count as pairs — no total is needed)
         self.counts = [{int(l): 1} if l != 0 else {} for l in labels]
-        self.total = np.ones(n_vox, dtype=np.int64)
 
     def find(self, x):
         root = x
@@ -150,7 +155,6 @@ class _UnionFind:
         for l, n in small.items():
             big[l] = big.get(l, 0) + n
         self.counts[b] = {}
-        self.total[a] += self.total[b]
         return pos, neg
 
 
@@ -169,8 +173,9 @@ def _malis_pass_np(aff, seg, nhood, count_pos):
     strides = np.array([int(np.prod(sp[d + 1:])) for d in range(len(sp))],
                        dtype=np.int64)
 
-    # enumerate valid edges: (affinity, v_idx, u_idx)
-    edge_aff, edge_v, edge_u = [], [], []
+    # enumerate valid edges: (affinity, v_idx, u_idx); masks are kept for
+    # the scatter below (rebuilding them doubled the O(E·n_vox) mask work)
+    edge_aff, edge_v, edge_u, edge_valid = [], [], [], []
     for e in range(len(nhood)):
         grids = np.meshgrid(*[np.arange(s) for s in sp], indexing="ij")
         valid = np.ones(sp, dtype=bool)
@@ -185,6 +190,7 @@ def _malis_pass_np(aff, seg, nhood, count_pos):
         edge_aff.append(aff[e][valid])
         edge_v.append(vidx)
         edge_u.append(uidx)
+        edge_valid.append(valid)
     edge_aff = np.concatenate(edge_aff)
     edge_v = np.concatenate(edge_v)
     edge_u = np.concatenate(edge_u)
@@ -198,19 +204,10 @@ def _malis_pass_np(aff, seg, nhood, count_pos):
         pos, neg = uf.union(ra, rb)
         weights[i] = pos if count_pos else neg
 
-    # scatter back into (E, *sp) layout
+    # scatter back into (E, *sp) layout (masks cached from enumeration)
     out = np.zeros((len(nhood),) + sp, dtype=np.float32)
     start = 0
-    for e in range(len(nhood)):
-        # recompute the valid mask to place weights
-        grids = np.meshgrid(*[np.arange(s) for s in sp], indexing="ij")
-        valid = np.ones(sp, dtype=bool)
-        for d in range(len(sp)):
-            o = int(nhood[e, d])
-            if o < 0:
-                valid &= grids[d] >= -o
-            elif o > 0:
-                valid &= grids[d] < sp[d] - o
+    for e, valid in enumerate(edge_valid):
         cnt = int(valid.sum())
         out[e][valid] = weights[start:start + cnt]
         start += cnt

@@ -517,16 +517,24 @@ class DeviceBatchAugmenter:
         self._host_rng = np.random.RandomState(seed)
 
     def _batch_fn(self, raws, labels, key, cube_idx, positions, warp_on,
-                  grey_on):
+                  grey_on, flip_on):
         # raws/labels are ARGUMENTS (not closed-over) so the cube stacks
         # enter the jitted program as runtime buffers, never as HLO
         # constants — closing over them embeds the full training volume in
         # every compiled program (bloats executables and compile payloads)
-        kw, kg, ke = jax.random.split(key, 3)
+        kw, kg, ke, kf = jax.random.split(key, 4)
         B = cube_idx.shape[0]
         Ms = random_warp_matrices(kw, B, amount=self.warp_amount)
-        eye = jnp.eye(4)[None]
-        Ms = jnp.where(warp_on.reshape(B, 1, 1), Ms, eye)
+        # the unwarped half of a TRAINING batch still gets random FLIPS
+        # (amount=0 → identity rot/shear/scale, flips only) — gating the
+        # whole matrix on warp_on made flips silently vanish for those
+        # samples, the same bug the host path fixed in
+        # cnndata._try_sample (review r2 s5). flip_on=False (validation)
+        # falls back to the identity.
+        Mf = jnp.where(flip_on,
+                       random_warp_matrices(kf, B, amount=0.0),
+                       jnp.eye(4)[None])
+        Ms = jnp.where(warp_on.reshape(B, 1, 1), Ms, Mf)
         use_elastic = self.elastic_sigma > 0
         if use_elastic:
             fields = random_elastic_fields(ke, B, self.patch_size,
@@ -567,6 +575,30 @@ class DeviceBatchAugmenter:
         self._host_rng = np.random.RandomState(mix)
         return self
 
+    def _safe_margin(self):
+        """Position margin covering the WORST-CASE warp: rotation (patch
+        diagonal) × scale (≤ 1+0.2·amount) × shear (≤ 1+0.2·amount) +
+        elastic displacement. The old ``diag/2 + 2`` was the unwarped
+        bound, so strong warps near cube borders silently read the zero
+        padding / clamped border (review r2 s5 — the host path's OOB
+        retry rejects exactly those positions). Cubes smaller than twice
+        this margin still clamp (fixed-shape device sampling cannot
+        retry) — that residual border artifact is documented
+        distribution-grade behaviour."""
+        a = float(self.warp_amount)
+        m = (np.linalg.norm(self.patch_size) / 2
+             * (1.0 + 0.2 * a) * (1.0 + 0.2 * a))
+        return float(m + getattr(self, "_elastic_margin", 0) + 2)
+
+    def _align_unwarped(self, pos, warp_on):
+        """Integer-align the positions of non-warped samples so identity/
+        flip-only patches are EXACT voxel crops (fractional positions put
+        every nominally-unaugmented sample through interpolation blur —
+        review r2 s5; mirrors cnndata._try_sample's alignment)."""
+        p = jnp.asarray(self.patch_size, jnp.float32)
+        aligned = jnp.floor(pos - (p - 1) / 2) + (p - 1) / 2
+        return jnp.where(jnp.asarray(warp_on).reshape(-1, 1), pos, aligned)
+
     # ---- device-side sampling (for fused multi-step training loops) ----
     def _sample_device(self, key, batch_size, warp_prob):
         """Traced analog of ``getbatch``'s host sampling: cube indices,
@@ -574,20 +606,21 @@ class DeviceBatchAugmenter:
         ki, kp, kw = jax.random.split(key, 3)
         pool = jnp.asarray(self.train_cubes, jnp.int32)
         idx = pool[jax.random.randint(ki, (batch_size,), 0, len(pool))]
-        margin = float(np.linalg.norm(self.patch_size) / 2 + 2)
+        margin = self._safe_margin()
         sh = jnp.asarray(self.cube_shapes, jnp.float32)       # (n_cubes, 3)
         lo_all = jnp.minimum(margin, sh / 2 - 1)
         lo = lo_all[idx]
         hi = sh[idx] - lo_all[idx]
         u = jax.random.uniform(kp, (batch_size, 3))
         pos = lo + u * (hi - lo)
+        warp_on = jax.random.bernoulli(kw, warp_prob, (batch_size,))
+        pos = self._align_unwarped(pos, warp_on)
         if self._is_2d:
             pos = pos.at[:, 0].set(0.0)
-        warp_on = jax.random.bernoulli(kw, warp_prob, (batch_size,))
         return idx, pos, warp_on
 
     def device_batch(self, key, batch_size, warp=0.5, grey=True,
-                     raws=None, labels=None):
+                     flip=True, raws=None, labels=None):
         """Fully-traced batch production: sampling + augmentation in one
         pure function of ``key`` — the building block of
         ``training.fused_loop`` (one device dispatch for many training
@@ -604,7 +637,8 @@ class DeviceBatchAugmenter:
                                    labels if labels is not None
                                    else self.labels,
                                    kb, idx, pos, warp_on,
-                                   jnp.asarray(bool(grey)))
+                                   jnp.asarray(bool(grey)),
+                                   jnp.asarray(bool(flip)))
         return self._squeeze_2d(data, tgt)
 
     def _squeeze_2d(self, data, tgt):
@@ -613,7 +647,8 @@ class DeviceBatchAugmenter:
             tgt = tgt[:, 0] if tgt.ndim == 4 else tgt[..., 0, :, :]
         return data, tgt
 
-    def getbatch(self, batch_size=1, warp=0.5, source="train", **_ignored):
+    def getbatch(self, batch_size=1, warp=0.5, source="train", flip=True,
+                 **_ignored):
         """Host-side driver: sample cubes/positions, run the jitted batch fn.
 
         ``source='valid'`` samples the held-out cubes (``valid_cubes``) with
@@ -628,7 +663,7 @@ class DeviceBatchAugmenter:
         else:
             pool = self.train_cubes
         idx = np.asarray(pool)[rng.randint(0, len(pool), size=batch_size)]
-        margin = np.linalg.norm(self.patch_size) / 2 + 2
+        margin = self._safe_margin()
         pos = np.empty((batch_size, 3), np.float32)
         for b, i in enumerate(idx):
             sh = self.cube_shapes[i]
@@ -636,10 +671,15 @@ class DeviceBatchAugmenter:
             pos[b] = rng.uniform(lo, sh - lo)
         warp_on = rng.rand(batch_size) < (1.0 if warp is True else
                                           float(warp or 0.0))
+        p = np.asarray(self.patch_size, np.float64)
+        aligned = np.floor(pos - (p - 1) / 2) + (p - 1) / 2
+        pos = np.where(warp_on[:, None], pos, aligned).astype(np.float32)
         if self._is_2d:
             pos[:, 0] = 0.0
         self.key, sub = jax.random.split(self.key)
         data, tgt = self._fn(self.raws, self.labels, sub, jnp.asarray(idx),
                              jnp.asarray(pos), jnp.asarray(warp_on),
-                             jnp.asarray(source == "train"))
+                             jnp.asarray(source == "train"),
+                             jnp.asarray(bool(flip)
+                                         and source == "train"))
         return self._squeeze_2d(data, tgt)

@@ -110,6 +110,16 @@ def _build_spatial_parts(model, mesh, data_axis, space_axis, model_axis):
             raise ValueError(f"node {node.name}: MFP training under "
                              "z-sharding is unsupported (train plain, "
                              "infer with predict_dense_sharded)")
+        if getattr(node, "batch_normalisation", False) \
+                or type(node).__name__ == "BatchNorm":
+            # train-mode BN statistics would include the last rank's
+            # zero-halo garbage rows (loss masking protects the loss,
+            # not the stats) — silently biased normalisation and running
+            # stats (review r2 s5); reject instead
+            raise ValueError(f"node {node.name}: BatchNorm training "
+                             "under z-sharding is unsupported (batch "
+                             "stats would include invalid halo rows); "
+                             "train unsharded or drop BN")
     fov_z = pred.shape.fov[0]
     n_space = mesh.shape[space_axis]
     n_data = mesh.shape[data_axis]

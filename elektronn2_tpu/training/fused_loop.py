@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def make_fused_trainstep(model, augmenter, batch_size, n_inner, warp=0.5,
+def make_fused_trainstep(model, augmenter, batch_size, n_inner, warp=0.5, flip=True,
                          grey=True):
     """Build ``fused(params, opt_state, state, key, hyper, raws, labels)
     -> (losses(K,), errors(K,) | None, params, opt_state, state)``.
@@ -48,8 +48,8 @@ def make_fused_trainstep(model, augmenter, batch_size, n_inner, warp=0.5,
             params, opt_state, state = carry
             kb, kr = jax.random.split(k)
             data, tgt = augmenter.device_batch(kb, batch_size, warp=warp,
-                                               grey=grey, raws=raws,
-                                               labels=labels)
+                                               grey=grey, flip=flip,
+                                               raws=raws, labels=labels)
             feed = {inp_name: data}
             if tgt_name is not None:
                 feed[tgt_name] = tgt
@@ -71,14 +71,15 @@ class FusedTrainLoop:
     and plumbs the model's params/opt_state/state through each chunk."""
 
     def __init__(self, model, augmenter, batch_size, n_inner, warp=0.5,
-                 grey=True, seed=0):
+                 grey=True, flip=True, seed=0):
         if int(n_inner) < 1:
             raise ValueError(f"n_inner must be >= 1, got {n_inner}")
         self.model = model
         self._augmenter = augmenter
         self.n_inner = int(n_inner)
         self._fn = make_fused_trainstep(model, augmenter, batch_size,
-                                        self.n_inner, warp=warp, grey=grey)
+                                        self.n_inner, warp=warp, grey=grey,
+                                        flip=flip)
         self._key = jax.random.PRNGKey(int(seed))
         self._has_err = model.error_node is not None
 

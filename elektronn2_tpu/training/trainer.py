@@ -393,8 +393,10 @@ class Trainer:
                 raise ValueError("TBPTT state carry requires a host-fed "
                                  "data source (no device_batch)")
             warp = self.data_batch_args.get("warp", 0.5)
+            flip = self.data_batch_args.get("flip", True)
             loop = FusedTrainLoop(model, self.data, self.batch_size,
-                                  n_inner, warp=warp, seed=loop_seed)
+                                  n_inner, warp=warp, flip=flip,
+                                  seed=loop_seed)
             mode = "device-sampled"
         else:
             loop = HostFedFusedLoop(model, self.data, self.batch_size,

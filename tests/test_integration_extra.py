@@ -424,16 +424,16 @@ def test_neuro3d_pod_example_config(tmp_path):
     import elektronn2_tpu.data as dmod
     tr = Trainer(model=cfg.create_model(),
                  data=dmod.DeviceBatchAugmenter(**cfg.data_init_kwargs),
-                 batch_size=cfg.batch_size, n_steps=30, history_freq=0,
+                 batch_size=cfg.batch_size, n_steps=64, history_freq=0,
                  save_freq=0, n_workers=0, save_path=str(tmp_path),
                  save_name="pod", mesh_axes=cfg.mesh_axes,
                  fused_steps=8,     # DP mesh + fused chunks compose
-                 optimiser="Adam", optimiser_params={"lr": 1e-3},
-                 data_batch_args={"warp": 0.0})
+                 optimiser="Adam", optimiser_params={"lr": 2e-3},
+                 data_batch_args={"warp": 0.0, "flip": False})
     assert tr.model._mesh is not None          # mesh_axes was applied
     hist = tr.run()
     losses = [row[2] for row in hist.timeline]
-    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
 
 
 def test_tracing3d_example_config(tmp_path, monkeypatch):

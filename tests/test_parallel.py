@@ -962,3 +962,26 @@ def test_gpipe_trainstep_depth_fuzz(rng):
         np.testing.assert_allclose(np.asarray(new_p["c0"]["w"]),
                                    np.asarray(m_ref.params["c0"]["w"]),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_training_rejects_batchnorm():
+    """BN train-mode statistics would include the last rank's zero-halo
+    garbage rows under z-sharding — construction must raise."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.parallel import (make_mesh,
+                                         make_spatial_dp_trainstep)
+    nm.model_manager.reset(seed=1)
+    inp = nm.Input([2, 1, 8, 12, 12], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 1, batch_normalisation=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=1e-2)
+    mesh = make_mesh({"data": 2, "space": 2}, n_devices=4)
+    with pytest.raises(ValueError, match="BatchNorm"):
+        make_spatial_dp_trainstep(m, mesh)

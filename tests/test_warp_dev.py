@@ -402,3 +402,63 @@ def test_separable_fold_boundary_and_flips(rng):
         a = np.asarray(warp_patch(src, M, pos, (8, 14, 14)))
         b = np.asarray(warp_patch_separable(src, M, pos, (8, 14, 14)))
         assert np.abs(a - b).max() < 2e-3, f"case {i}"
+
+
+def test_device_unwarped_train_patches_are_exact_flipped_crops(rng):
+    """Review r2 s5 fixes, device path: warp=0 TRAIN patches are exact
+    voxel crops up to axis flips — integer-aligned positions (no
+    interpolation blur) AND flips fire without the warp gate."""
+    raws = [rng.rand(1, 24, 24, 24).astype(np.float32)]
+    labs = [(raws[0][0] > 0.5).astype(np.int32)]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(7, 7, 7),
+                               target_size=(3, 3, 3), grey_channels=None,
+                               resample="gather")
+    vol = raws[0][0]
+    flipped = identity = 0
+    for draw in range(6):
+        d, _ = aug.getbatch(batch_size=2, warp=0.0)
+        for b in range(2):
+            patch = np.asarray(d[b, 0])
+            found = None
+            for fz in (1, -1):
+                for fx in (1, -1):
+                    for fy in (1, -1):
+                        cand = patch[::fz, ::fx, ::fy]
+                        hits = np.argwhere(
+                            np.isclose(vol[:18, :18, :18], cand[0, 0, 0],
+                                       atol=1e-6))
+                        for z, x, y in hits:
+                            if np.allclose(vol[z:z + 7, x:x + 7, y:y + 7],
+                                           cand, atol=1e-5):
+                                found = (fz, fx, fy)
+                                break
+                        if found:
+                            break
+                    if found:
+                        break
+                if found:
+                    break
+            assert found is not None, "patch not an exact (flipped) crop"
+            if found != (1, 1, 1):
+                flipped += 1
+            else:
+                identity += 1
+    assert flipped > 0      # flips fire on unwarped draws
+
+
+def test_device_validation_batches_are_unflipped_exact_crops(rng):
+    """source='valid' stays augmentation-free: exact UNflipped crops."""
+    raws = [rng.rand(1, 24, 24, 24).astype(np.float32) for _ in range(2)]
+    labs = [(r[0] > 0.5).astype(np.int32) for r in raws]
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=(7, 7, 7),
+                               target_size=(3, 3, 3), grey_channels=[0],
+                               valid_cubes=[1], resample="gather")
+    d, _ = aug.getbatch(batch_size=4, source="valid")
+    vol = raws[1][0]
+    for b in range(4):
+        patch = np.asarray(d[b, 0])
+        hits = np.argwhere(np.isclose(vol[:18, :18, :18], patch[0, 0, 0],
+                                      atol=1e-6))
+        ok = any(np.allclose(vol[z:z + 7, x:x + 7, y:y + 7], patch,
+                             atol=1e-5) for z, x, y in hits)
+        assert ok, "validation patch is not an exact unflipped crop"
