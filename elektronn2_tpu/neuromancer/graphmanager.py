@@ -89,8 +89,16 @@ class GraphManager:
         if name not in self.nodes and name not in self._name_counters:
             self._name_counters[name] = 0
             return name
-        self._name_counters[name] = self._name_counters.get(name, 0) + 1
-        return f"{name}{self._name_counters[name]}"
+        # the counter-suffixed candidate can collide with an explicitly
+        # named node (e.g. user-named 'conv1' + two auto 'conv's) —
+        # advance until actually free (review r2 s5)
+        c = self._name_counters.get(name, 0)
+        while True:
+            c += 1
+            cand = f"{name}{c}"
+            if cand not in self.nodes:
+                self._name_counters[name] = c
+                return cand
 
     def register(self, node):
         if node.name in self.nodes:

@@ -677,7 +677,7 @@ def check_conv_dense_supported(pred):
 
 
 def convolutional_dense_forward(model, vol, params=None, state=None,
-                                pad_raw=False):
+                                pad_raw=False, quant_calibrate=None):
     """Dense prediction for decoder (U-Net) graphs by whole-volume
     convolutional application.
 
@@ -725,7 +725,8 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
         vol = jnp.pad(vol, [(0, 0)] + [(l, h) for l, h in zip(lo, hi)],
                       mode="reflect")
         y = convolutional_dense_forward(model, vol, params=params,
-                                        state=state)
+                                        state=state,
+                                        quant_calibrate=quant_calibrate)
         return y[(slice(None),) + tuple(
             slice(l - o, l - o + v) for l, o, v in zip(lo, off, V))]
     want_out = [v - f + 1 for v, f in zip(V, fov)]
@@ -752,8 +753,14 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
                    compute_dtype=getattr(model, "_compute_dtype", None))
     # int8 quantised serving extends to this path because it is
     # whole-volume (one trace, global activation scales — no tile seams);
-    # the tiled fallback keeps f32 (see neural.Conv._compute)
-    ctx.quant_serving = getattr(model, "_compute_dtype", None) == "int8"
+    # the tiled fallback keeps f32 (see neural.Conv._compute).
+    # ``quant_calibrate``: record per-conv input maxima in an EAGER f32
+    # pass instead of quantising (Model.calibrate_int8's decoder-graph
+    # leg); calibrated scales ride ctx.quant_scales into the conv nodes.
+    ctx.quant_serving = (getattr(model, "_compute_dtype", None) == "int8"
+                         and quant_calibrate is None)
+    ctx.quant_calibrate = quant_calibrate
+    ctx.quant_scales = getattr(model, "_quant_scales", None)
     y = ctx.get(pred)[0]
     return y[(slice(None),) + tuple(slice(0, w) for w in want_out)]
 
@@ -887,13 +894,34 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     rshape = [b - a for a, b in region]
     fov = list(model.prediction_node.shape.fov)
     f_out = model.prediction_node.shape["f"]
+    # valid-size period M (the largest cumulative stride in the graph):
+    # decoder (UpConv) graphs are shift-equivariant only MODULO M, so
+    # every slab must start on the same M-grid as the whole-volume run —
+    # the old (fov-1)//2 halo is odd for typical U-Nets, which silently
+    # phase-shifted each slab's pooling grid (measured 0.36 max diff vs
+    # the whole-volume sweep in f32; review r2 s5 follow-up). Slab
+    # origins (multiples of step) and the front halo are therefore
+    # rounded to M-multiples; write_back trims the delta. Dilated-path
+    # graphs are phase-exact by construction — the extra ≤M-1 halo rows
+    # are harmless there.
+    M = [1] * 3
+    for node in model.prediction_node.all_parents():
+        st = getattr(node.shape, "strides", None)
+        if st is not None and len(st) == 3:
+            M = [max(m, int(s)) for m, s in zip(M, st)]
     if step is None:
         step = [min(r, s) for r, s in zip(rshape, (64, 384, 384))]
+    if any(int(s) % m for s, m in zip(step, M)):
+        step = [min(r, -(-int(s) // m) * m)
+                for s, m, r in zip(step, M, rshape)]
+        logger.info(f"sweep_knossos: step rounded to the valid-size "
+                    f"period {M} -> {step} (slab phase consistency)")
     if out is None:
         out = np.zeros([f_out] + rshape, np.float32)
 
-    halo_lo = [(f - 1) // 2 for f in fov]
-    halo_hi = [f - 1 - h for f, h in zip(fov, halo_lo)]
+    halo_lo = [-(-((f - 1) // 2) // m) * m for f, m in zip(fov, M)]
+    delta = [h - (f - 1) // 2 for h, f in zip(halo_lo, fov)]
+    halo_hi = [f - 1 - (f - 1) // 2 for f in fov]
     origins = [(z0, x0, y0)
                for z0 in range(0, rshape[0], step[0])
                for x0 in range(0, rshape[1], step[1])
@@ -920,7 +948,7 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
             # would run in integer arithmetic with truncated weights
             slab = slab.astype(np.float32)
         pads = [(0, 0)]
-        want = [step[d] + fov[d] - 1 for d in range(3)]
+        want = [step[d] + halo_lo[d] + halo_hi[d] for d in range(3)]
         for d in range(3):
             have = slab.shape[1 + d]
             pads.append((lo_cut[d], max(0, want[d] - have - lo_cut[d])))
@@ -931,8 +959,10 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     def write_back(dense, o, i):
         dense = np.asarray(dense)       # materialise (D2H)
         n = [min(step[d], rshape[d] - o[d]) for d in range(3)]
-        out[:, o[0]:o[0] + n[0], o[1]:o[1] + n[1],
-            o[2]:o[2] + n[2]] = dense[:, :n[0], :n[1], :n[2]]
+        # dense voxel 0 sits delta rows BEFORE the origin (M-aligned halo)
+        out[:, o[0]:o[0] + n[0], o[1]:o[1] + n[1], o[2]:o[2] + n[2]] = \
+            dense[:, delta[0]:delta[0] + n[0], delta[1]:delta[1] + n[1],
+                  delta[2]:delta[2] + n[2]]
         if verbose:
             logger.info(f"sweep_knossos: slab {i + 1}/{len(origins)}")
 
@@ -1133,6 +1163,10 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                  zmajor=getattr(model, "_dilated_zmajor", False),
                  poolslice=getattr(model, "_dilated_poolslice", False),
                  act=getattr(model, "_compute_act", False))
+    # calibrated int8 activation scales are cleared by every
+    # set_compute_dtype call the grid makes — preserve them across the
+    # tune (review r2 s5); contenders measure with dynamic scales
+    saved_scales = getattr(model, "_quant_scales", None)
     # the incumbent is always measured (first), so a hand-tuned config
     # (e.g. ztap/zmajor from the r2 layout study) competes rather than
     # being silently displaced by apply=True
@@ -1220,6 +1254,8 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                                ztap=saved["ztap"], zmajor=saved["zmajor"],
                                poolslice=saved["poolslice"])
         model.set_compute_dtype(saved["dtype"], activations=saved["act"])
+        if saved["dtype"] == "int8":
+            model._quant_scales = saved_scales
     ok = [r for r in table if "mvox_s" in r]
     if not ok:
         return {"best": None, "table": table}
@@ -1232,6 +1268,10 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                                ztap=best["ztap"], zmajor=best["zmajor"],
                                poolslice=best["poolslice"])
         model.set_compute_dtype(best["dtype"], activations=best["act"])
+        if best["dtype"] == "int8":
+            # an int8 winner keeps the user's calibration (still valid:
+            # same params, same graph)
+            model._quant_scales = saved_scales
     if verbose:
         logger.info(f"tune_sweep: best {best}")
     return {"best": best, "table": table}

@@ -250,15 +250,29 @@ class Model:
         if getattr(self, "_compute_dtype", None) != "int8":
             raise ValueError("calibrate_int8 requires "
                              "set_compute_dtype('int8') first")
+        from elektronn2_tpu.neuromancer.inference import (
+            UnsupportedGraphError, convolutional_dense_forward)
         nsp = len(self.input_node.shape.spatial_axes)
         vol = jnp.asarray(vol, jnp.float32)
         if vol.ndim not in (nsp + 1, nsp + 2):
             raise ValueError(f"calibration volume rank {vol.ndim} does "
                              f"not match the {nsp}-D graph")
         scales = {}
-        dilated_dense_forward(self, vol, batch=(vol.ndim == nsp + 2),
-                              params=self.params, state=self.state,
-                              quant_calibrate=scales)
+        try:
+            dilated_dense_forward(self, vol, batch=(vol.ndim == nsp + 2),
+                                  params=self.params, state=self.state,
+                                  quant_calibrate=scales)
+        except (UnsupportedGraphError, ValueError):
+            # decoder (U-Net) graphs live outside the dilated path —
+            # calibrate through the whole-volume convolutional trace
+            # instead (same conv-input maxima; review r2 s5: without
+            # this leg U-Net int8 sweeps were stuck on per-slab dynamic
+            # scales, i.e. slab-face seams)
+            scales = {}
+            v = vol[0] if vol.ndim == nsp + 2 else vol
+            convolutional_dense_forward(self, v, params=self.params,
+                                        state=self.state, pad_raw=True,
+                                        quant_calibrate=scales)
         if not scales:
             raise ValueError("calibration pass reached no Conv nodes")
         self._quant_scales = scales
@@ -988,8 +1002,21 @@ def rebuild_model(model, override_mfp_to_active=False,
                       if getattr(o, "shape", None) == n.shape else n
                       for o, n in zip(old_leaves, new_leaves)]
             new.opt_state = jax.tree_util.tree_unflatten(treedef, merged)
+    # carry the FULL serving configuration, not just the dtype — dropping
+    # the lowering knobs silently reverted a tuned model to the default
+    # 'direct' program on rebuild (review r2 s5)
     new._compute_dtype = model._compute_dtype
+    new._compute_act = getattr(model, "_compute_act", False)
     new._remat = model._remat
+    new._dilated_impl = getattr(model, "_dilated_impl", "direct")
+    new._dilated_zfold = getattr(model, "_dilated_zfold", False)
+    new._dilated_ztap = getattr(model, "_dilated_ztap", False)
+    new._dilated_zmajor = getattr(model, "_dilated_zmajor", False)
+    new._dilated_poolslice = getattr(model, "_dilated_poolslice", False)
+    # calibrated int8 scales are per-conv-INPUT maxima: params carry over
+    # unchanged, but an imposed patch/mfp change alters the activation
+    # distribution geometry only, not its magnitudes — still valid
+    new._quant_scales = getattr(model, "_quant_scales", None)
     return new
 
 
@@ -1011,6 +1038,14 @@ def simple_cnn(batch_size, n_ch, n_lab, desired_input, filters, pools,
     inp = nb.Input([batch_size, n_ch] + list(patch), tags, name="raw")
     x = inp
     dropout_rates = dropout_rates or [0.0] * len(filters)
+    # zip() stops at the shortest list — a short nof_filters/dropout_rates
+    # would silently TRUNCATE the network (review r2 s5)
+    for nm_, seq in (("pools", pools), ("nof_filters", nof_filters),
+                     ("dropout_rates", dropout_rates)):
+        if len(seq) != len(filters):
+            raise ValueError(
+                f"simple_cnn: {nm_} has {len(seq)} entries but filters "
+                f"has {len(filters)} — per-layer lists must align")
     for i, (f, p, nf, dr) in enumerate(
             zip(filters, pools, nof_filters, dropout_rates)):
         x = neural.Conv(x, nf, f, p, activation_func=activation_func,

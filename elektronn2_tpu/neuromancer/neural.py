@@ -281,14 +281,21 @@ class Conv(Node, _BNMixin):
             # filter's z halo from the next rank; output keeps z_local rows
             from elektronn2_tpu.parallel.halo import halo_gather
             x = halo_gather(x, self.filter_shape[0] - 1, halo_axis)
+        qc = getattr(ctx, "quant_calibrate", None)
+        if qc is not None:          # eager f32 calibration pass
+            qc[self.name] = float(jnp.max(jnp.abs(x)))
         if getattr(ctx, "quant_serving", False):
             # int8 quantised WHOLE-VOLUME serving (conv-dense path for
             # decoder graphs): one trace per volume, so the dynamic
             # activation scale is global — per-TILE scales would seam a
             # stitched output, which is why the tiled fallback never sets
-            # this flag (inference.py::convolutional_dense_forward)
+            # this flag (inference.py::convolutional_dense_forward).
+            # Calibrated static scales (ctx.quant_scales) take precedence
+            # — they make slab sweeps seam-free and grid-invariant.
             from elektronn2_tpu.ops.conv import quantized_conv
-            y = quantized_conv(x, w) \
+            y = quantized_conv(
+                x, w, x_absmax=(getattr(ctx, "quant_scales", None)
+                                or {}).get(self.name)) \
                 + b.reshape((1, -1) + (1,) * (x.ndim - 2))
         elif ctx.compute_dtype is not None:
             # mixed precision: bf16 operands on the MXU (internal f32
@@ -417,12 +424,18 @@ class UpConv(Node):
     def _compute(self, ctx, x):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
+        qc = getattr(ctx, "quant_calibrate", None)
+        if qc is not None:          # eager f32 calibration pass
+            qc[self.name] = float(jnp.max(jnp.abs(x)))
         if getattr(ctx, "quant_serving", False):
             # int8 whole-volume serving (see Conv._compute): transposed
             # convs quantise the same way — int8 operands, int32 accum
             from elektronn2_tpu.ops.conv import quantized_conv
             y = quantized_conv(x, w, conv_fn=ops_upconv,
-                               pool_shape=self.pool_shape)
+                               pool_shape=self.pool_shape,
+                               x_absmax=(getattr(ctx, "quant_scales",
+                                                 None)
+                                         or {}).get(self.name))
         else:
             y = ops_upconv(x, w, self.pool_shape)
         y = y + b.reshape((1, -1) + (1,) * (x.ndim - 2))

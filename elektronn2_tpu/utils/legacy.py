@@ -16,6 +16,7 @@ name/shape matching (``import_params``).
 from __future__ import annotations
 
 import pickle
+import re
 
 import numpy as np
 
@@ -64,6 +65,14 @@ def import_params(model, arrays, strict=False):
     DISTINCT arrays (re-using the first match for all of them would
     silently duplicate one layer's weights across the net).
     """
+    def _name_match(key, nname, pname):
+        # whole-token match (split on non-alphanumerics, case-insensitive):
+        # substring containment with 1-char param names ('w' inside
+        # 'gamma_weights') mis-assigned same-shaped arrays and suppressed
+        # the shape-only warning (review r2 s5)
+        toks = {t.lower() for t in re.split(r"[^0-9a-zA-Z]+", key) if t}
+        return nname.lower() in toks or pname.lower() in toks
+
     n_loaded = 0
     consumed = set()
     for nname, pdict in model.params.items():
@@ -73,13 +82,13 @@ def import_params(model, arrays, strict=False):
             for k, v in arrays.items():
                 if k in consumed or v.shape != want_shape:
                     continue
-                if pname in k or nname in k:
+                if _name_match(k, nname, pname):
                     match_key = k
                     break
                 if match_key is None:
                     match_key = k     # shape-only candidate; keep looking
             if match_key is not None:
-                if not (pname in match_key or nname in match_key):
+                if not _name_match(match_key, nname, pname):
                     logger.warning(
                         f"legacy import: {nname}/{pname} matched "
                         f"{match_key!r} by shape only — verify the mapping")

@@ -875,3 +875,73 @@ def test_int8_tiled_fallback_warns(rng):
     out = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
     assert np.isfinite(out).all()
     assert getattr(m, "_warned_int8_tiled", False)
+
+
+def test_int8_unet_calibrated_sweep_seam_free(rng, tmp_path):
+    """Decoder graphs calibrate through the conv-dense trace (the dilated
+    path can't express UpConv), so U-Net int8 sweeps also become
+    seam-free: sweep == whole-volume int8 exactly, for any slab grid.
+    Uses the EXACT-fov Crop+Concat topology (FaithlessMerge under-reports
+    fov, so its slab sweeps differ at borders already in f32 — a
+    documented approximation, not a quantisation property)."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    inp = nm.Input([1, 1, 4, 16, 16], "b,f,z,x,y", name="raw")
+    c0 = nm.Conv(inp, 4, (1, 3, 3), 1, name="c0")             # xy 14
+    c1 = nm.Conv(c0, 8, (1, 3, 3), (1, 2, 2), name="c1")      # 12 -> 6
+    c2 = nm.Conv(c1, 8, (1, 3, 3), 1, name="c2")              # 4
+    up = nm.UpConv(c2, 4, (1, 2, 2), name="up")               # 8
+    skip = nm.Crop(c0, [(0, 0), (3, 3), (3, 3)], name="skip")  # 14 -> 8
+    merged = nm.Concat([up, skip], name="cat")
+    dec = nm.Conv(merged, 8, (1, 3, 3), 1, name="dec")        # 6
+    probs = nm.Softmax(nm.Conv(dec, 2, 1, 1, activation_func="lin",
+                               name="cls"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    assert tuple(probs.shape.fov) == (1, 12, 12)    # exact bookkeeping
+    m.set_compute_dtype("int8")
+    vol = (rng.rand(8, 24, 24) * 255).astype(np.uint8)
+    ka = KnossosArray(write_knossos(tmp_path, vol, cube_edge=8))
+    volf = jnp.asarray(vol[None].astype(np.float32) / 255.0)
+    out = m.sweep_knossos(ka, step=[4, 12, 12])      # auto-calibrates
+    assert m._quant_scales and "up" in m._quant_scales
+    ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
+    np.testing.assert_array_equal(out, ref)
+    out2 = m.sweep_knossos(ka, step=[8, 24, 12])     # different grid
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_tune_sweep_preserves_calibration(rng):
+    """tune_sweep must not destroy calibrated int8 scales (every
+    set_compute_dtype call in the grid clears them): restored on
+    apply=False, and kept when the winner is int8."""
+    from elektronn2_tpu.neuromancer.inference import tune_sweep
+    m = _int8_probe_model()
+    m.set_compute_dtype("int8")
+    vol = jnp.asarray(rng.rand(1, 16, 28, 28).astype(np.float32))
+    m.calibrate_int8(vol)
+    scales = dict(m._quant_scales)
+    tune_sweep(m, steps=[(6, 10, 10)], slab_batches=(1,), K=1,
+               verbose=False)
+    assert m._quant_scales == scales          # apply=False: restored
+    res = tune_sweep(m, steps=[(6, 10, 10)], slab_batches=(1,), K=1,
+                     apply=True, verbose=False,
+                     lowerings=[("s2bg", True, "int8")])
+    assert res["best"]["dtype"] == "int8"
+    assert m._quant_scales == scales          # int8 winner keeps them
+
+
+def test_rebuild_model_carries_serving_config(rng):
+    """rebuild_model carries the FULL serving knob set (lowering, act
+    storage, calibration), not just the dtype."""
+    from elektronn2_tpu.neuromancer.model import rebuild_model
+    m = _int8_probe_model()
+    m.set_opt("SGD", lr=1e-2)
+    m.set_dilated_impl("s2bg", zfold=True)
+    m.set_compute_dtype("int8")
+    m.calibrate_int8(jnp.asarray(rng.rand(1, 16, 28, 28)
+                                 .astype(np.float32)))
+    m2 = rebuild_model(m)
+    assert m2._dilated_impl == "s2bg" and m2._dilated_zfold is True
+    assert m2._compute_dtype == "int8"
+    assert m2._quant_scales == m._quant_scales

@@ -630,3 +630,27 @@ def test_spec_roundtrip_fuzz_decoder(rng, tmp_path):
         m.save(f)
         got = np.asarray(modelload(f).predict(x))
         np.testing.assert_array_equal(got, want)
+
+
+def test_unique_name_skips_explicit_collisions():
+    """Auto-suffixed names must not collide with explicitly-named nodes."""
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    a = nm.Conv(inp, 2, 3, 1, name="conv1")       # explicit
+    b = nm.Conv(inp, 2, 3, 1, name="conv")        # auto: 'conv'
+    c = nm.Conv(inp, 2, 3, 1, name="conv")        # auto: must skip conv1
+    names = {a.name, b.name, c.name}
+    assert len(names) == 3 and "conv1" in names and "conv2" in names
+
+
+def test_simple_cnn_rejects_misaligned_lists():
+    from elektronn2_tpu.neuromancer.model import simple_cnn
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset()
+    with pytest.raises(ValueError, match="nof_filters"):
+        simple_cnn(1, 1, 2, 31, filters=[3, 3, 3], pools=[2, 2, 1],
+                   nof_filters=[4, 8], ndim=2)
+    with pytest.raises(ValueError, match="dropout_rates"):
+        simple_cnn(1, 1, 2, 31, filters=[3, 3], pools=[2, 1],
+                   nof_filters=[4, 8], dropout_rates=[0.1], ndim=2)

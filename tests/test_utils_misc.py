@@ -338,3 +338,24 @@ def test_predict_cli_int8_sweep(tmp_path, rng):
     assert (pred.argmax(0) == ref.argmax(0)).mean() > 0.97
     with pytest.raises(SystemExit):
         main([mdl, kdir, "--cpu", "--int8", "--bf16"])
+
+
+def test_legacy_import_token_name_matching(tmp_path):
+    """Legacy name matching is whole-token: 'w' must not match inside
+    'gamma_weights' (substring matching assigned the wrong same-shaped
+    array and suppressed the shape-only warning)."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.utils.legacy import import_params
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 12, 12], "b,f,x,y", name="raw")
+    c = nm.Conv(inp, 4, 3, 1, name="conv")
+    probs = nm.Softmax(nm.Conv(c, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    w_shape = np.shape(m.params["conv"]["w"])
+    rngl = np.random.RandomState(0)
+    right = rngl.randn(*w_shape).astype(np.float32)
+    decoy = rngl.randn(*w_shape).astype(np.float32)
+    arrays = {"gamma_weights": decoy, "conv_w": right}
+    import_params(m, arrays)
+    np.testing.assert_array_equal(np.asarray(m.params["conv"]["w"]), right)
