@@ -945,3 +945,33 @@ def test_rebuild_model_carries_serving_config(rng):
     assert m2._dilated_impl == "s2bg" and m2._dilated_zfold is True
     assert m2._compute_dtype == "int8"
     assert m2._quant_scales == m._quant_scales
+
+
+def test_unet_sweep_matches_whole_volume_f32(rng, tmp_path):
+    """f32 lock of the M-grid staging fix: decoder-graph slab sweeps equal
+    the whole-volume convolutional run exactly (slabs staged off the
+    valid-size-period grid phase-shifted the pooling lattice: 0.36 max
+    diff before the fix)."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    inp = nm.Input([1, 1, 4, 16, 16], "b,f,z,x,y", name="raw")
+    c0 = nm.Conv(inp, 4, (1, 3, 3), 1, name="c0")
+    c1 = nm.Conv(c0, 8, (1, 3, 3), (1, 2, 2), name="c1")
+    c2 = nm.Conv(c1, 8, (1, 3, 3), 1, name="c2")
+    up = nm.UpConv(c2, 4, (1, 2, 2), name="up")
+    skip = nm.Crop(c0, [(0, 0), (3, 3), (3, 3)], name="skip")
+    merged = nm.Concat([up, skip], name="cat")
+    dec = nm.Conv(merged, 8, (1, 3, 3), 1, name="dec")
+    probs = nm.Softmax(nm.Conv(dec, 2, 1, 1, activation_func="lin",
+                               name="cls"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    vol = (rng.rand(8, 24, 24) * 255).astype(np.uint8)
+    ka = KnossosArray(write_knossos(tmp_path, vol, cube_edge=8))
+    volf = jnp.asarray(vol[None].astype(np.float32) / 255.0)
+    ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
+    out = m.sweep_knossos(ka, step=[4, 12, 12])
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # an odd step gets rounded to the M-grid and still matches
+    out2 = m.sweep_knossos(ka, step=[4, 11, 13])
+    np.testing.assert_allclose(out2, ref, atol=1e-6)
