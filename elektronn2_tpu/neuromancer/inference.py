@@ -102,6 +102,31 @@ def _functor_spatially_elementwise(node, n_ch):
     return ok
 
 
+def _tile_geometry(V, tile_in, g, dense_sp, fov, nsp):
+    """Shared overlap-tiling arithmetic for the host (``predict_dense``)
+    and device (``predict_dense_device`` fallback) tiled sweeps. Kept in
+    ONE place on purpose: the device path is the oracle-equivalent of the
+    host path only while this geometry stays bit-identical (review r2
+    s5 — the two previously carried near-verbatim copies).
+
+    Returns ``(pad_r, out_total, origins)``: right-alignment padding per
+    dim (so the last tile lands on the dense grid), total dense output
+    extents, and the g-aligned, volume-clamped tile input origins."""
+    pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
+    Vp = [v + p for v, p in zip(V, pad_r)]
+    out_total = [(Vp[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
+    span = [dense_sp[d] * g[d] for d in range(nsp)]
+    n_tiles = [max(1, -(-out_total[d] // dense_sp[d])) for d in range(nsp)]
+    origins = []
+    for idx in itertools.product(*[range(n) for n in n_tiles]):
+        o = []
+        for d in range(nsp):
+            i0 = min(idx[d] * span[d], Vp[d] - tile_in[d])
+            o.append((i0 // g[d]) * g[d])
+        origins.append(tuple(o))
+    return pad_r, out_total, origins
+
+
 def _dense_geometry(pred_shape):
     """(g, n_off, dense_sp) for a prediction TaggedShape: per-dim dense
     stride after stitching, fragment-offset counts, and per-tile dense size."""
@@ -1383,23 +1408,13 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             raise ValueError(
                 f"volume dim {d} ({V[d]}) smaller than model patch "
                 f"{tile_in[d]}; pad_raw=True may help")
-    pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
+    pad_r, out_total, origins = _tile_geometry(V, tile_in, g, dense_sp,
+                                               fov, nsp)
     if any(pad_r):
         vol = jnp.pad(vol, [(0, 0)] + [(0, p) for p in pad_r],
                       mode="reflect")
         V = list(vol.shape[1:])
-    out_total = [(V[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
-    span = [dense_sp[d] * g[d] for d in range(nsp)]
-    n_tiles = [max(1, -(-out_total[d] // dense_sp[d])) for d in range(nsp)]
     f_out = pred.shape["f"]
-
-    origins = []
-    for idx in itertools.product(*[range(n) for n in n_tiles]):
-        o = []
-        for d in range(nsp):
-            i0 = min(idx[d] * span[d], V[d] - tile_in[d])
-            o.append((i0 // g[d]) * g[d])
-        origins.append(tuple(o))
     tb = max(1, int(tile_batch))
     if len(origins) % tb:   # pad with repeats: same origin → idempotent write
         origins += [origins[-1]] * (tb - len(origins) % tb)
@@ -1540,26 +1555,15 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
                 f"volume dim {d} ({V[d]}) smaller than model patch "
                 f"{tile_in[d]}; pad_raw=True may help")
 
-    # right-align the last tile on the dense grid: pad so (V-tile)%g == 0
-    pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
+    # right-align the last tile on the dense grid + enumerate origins
+    # (shared with the device tiled path — _tile_geometry)
+    pad_r, out_total, origins = _tile_geometry(V, tile_in, g, dense_sp,
+                                               fov, nsp)
     if any(pad_r):
         raw = np.pad(raw, [(0, 0)] + [(0, p) for p in pad_r], mode="reflect")
         V = list(raw.shape[1:])
 
-    out_total = [(V[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
-    span = [dense_sp[d] * g[d] for d in range(nsp)]
-    n_tiles = [max(1, -(-out_total[d] // dense_sp[d])) for d in range(nsp)]
-
     fn = model._get_predict_fn(pred, dense=True)
-
-    # enumerate tile input origins (aligned to g, clamped to the volume)
-    origins = []
-    for idx in itertools.product(*[range(n) for n in n_tiles]):
-        o = []
-        for d in range(nsp):
-            i0 = min(idx[d] * span[d], V[d] - tile_in[d])
-            o.append((i0 // g[d]) * g[d])
-        origins.append(tuple(o))
 
     out = np.empty([f_out] + out_total, dtype=np.float32)
     total = len(origins)
