@@ -56,6 +56,7 @@ EXPERIMENT_KEYS = (
     "schedules", "model_load_path", "n_workers", "dr",
     "trainer_class", "trainer_kwargs", "data_instance",
     "fused_steps", "resume", "tensorboard", "seed", "worker_mode",
+    "mesh_axes",     # scale-out from the config surface (Model.use_mesh)
 )
 
 

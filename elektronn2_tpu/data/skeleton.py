@@ -125,13 +125,14 @@ def _build_nml(things, scale=(1.0, 1.0, 1.0), experiment="elektronn2_tpu"):
 
 def _write_nml_file(fname, things, scale=(1.0, 1.0, 1.0),
                     experiment="elektronn2_tpu", force_zip=False):
-    """Write NML — bare ``.nml``, or zipped as ``annotation.nml`` inside a
-    ``.k.zip``/``.zip`` (the KNOSSOS annotation container)."""
+    """Write NML — bare ``.nml``, or zipped as ``annotation.xml`` inside a
+    ``.k.zip``/``.zip`` (the member name KNOSSOS itself writes and
+    expects in its annotation container; our loader accepts .nml too)."""
     fname = os.fspath(fname)
     data = _build_nml(things, scale=scale, experiment=experiment)
     if force_zip or fname.endswith((".k.zip", ".zip")):
         with zipfile.ZipFile(fname, "w", zipfile.ZIP_DEFLATED) as zf:
-            zf.writestr("annotation.nml", data)
+            zf.writestr("annotation.xml", data)
     else:
         with open(fname, "wb") as f:
             f.write(data)
@@ -198,7 +199,14 @@ class SkeletonMFK:
                        z["radii"] if "radii" in z.files else None)
         if fname.endswith((".k.zip", ".zip")):
             with zipfile.ZipFile(fname) as zf:
-                nml_names = [n for n in zf.namelist() if n.endswith(".nml")]
+                # KNOSSOS itself stores the skeleton as annotation.xml;
+                # our own writer (and some tools) use .nml — accept both
+                nml_names = [n for n in zf.namelist()
+                             if n.endswith((".nml", ".xml"))]
+                if not nml_names:
+                    raise ValueError(
+                        f"{fname}: no .nml/.xml skeleton file inside the "
+                        f"zip (members: {zf.namelist()[:5]}...)")
                 data = zf.read(nml_names[0])
         else:
             with open(fname, "rb") as f:
@@ -223,7 +231,8 @@ class SkeletonMFK:
                 scale=scale)
         np.savez(fname, positions=self.positions, edges=self.edges,
                  radii=self.radii)
-        return fname
+        # np.savez appends .npz when missing — return the path it WROTE
+        return fname if fname.endswith(".npz") else fname + ".npz"
 
     def to_kzip(self, fname, scale=(1.0, 1.0, 1.0)):
         """Explicit KNOSSOS export (k.zip), regardless of extension."""
@@ -278,20 +287,24 @@ class SkeletonMFK:
         position = np.asarray(position, np.float64)
         idx, dist = self.get_closest_node(position)
         target_node = idx
+        prev = None
         for _ in range(lookahead):
-            nbrs = self._adj[target_node]
+            # never step BACK to where we came from: at a skeleton
+            # endpoint the walk used to bounce (N-1 → N → N-1), landing
+            # the target on top of the query and emitting the degenerate
+            # [0,0,1] default as a training label (review r2 s5)
+            nbrs = [n for n in self._adj[target_node] if n != prev]
             if not nbrs:
                 break
             if heading is not None:
                 h = np.asarray(heading, np.float64)
-                target_node = max(
-                    nbrs, key=lambda n: float(
-                        (self.positions[n] - position) @ h))
+                nxt = max(nbrs, key=lambda n: float(
+                    (self.positions[n] - position) @ h))
             else:
                 # walk toward the neighbour farthest from current position
-                target_node = max(
-                    nbrs, key=lambda n: np.linalg.norm(self.positions[n]
-                                                       - position))
+                nxt = max(nbrs, key=lambda n: np.linalg.norm(
+                    self.positions[n] - position))
+            prev, target_node = target_node, nxt
         vec = self.positions[target_node] - position
         n = np.linalg.norm(vec)
         return vec / n if n > 0 else np.array([0.0, 0.0, 1.0])
@@ -398,7 +411,7 @@ def clear_skeleton_registry():
 
 def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
                          source="train"):
-    """(patches, directions, states) for TracingTrainer.
+    """(patch sequences, direction targets) for TracingTrainer.
 
     For each sample: pick a skeleton + walk; at each step cut the image
     patch at the current position and compute the direction target. Returns

@@ -29,13 +29,84 @@ class CubeShape:
         return np.clip(pos, self.margin, self.shape - self.margin - 1)
 
 
-class Tracer:
+def _discover_scan(model):
+    """(scan_node, per-step input node) for a tracing model: the single
+    ScanN's sequence input for recurrent graphs, the designated input for
+    feedforward step predictors."""
+    from elektronn2_tpu.neuromancer.various import ScanN
+    nodes = getattr(model, "nodes", None)
+    if not nodes:           # duck-typed step predictor (has .predict only)
+        return None, model.input_node
+    scan = next((n for n in nodes.values()
+                 if isinstance(n, ScanN)), None)
+    if scan is not None:
+        its = scan.in_iterate
+        if len(its) != 1:
+            raise ValueError("tracing needs a ScanN with exactly one "
+                             f"sequence input, got {len(its)}")
+        return scan, its[0]
+    return None, model.input_node
+
+
+class _AgentStepper:
+    """Shared per-step model evaluation for the host ``Tracer`` and the
+    fused ``DeviceTracer``: patches (+ carried recurrent state) → step
+    prediction, routed through the model graph (the ScanN CELL for
+    recurrent models — the sequence input is bypassed entirely)."""
+
+    def _step_apply(self, params, state, patches, carry):
+        """One agent step: patches (B, f, *p) + carried state → (pred,
+        new_carry), evaluated through the model graph."""
+        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+        model, scan = self.model, self.scan_node
+        if scan is None:
+            ctx = TraceCtx(params, {self._x_node.name: patches}, rng=None,
+                           train=False, state_in=state,
+                           node_index=model._node_index)
+            return ctx.get(model.prediction_node), carry
+        ctx = TraceCtx(params, {}, rng=None, train=False, state_in=state,
+                       node_index=model._node_index)
+        for m, c in zip(scan.in_memory, carry):
+            ctx.values[m.name] = c
+        ctx.values[self._x_node.name] = patches
+        cell_out = ctx.get(scan.step_result)
+        new_carry = tuple(ctx.get(o) for o in scan.out_memory)
+        if model.prediction_node is scan:
+            return cell_out, new_carry
+        # head nodes downstream of the scan were built against the
+        # time-stacked (s, b, ...) scan shape — their static axis indices
+        # (Perceptron f-axis, prelu/maxout axes) assume that rank, so the
+        # per-step cell output is injected as a length-1 sequence
+        ctx2 = TraceCtx(params, {}, rng=None, train=False, state_in=state,
+                        node_index=model._node_index)
+        ctx2.values[scan.name] = cell_out[None]
+        return ctx2.get(model.prediction_node)[0], new_carry
+
+    def _init_carry(self, params, state, batch):
+        """Initial carried state, re-broadcast from the model's design
+        batch to the rollout batch (initial states are batch-constant)."""
+        import jax.numpy as jnp
+        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+        if self.scan_node is None:
+            return ()
+        ctx = TraceCtx(params, {}, rng=None, train=False, state_in=state,
+                       node_index=self.model._node_index)
+        vals = []
+        for m in self.scan_node.in_memory:
+            v = ctx.get(m)
+            vals.append(jnp.broadcast_to(v[:1], (batch,) + v.shape[1:]))
+        return tuple(vals)
+
+
+class Tracer(_AgentStepper):
     """Iteratively apply a step-prediction model to follow a neurite.
 
-    The model must predict a 3-vector step from an image patch (plus a
-    carried hidden state when recurrent). ``model.predict`` is called per
-    step on a batch of one agent (batching multiple agents: use
-    ``trace_many``).
+    Works for feedforward step predictors AND recurrent (ScanN) tracing
+    models: the per-step patch feeds the scan CELL directly with the
+    hidden state carried across steps (review r2 s5 — feeding the
+    sequence-shaped designated input crashed, and no state was carried).
+    One device dispatch per voxel step — use ``DeviceTracer`` for
+    production rollouts (whole batch in one dispatch).
     """
 
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
@@ -45,15 +116,19 @@ class Tracer:
         self.step_scale = float(step_scale)
         self.max_steps = int(max_steps)
         self.stop_on_oob = stop_on_oob
-        ps = model.input_node.shape.spatial_shape
+        self.scan_node, self._x_node = _discover_scan(model)
+        ps = self._x_node.shape.spatial_shape
         self.patch_size = ps
         self.cube = CubeShape(volume.shape[1:],
                               np.asarray(ps) / 2 + 1)
 
     def trace(self, seed_position):
         """Trace from a seed; returns a ``Trace``."""
+        import jax.numpy as jnp
         pos = np.asarray(seed_position, np.float64)
         trace = Trace([pos])
+        carry = (self._init_carry(self.model.params, self.model.state, 1)
+                 if hasattr(self.model, "_node_index") else ())
         for _ in range(self.max_steps):
             if not self.cube.inside(pos):
                 if self.stop_on_oob:
@@ -64,8 +139,14 @@ class Tracer:
                                    position=pos)
             except WarpingOOBError:
                 break
-            step = np.asarray(self.model.predict(patch[None]))[0]
-            step = step.reshape(-1)[:3] * self.step_scale
+            if not hasattr(self.model, "_node_index"):
+                # duck-typed step predictor (tests/simple callables)
+                pred = np.asarray(self.model.predict(patch[None]))
+            else:
+                pred, carry = self._step_apply(
+                    self.model.params, self.model.state,
+                    jnp.asarray(patch[None]), carry)
+            step = np.asarray(pred)[0].reshape(-1)[:3] * self.step_scale
             if np.linalg.norm(step) < 1e-4:
                 break
             pos = pos + step
@@ -88,8 +169,7 @@ class ShotgunRegistry:
         self.pending = [np.asarray(s, np.float64) for s in seeds]
         self.radius = float(radius)
         self.traces = []
-        from elektronn2_tpu.utils.basic import DynamicKDT
-        self._kdt = None
+        self._kdt = None         # built lazily on first register()
 
     def next_seed(self):
         while self.pending:
@@ -166,7 +246,7 @@ class ShotgunRegistry:
         return self.traces
 
 
-class DeviceTracer:
+class DeviceTracer(_AgentStepper):
     """Fused on-device agent rollout — the TPU-native ``Tracer``.
 
     The host ``Tracer`` dispatches one device program per agent step
@@ -189,7 +269,6 @@ class DeviceTracer:
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
                  min_step=1e-4):
         import jax.numpy as jnp
-        from elektronn2_tpu.neuromancer.various import ScanN
 
         self.model = model
         # float32 like the host path (warp_slice interpolates and returns
@@ -202,16 +281,7 @@ class DeviceTracer:
         self.step_scale = float(step_scale)
         self.max_steps = int(max_steps)
         self.min_step = float(min_step)
-        self.scan_node = next((n for n in model.nodes.values()
-                               if isinstance(n, ScanN)), None)
-        if self.scan_node is not None:
-            its = self.scan_node.in_iterate
-            if len(its) != 1:
-                raise ValueError("DeviceTracer needs a ScanN with exactly "
-                                 f"one sequence input, got {len(its)}")
-            self._x_node = its[0]
-        else:
-            self._x_node = model.input_node
+        self.scan_node, self._x_node = _discover_scan(model)
         ps = self._x_node.shape.spatial_shape
         if len(ps) != 3:
             raise ValueError("DeviceTracer expects a 3D patch input, got "
@@ -254,49 +324,6 @@ class DeviceTracer:
                     out = out + (wz * wx * wy) * slab[
                         :, dz:dz + p[0], dx:dx + p[1], dy:dy + p[2]]
         return out
-
-    def _step_apply(self, params, state, patches, carry):
-        """One agent step: patches (B, f, *p) + carried state → (pred,
-        new_carry), evaluated through the model graph."""
-        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
-        model, scan = self.model, self.scan_node
-        if scan is None:
-            ctx = TraceCtx(params, {self._x_node.name: patches}, rng=None,
-                           train=False, state_in=state,
-                           node_index=model._node_index)
-            return ctx.get(model.prediction_node), carry
-        ctx = TraceCtx(params, {}, rng=None, train=False, state_in=state,
-                       node_index=model._node_index)
-        for m, c in zip(scan.in_memory, carry):
-            ctx.values[m.name] = c
-        ctx.values[self._x_node.name] = patches
-        cell_out = ctx.get(scan.step_result)
-        new_carry = tuple(ctx.get(o) for o in scan.out_memory)
-        if model.prediction_node is scan:
-            return cell_out, new_carry
-        # head nodes downstream of the scan were built against the
-        # time-stacked (s, b, ...) scan shape — their static axis indices
-        # (Perceptron f-axis, prelu/maxout axes) assume that rank, so the
-        # per-step cell output is injected as a length-1 sequence
-        ctx2 = TraceCtx(params, {}, rng=None, train=False, state_in=state,
-                        node_index=model._node_index)
-        ctx2.values[scan.name] = cell_out[None]
-        return ctx2.get(model.prediction_node)[0], new_carry
-
-    def _init_carry(self, params, state, batch):
-        """Initial carried state, re-broadcast from the model's design
-        batch to the rollout batch (initial states are batch-constant)."""
-        import jax.numpy as jnp
-        from elektronn2_tpu.neuromancer.node_basic import TraceCtx
-        if self.scan_node is None:
-            return ()
-        ctx = TraceCtx(params, {}, rng=None, train=False, state_in=state,
-                       node_index=self.model._node_index)
-        vals = []
-        for m in self.scan_node.in_memory:
-            v = ctx.get(m)
-            vals.append(jnp.broadcast_to(v[:1], (batch,) + v.shape[1:]))
-        return tuple(vals)
 
     def _build(self):
         import jax

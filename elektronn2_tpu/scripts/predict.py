@@ -70,8 +70,18 @@ def main(argv=None):
 
     model = modelload(args.model)
     if args.mfp or args.patch:
-        patch = ([int(x) for x in args.patch.split(",")]
-                 if args.patch else None)
+        patch = None
+        if args.patch:
+            try:
+                patch = [int(x) for x in args.patch.split(",")]
+            except ValueError:
+                ap.error(f"--patch {args.patch!r}: expected comma-"
+                         "separated integers, e.g. 23,103,103")
+            nsp = len(model.input_node.shape.spatial_axes)
+            if len(patch) != nsp:
+                ap.error(f"--patch {args.patch!r}: expected {nsp} "
+                         f"comma-separated integers for this "
+                         f"{nsp}-D model")
         model = rebuild_model(model, override_mfp_to_active=args.mfp,
                               imposed_patch_size=patch)
         logger.info(f"rebuilt for inference: patch="

@@ -53,7 +53,8 @@ def _load_data():
     files = [(f"raw_{i}.h5", "raw") for i in range(3)]
     lfiles = [(f"barrier_{i}.h5", "lab") for i in range(3)]
     if os.path.isdir(_DATA_DIR) and all(
-            os.path.exists(os.path.join(_DATA_DIR, f)) for f, _ in files):
+            os.path.exists(os.path.join(_DATA_DIR, f))
+            for f, _ in files + lfiles):   # raws AND labels must exist
         return {"d_path": _DATA_DIR, "l_path": _DATA_DIR,
                 "d_files": files, "l_files": lfiles, "valid_cubes": [2]}
     raws, labs = _synthetic_neuro_cubes()

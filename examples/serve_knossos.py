@@ -52,6 +52,12 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) == 3:
         mdl, kdir, out_dir = argv
+    elif argv:
+        # partial args must NOT silently fall into the demo (the user
+        # would believe their volume was served)
+        print("usage: serve_knossos.py MODEL.mdl KNOSSOS_DIR OUT_DIR\n"
+              "       (no args: self-contained demo)", file=sys.stderr)
+        return 2
     else:
         print("no args — running the self-contained demo")
         mdl, kdir, out_dir = _demo_setup()

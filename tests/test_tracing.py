@@ -2,6 +2,7 @@
 parsing, direction targets, SkelLoss gradients, recurrent tracing training,
 Tracer rollout."""
 
+import os
 import io
 import zipfile
 
@@ -105,7 +106,9 @@ def test_skeleton_save_kzip_roundtrip_exact(tmp_path):
     p3 = str(tmp_path / "explicit.bin")
     sk.to_kzip(p3)
     with zipfile.ZipFile(p3) as zf:
-        assert any(n.endswith(".nml") for n in zf.namelist())
+        # KNOSSOS-compatible member name (annotation.xml)
+        assert any(n.endswith((".nml", ".xml"))
+                   for n in zf.namelist())
 
 
 def test_trace_to_kzip_loadable(tmp_path):
@@ -777,3 +780,66 @@ def test_skel_loss_field_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(m2.predict(pr, extra=[feed])),
         np.asarray(m.predict(pr, extra=[feed])), atol=1e-6)
+
+
+def test_host_tracer_recurrent_matches_device(rng):
+    """The host Tracer supports ScanN models (cell stepping + carried
+    hidden state — it used to crash on the sequence input); its first
+    steps agree with DeviceTracer's fused rollout."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    nm.model_manager.reset(seed=7)
+    T, B = 3, 2
+    seq = nm.Input([T, B, 1, 5, 5, 5], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, 5, 5, 5], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 16, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=16, name="h0")
+    gru = nm.GRU(enc, h0, n_f=16, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step_v = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=seq, prediction_node=step_v)
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    seed = np.array([12.0, 12.0, 12.0])
+    host = Tracer(m, vol, max_steps=4, step_scale=3.0).trace(seed)
+    dev = DeviceTracer(m, vol, max_steps=4,
+                       step_scale=3.0).trace_batch(seed[None])[0]
+    n = min(len(host.coords), len(dev.coords), 3)
+    assert n >= 2                      # actually stepped with state
+    np.testing.assert_allclose(host.coords[:n], dev.coords[:n], atol=1e-2)
+
+
+def test_direction_target_endpoint_no_bounce():
+    """Lookahead stops at skeleton endpoints instead of bouncing back
+    (which emitted the degenerate [0,0,1] default as a training label)."""
+    sk = line_skeleton(n=6, step=2.0)    # line along z from 5 to 15
+    # query just before the far endpoint, heading toward it
+    v = sk.direction_target([5.0, 5.0, 13.5], lookahead=3,
+                            heading=[0.0, 0.0, 1.0])
+    assert v[2] > 0.9                    # continues toward the endpoint
+
+
+def test_skeleton_save_returns_written_path(tmp_path):
+    sk = line_skeleton()
+    p = sk.save(str(tmp_path / "noext"))
+    assert p.endswith(".npz") and os.path.exists(p)
+    sk2 = SkeletonMFK.load(p)
+    np.testing.assert_allclose(sk2.positions, sk.positions)
+
+
+def test_kzip_load_accepts_annotation_xml(tmp_path):
+    """KNOSSOS's own annotation containers store annotation.xml."""
+    nml = (b'<?xml version="1.0"?><things><thing id="1"><nodes>'
+           b'<node id="1" x="1" y="2" z="3" radius="1"/></nodes>'
+           b'<edges/></thing></things>')
+    kz = tmp_path / "knossos_saved.k.zip"
+    with zipfile.ZipFile(kz, "w") as zf:
+        zf.writestr("annotation.xml", nml)
+    sk = SkeletonMFK.load(str(kz))
+    assert len(sk.positions) == 1
+    with pytest.raises(ValueError, match="no .nml/.xml"):
+        kz2 = tmp_path / "empty.k.zip"
+        with zipfile.ZipFile(kz2, "w") as zf:
+            zf.writestr("readme.txt", b"x")
+        SkeletonMFK.load(str(kz2))

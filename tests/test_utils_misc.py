@@ -359,3 +359,33 @@ def test_legacy_import_token_name_matching(tmp_path):
     arrays = {"gamma_weights": decoy, "conv_w": right}
     import_params(m, arrays)
     np.testing.assert_array_equal(np.asarray(m.params["conv"]["w"]), right)
+
+
+def test_every_documented_config_key_is_accepted():
+    """docs/config_reference.md keys must all survive ExperimentConfig's
+    EXPERIMENT_KEYS filter — mesh_axes was documented + consumed by the
+    Trainer but silently DROPPED on the elektronn2-train path (the pod
+    example trained single-device with no warning; review r2 s5)."""
+    import re
+    from elektronn2_tpu.config import EXPERIMENT_KEYS
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = open(os.path.join(root, "docs", "config_reference.md")).read()
+    documented = set()
+    for m in re.finditer(r"^\| `([a-z_]+)(?:\(\))?`(?: / `([a-z_]+)`)?",
+                         doc, re.M):
+        documented.add(m.group(1))
+        if m.group(2):
+            documented.add(m.group(2))
+    documented -= {"create_model"}        # callable, not a filtered key
+    missing = documented - set(EXPERIMENT_KEYS)
+    assert not missing, f"documented config keys not accepted: {missing}"
+
+
+def test_pod_config_mesh_axes_survives_cli_path(tmp_path):
+    """The exec'd-config path (ExperimentConfig.from_file, what
+    elektronn2-train uses) must deliver mesh_axes to the Trainer."""
+    from elektronn2_tpu.config import ExperimentConfig
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exp = ExperimentConfig.from_file(
+        os.path.join(root, "examples", "neuro3d_pod.py"))
+    assert exp.as_dict().get("mesh_axes"), "mesh_axes dropped by the filter"
