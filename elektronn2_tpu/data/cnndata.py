@@ -72,6 +72,7 @@ class BatchCreatorImage:
                 raws[i] = r[None]  # add feature axis
 
         self._all_labels = labels     # original cube order (refs, not copies)
+        self.valid_cubes = sorted(valid_cubes)   # original-order indices
         self.train_d = [r for i, r in enumerate(raws) if i not in valid_cubes]
         self.train_l = [t for i, t in enumerate(labels)
                         if i not in valid_cubes]

@@ -421,11 +421,13 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
 
     Skeletons are PAIRED with the cube they annotate (review r2 s5: an
     independent draw trained on mismatched supervision): explicitly via
-    ``agent_data.skeleton_cube`` (one cube index per skeleton), by
-    position when the counts match, or trivially with a single cube;
-    ambiguous configurations raise. Skeleton coordinates must be valid in
-    the paired cube — for ``source='valid'`` that means skeletons
-    annotated on the validation cubes.
+    ``agent_data.skeleton_cube`` (one ORIGINAL-order cube index per
+    skeleton — the order cubes were passed to AgentData, before the
+    train/valid split), by position when the counts match, or trivially
+    with a single cube; ambiguous configurations raise. With explicit
+    pairing, each source draws only from skeletons that annotate one of
+    ITS cubes (a valid batch never cuts patches at train-skeleton
+    coordinates and vice versa).
     """
     from elektronn2_tpu.data.transformations import warp_slice, WarpingOOBError
     if not agent_data.skeletons:
@@ -441,24 +443,49 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
     seq_t = np.zeros((n_steps, batch_size, 3), np.float32)
     cubes = getattr(agent_data, "skeleton_cube", None)
     n_sk = len(agent_data.skeletons)
-    for b in range(batch_size):
-        j = rng.randint(n_sk)
-        sk = agent_data.skeletons[j]
-        if cubes is not None:
-            ci = int(cubes[j])
-            if not 0 <= ci < len(vols):
-                raise ValueError(
-                    f"skeleton_cube[{j}]={ci} out of range for "
-                    f"{len(vols)} {source} cube(s)")
-        elif len(vols) == 1:
-            ci = 0
-        elif len(vols) == n_sk:
-            ci = j
+    eligible = None
+    orig2local = None
+    if cubes is not None:
+        # skeleton_cube holds ORIGINAL-order indices; map them into this
+        # source's split and restrict the draw to skeletons that annotate
+        # one of its cubes (review r2 s6: resolving the raw index against
+        # the split list crashed or re-introduced mismatched supervision
+        # on the validation path)
+        vset = sorted(set(getattr(agent_data, "valid_cubes", []) or []))
+        if source == "valid":
+            orig2local = {orig: k for k, orig in enumerate(vset)}
         else:
+            orig2local = {}
+            k = 0
+            n_orig = len(vols) + len(vset)
+            for orig in range(n_orig):
+                if orig not in vset:
+                    orig2local[orig] = k
+                    k += 1
+        eligible = [j for j in range(n_sk)
+                    if int(cubes[j]) in orig2local]
+        if not eligible:
             raise ValueError(
-                f"cannot pair {n_sk} skeletons with {len(vols)} {source} "
-                f"cubes — pass AgentData(skeleton_cube=[...]) with one "
-                f"cube index per skeleton")
+                f"no skeletons annotate a {source} cube "
+                f"(skeleton_cube={list(map(int, cubes))}, "
+                f"valid_cubes={vset})")
+    for b in range(batch_size):
+        if eligible is not None:
+            j = eligible[rng.randint(len(eligible))]
+            sk = agent_data.skeletons[j]
+            ci = orig2local[int(cubes[j])]
+        else:
+            j = rng.randint(n_sk)
+            sk = agent_data.skeletons[j]
+            if len(vols) == 1:
+                ci = 0
+            elif len(vols) == n_sk:
+                ci = j
+            else:
+                raise ValueError(
+                    f"cannot pair {n_sk} skeletons with {len(vols)} "
+                    f"{source} cubes — pass AgentData(skeleton_cube=[...])"
+                    f" with one ORIGINAL-order cube index per skeleton")
         vol = vols[ci]
         path = sk.walk(sk.sample_node(rng), n_steps, rng)
         for t in range(n_steps):

@@ -1003,9 +1003,13 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
                     "on the first slab (static scales — seam-free)")
         try:
             model.calibrate_int8(stage(origins[0]))
-        except ValueError as e:
+        except Exception as e:   # noqa: BLE001 — degrade, don't die:
+            # the eager single-device calibration pass can exhaust HBM
+            # on exactly the large sharded slabs --mesh exists for
+            # (RESOURCE_EXHAUSTED is not a ValueError; review r2 s6)
             logger.warning(f"sweep_knossos: int8 calibration failed "
-                           f"({e}) — proceeding with dynamic scales")
+                           f"({type(e).__name__}: {e}) — proceeding "
+                           f"with dynamic scales")
 
     use_batch = slab_batch > 1
     if use_batch and mesh is not None:
@@ -1160,6 +1164,19 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         if len(s) != len(fov):
             raise ValueError(f"step {s} has {len(s)} dims; the model "
                              f"graph has {len(fov)} spatial dims")
+    # stage EXACTLY like sweep_knossos: steps round up to the valid-size
+    # period M and the front halo is M-aligned — otherwise the tuner
+    # times programs of different shapes than the sweep will dispatch
+    # (review r2 s6)
+    Mv = [1] * len(fov)
+    for node in model.prediction_node.all_parents():
+        st = getattr(node.shape, "strides", None)
+        if st is not None and len(st) == len(fov):
+            Mv = [max(m, int(s)) for m, s in zip(Mv, st)]
+    steps = list(dict.fromkeys(
+        tuple(-(-v // m) * m for v, m in zip(s, Mv)) for s in steps))
+    halo = [-(-((f - 1) // 2) // m) * m + (f - 1 - (f - 1) // 2)
+            for f, m in zip(fov, Mv)]
     # contenders carry the FULL serving knob set; the default grid varies
     # impl/zfold/dtype (the headline levers — BASELINE.md r2 table), the
     # rest stay at their fast defaults
@@ -1200,7 +1217,7 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     table = []
     try:
         for step in steps:
-            ext = tuple(s + f - 1 for s, f in zip(step, fov))
+            ext = tuple(s + h for s, h in zip(step, halo))
             for sb in slab_batches:
                 sb = max(1, int(sb))
                 try:

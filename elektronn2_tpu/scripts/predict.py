@@ -45,11 +45,14 @@ def main(argv=None):
                     "activation scales; ~0.014 max softmax deviation, "
                     "2x bf16 MXU peak on v5e)")
     ap.add_argument("--tune", action="store_true",
-                    help="KNOSSOS sweeps: autotune lowering/dtype/slab "
-                    "size/slab batch on the live device first "
-                    "(Model.tune_serving) and sweep with the winner; "
-                    "overrides --step/--slab-batch/--bf16/--int8 "
-                    "(the measured winner's dtype is applied)")
+                    help="KNOSSOS sweeps: autotune lowering/slab size/"
+                    "slab batch on the live device first "
+                    "(Model.tune_serving) and sweep with the winner. "
+                    "Tunes parity-grade f32 lowerings only unless a "
+                    "lossy mode is also requested: with --bf16/--int8 "
+                    "those contenders join the grid and the measured "
+                    "winner's dtype is applied (possibly overriding "
+                    "the flag)")
     ap.add_argument("--mesh", default=None, metavar="AXES",
                     help="pod-scale KNOSSOS sweeps: device-mesh axes as "
                     "'space=8' (z-sharded slabs, halo exchange) or "
@@ -130,7 +133,13 @@ def main(argv=None):
                 c = tuple(min(int(v), r) for v, r in zip(c, rshape))
                 if c not in cand:
                     cand.append(c)
-            tuned = model.tune_serving(steps=cand, apply=True)
+            # reduced-precision contenders only when the user opted into
+            # a lossy mode — a bare --tune must not silently switch the
+            # output numerics because int8/bf16 benchmarked faster
+            # (review r2 s6); the Python API keeps them on by default
+            tuned = model.tune_serving(steps=cand, apply=True,
+                                       include_bf16=args.bf16,
+                                       include_int8=args.int8)
             if tuned["best"] is not None:
                 step = list(tuned["best"]["step"])
                 slab_batch = int(tuned["best"]["slab_batch"])

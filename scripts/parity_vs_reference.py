@@ -111,7 +111,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.make_self_golden:
-        return make_self_golden(args.golden, cpu=args.cpu)
+        # ALWAYS on CPU: the committed lock is checked by the CPU test
+        # suite — TPU-numerics goldens would silently weaken it
+        return make_self_golden(args.golden, cpu=True)
 
     import jax
     if args.cpu:

@@ -598,6 +598,33 @@ def test_agentdata_skeleton_cube_pairing(rng):
     ad.skeleton_cube = [2]
     d, tg = ad.get_tracing_batch(batch_size=1, n_steps=2)
     assert d.shape[:2] == (2, 1) and np.isfinite(tg).all()
-    ad.skeleton_cube = [7]
-    with pytest.raises(ValueError, match="out of range"):
+    ad.skeleton_cube = [7]          # nonexistent cube: nothing eligible
+    with pytest.raises(ValueError, match="no skeletons annotate"):
         ad.get_tracing_batch(batch_size=1, n_steps=2)
+
+
+def test_agentdata_skeleton_cube_respects_split(rng):
+    """skeleton_cube uses ORIGINAL cube indices and each source draws
+    only skeletons annotating its own cubes — a valid batch must never
+    cut patches at train-skeleton coordinates (review r2 s6)."""
+    from elektronn2_tpu.data.cnndata import AgentData
+    from elektronn2_tpu.data.skeleton import SkeletonMFK
+    vols = [rng.rand(1, 32, 32, 32).astype(np.float32) for _ in range(2)]
+    labs = [(v[0] > 0.5).astype(np.int16) for v in vols]
+    ad = AgentData(input_data=vols, target_data=labs, valid_cubes=[1])
+    ad.set_geometry((7, 7, 7))
+    t = np.linspace(0, 2 * np.pi, 20)
+    helix = np.stack([16 + 6 * np.cos(t), 16 + 6 * np.sin(t),
+                      np.linspace(10, 22, 20)], 1)
+    e = [(i, i + 1) for i in range(19)]
+    ad.skeletons = [SkeletonMFK(helix, e), SkeletonMFK(helix + 1.0, e)]
+    ad.skeleton_cube = [0, 1]          # s0 on train cube, s1 on valid cube
+    d, tg = ad.get_tracing_batch(batch_size=2, n_steps=2)          # train
+    assert np.isfinite(d).all()
+    dv, _ = ad.get_tracing_batch(batch_size=2, n_steps=2,
+                                 source="valid")                   # valid
+    assert np.isfinite(dv).all()
+    # all skeletons on the train cube: a valid draw has nothing eligible
+    ad.skeleton_cube = [0, 0]
+    with pytest.raises(ValueError, match="no skeletons annotate"):
+        ad.get_tracing_batch(batch_size=1, n_steps=2, source="valid")
