@@ -975,3 +975,37 @@ def test_unet_sweep_matches_whole_volume_f32(rng, tmp_path):
     # an odd step gets rounded to the M-grid and still matches
     out2 = m.sweep_knossos(ka, step=[4, 11, 13])
     np.testing.assert_allclose(out2, ref, atol=1e-6)
+
+
+def test_unet_zpooled_sweep_matches_whole_volume(rng, tmp_path):
+    """M=(2,2,2) U-Net (z pooling too): slab sweeps with M-rounded
+    steps/halos in ALL dims equal the whole-volume run — f32 exactly and
+    int8 (auto-calibrated) exactly."""
+    from test_data import write_knossos
+    from elektronn2_tpu.data import KnossosArray
+    inp = nm.Input([1, 1, 16, 16, 16], "b,f,z,x,y", name="raw")
+    c0 = nm.Conv(inp, 4, 3, 1, name="c0")               # 14
+    c1 = nm.Conv(c0, 8, 3, 2, name="c1")                # 12 -> 6
+    c2 = nm.Conv(c1, 8, 3, 1, name="c2")                # 4
+    up = nm.UpConv(c2, 4, 2, name="up")                 # 8
+    skip = nm.Crop(c0, [(3, 3)] * 3, name="skip")       # 14 -> 8
+    merged = nm.Concat([up, skip], name="cat")
+    dec = nm.Conv(merged, 8, 3, 1, name="dec")          # 6
+    probs = nm.Softmax(nm.Conv(dec, 2, 1, 1, activation_func="lin",
+                               name="cls"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    assert tuple(probs.shape.fov) == (12, 12, 12)
+    vol = (rng.rand(24, 24, 24) * 255).astype(np.uint8)
+    ka = KnossosArray(write_knossos(tmp_path, vol, cube_edge=8))
+    volf = jnp.asarray(vol[None].astype(np.float32) / 255.0)
+    ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
+    out = m.sweep_knossos(ka, step=[11, 12, 13])   # odd steps get rounded
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    m.set_compute_dtype("int8")
+    q_ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
+    # (dynamic whole-volume differs from calibrated; calibrate first)
+    m.calibrate_int8(volf)
+    q_ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
+    q_out = m.sweep_knossos(ka, step=[12, 12, 12])
+    np.testing.assert_array_equal(q_out, q_ref)
