@@ -193,17 +193,20 @@ def main():
     # 64x512x512, only ~1.77x at 96) and per-dispatch overhead. Measured
     # r2: 124.7 Mvox/s at 96 vs ~114 at 64 (and the 96 number was taken
     # on a degraded-tunnel day — healthy-day margin is larger).
-    # the int8 contender is QUANTIZED serving (ops.conv.quantized_conv:
-    # per-channel weight + dynamic activation scales, int32 accumulation;
-    # v5e MXU int8 peak is 2x bf16) — distribution-grade accuracy, max
-    # softmax deviation 0.014 measured on the CPU probe (tests lock the
-    # bound; PARITY.md row) vs bf16's 0.019
+    # int8 QUANTIZED serving was a contender and is now a measured
+    # REJECTION (r2 s6, on-chip): 56.9 (dynamic scales) / 63.7
+    # (calibrated) / 64.3 (calibrated + bf16 activation storage) Mvox/s
+    # at 64x512x512 vs the bf16 champion's 114 — v5e's 2x int8 MXU peak
+    # does not materialise because the tail is lane-underfilled
+    # (dtype-independent) and the quantise epilogues add work XLA doesn't
+    # absorb. Full study: docs/tpu_performance.md "int8 quantised
+    # serving". The mode stays available (set_compute_dtype('int8')) and
+    # the serving autotuner still measures it per-device (tune_sweep).
     vols = {None: vol}
     for impl, zfold, cdtype, vshape in (
             ("s2bg", False, None, None),
             ("s2bg", True, "bfloat16", None),
             ("s2bg", True, "bfloat16", (96, 512, 512)),
-            ("s2bg", True, "int8", (96, 512, 512)),
             ("direct", False, None, None)):
         label = (impl + ("+zfold" if zfold else "")
                  + (f"+{'bf16' if cdtype == 'bfloat16' else cdtype}"

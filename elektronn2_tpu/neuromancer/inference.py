@@ -233,12 +233,21 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     # activation max or the quantisation scale differs from the unsharded
     # program's (review r2 s5: reproduced 1e-2 divergence)
     zcons = {}
-    # store inter-layer activations in cdtype (bit-identical for
+    # inter-layer activation STORAGE dtype (set_compute_dtype(
+    # activations=True)): bf16 mode stores in cdtype (bit-identical for
     # conv/pool/relu chains: conv outputs are already cdtype-rounded since
-    # the operands are; halves inter-layer HBM traffic) — see
-    # Model.set_compute_dtype(activations=True)
-    act_e2e = cdtype is not None and bool(getattr(model, "_compute_act",
-                                                  False))
+    # the operands are); int8 mode stores in bf16 (convs still quantise to
+    # int8; epilogues still evaluate f32 before the store — without this
+    # the int8 program's inter-layer buffers are full f32, WIDER than the
+    # bf16 serving mode's, which pushed the 96-z slab 216 MB past v5e HBM:
+    # measured OOM, r2 s6). Halves inter-layer HBM traffic either way.
+    sdtype = None
+    if bool(getattr(model, "_compute_act", False)):
+        if quant:
+            sdtype = jnp.bfloat16
+        elif cdtype is not None:
+            sdtype = cdtype
+    act_e2e = sdtype is not None
     # params/state must be passed as traced ARGUMENTS by cached jit wrappers
     # (closing over model.params would bake stale weights in as constants)
     params = model.params if params is None else params
@@ -557,7 +566,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             y = apply_activation(y, node.activation_func, alpha=alpha,
                                  axis=ch_ax)
             if act_e2e:
-                y = y.astype(cdtype)     # f32 epilogue, cdtype store
+                y = y.astype(sdtype)     # f32 epilogue, narrow store
             out = (y, dil, ph)
             vext[node.name] = v
         elif isinstance(node, neural.Pool):
@@ -593,7 +602,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
             xin, dil, ph = evaluate(node.parents[0])
             y = _bn_affine(node, xin, model)
             if act_e2e:
-                y = y.astype(cdtype)
+                y = y.astype(sdtype)
             out = (y, dil, ph)
             vext[node.name] = vext[node.parents[0].name]
         elif isinstance(node, neural.FragmentsToDense):
@@ -1194,8 +1203,12 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         if include_int8:
             # quantised serving (distribution-grade — PARITY.md);
             # include_int8=False (like include_bf16=False) restricts the
-            # tune to parity-grade f32 lowerings
-            configs += [_cfg("s2bg", True, "int8")]
+            # tune to parity-grade f32 lowerings. act=True (bf16
+            # inter-layer storage): measured throughput-neutral on v5e
+            # (64.3 vs 63.7 Mvox/s) but it halves the inter-layer
+            # buffers — plain int8 OOMs at slab sizes the bf16 mode fits
+            # (r2 s6 study, docs/tpu_performance.md)
+            configs += [_cfg("s2bg", True, "int8", act=True)]
     else:
         configs = [_cfg(*low) for low in lowerings]
     saved = _cfg(getattr(model, "_dilated_impl", "direct"),

@@ -206,15 +206,21 @@ class Model:
         and the overlap-TILED fallback keep f32 (quantised backprop is
         out of scope; per-tile dynamic scales would seam a stitched
         output). Accuracy is distribution-grade — bounds locked by tests
-        and PARITY.md, alongside the bf16 serving mode."""
+        and PARITY.md, alongside the bf16 serving mode.
+
+        ``'int8'`` + ``activations=True`` stores the dilated dense path's
+        inter-layer activations in **bfloat16** (epilogues and softmax
+        still evaluate in f32; convs still quantise to int8 on the MXU).
+        Without it the int8 program's inter-layer buffers are full f32 —
+        WIDER than the bf16 serving mode's — which is what pushed the
+        96-z champion slab 216 MB past v5e HBM (measured OOM, r2 s6).
+        Accuracy cost is one bf16 rounding (~2^-8 relative) on values the
+        int8 re-quantisation is about to step at ~1/127 granularity —
+        bound locked by tests next to the plain-int8 bound."""
         if dtype not in (None, "bfloat16", "float16", "float32", "int8"):
             raise ValueError(f"dtype={dtype!r}: expected None, 'bfloat16',"
                              " 'float16', 'float32' or 'int8'")
         if dtype == "int8":
-            if activations:
-                raise ValueError("int8 serving keeps f32 inter-layer "
-                                 "activations (epilogues/softmax are f32);"
-                                 " activations=True is unsupported")
             if getattr(self, "_dilated_ztap", False) \
                     or getattr(self, "_dilated_zmajor", False):
                 raise ValueError(

@@ -177,8 +177,12 @@ def quantized_conv(x, w, conv_fn=None, **kw):
     axis_name = kw.pop("axis_name", None)
     x_absmax = kw.pop("x_absmax", None)
     conv_fn = conv_fn or conv
-    s_x = jnp.max(jnp.abs(x)) if x_absmax is None else jnp.asarray(
-        x_absmax, jnp.float32)
+    # scale arithmetic stays f32 even for bf16-stored activations
+    # (set_compute_dtype('int8', activations=True)): the quantise divide
+    # then evaluates in f32 (fused elementwise), only the STORED buffers
+    # are narrow
+    s_x = (jnp.max(jnp.abs(x)).astype(jnp.float32) if x_absmax is None
+           else jnp.asarray(x_absmax, jnp.float32))
     if axis_name is not None:
         s_x = lax.pmax(s_x, axis_name)
     s_x = jnp.maximum(s_x, 1e-12) / 127.0

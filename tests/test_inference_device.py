@@ -687,6 +687,32 @@ def test_int8_serving_deviation_bound(rng):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_int8_bf16_store_deviation_bound(rng):
+    """int8 serving with bf16 inter-layer STORAGE
+    (set_compute_dtype('int8', activations=True)): same deviation class
+    as plain int8 (bf16 rounding is far finer than the 1/127 quant step),
+    still bit-identical across the equivalent lowerings, and the
+    memory-saving mode tracks the plain-int8 output closely."""
+    m = _int8_probe_model()
+    vol = jnp.asarray(rng.rand(1, 16, 28, 28).astype(np.float32))
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    m.set_compute_dtype("int8")
+    q_plain = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    outs = []
+    for impl, zfold in (("direct", False), ("s2bg", False), ("s2bg", True)):
+        m.set_dilated_impl(impl, zfold=zfold)
+        m.set_compute_dtype("int8", activations=True)
+        q = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+        assert q.dtype == np.float32          # callers always get f32
+        assert float(np.abs(q - ref).max()) < 0.05
+        assert (q.argmax(0) == ref.argmax(0)).mean() > 0.97
+        outs.append(q)
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    # the narrow-store mode only adds bf16 rounding on top of plain int8
+    assert float(np.abs(outs[0] - q_plain).max()) < 0.02
+
+
 def test_quantized_conv_matches_manual(rng):
     """ops.conv.quantized_conv reproduces the manual per-channel-weight /
     per-tensor-activation int8 quantisation exactly (int32 accumulation
@@ -711,8 +737,6 @@ def test_quantized_conv_matches_manual(rng):
 
 def test_int8_mode_guards(rng):
     m = _int8_probe_model()
-    with pytest.raises(ValueError, match="activations"):
-        m.set_compute_dtype("int8", activations=True)
     with pytest.raises(ValueError, match="expected None"):
         m.set_compute_dtype("float8")
     m.set_dilated_impl("s2bg", zfold=True, ztap="native", zmajor=True)
