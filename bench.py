@@ -202,12 +202,23 @@ def main():
     # absorb. Full study: docs/tpu_performance.md "int8 quantised
     # serving". The mode stays available (set_compute_dtype('int8')) and
     # the serving autotuner still measures it per-device (tune_sweep).
+    # r2 s7 slab-frontier study (/tmp probes, healthy tunnel, 4 sustained
+    # repeats each): 104x512x512 @ bf16-activation-storage measured 133.5
+    # Mvox/s vs the 96-slab's 132.7 — deeper z amortises the fov halo
+    # further; 112x512x512 OOMs, 96x576x576 hits the compile-helper 500,
+    # 128x448x448 / 112x480x480 / 96x544x544 all LOSE (448/480/544 tile
+    # worse than 512). act=True (bf16 inter-layer storage): one extra
+    # epilogue rounding per layer (1.5e-3 measured on-chip, 5e-3 test
+    # bound — small next to bf16 mode's own 0.019 vs f32), measured
+    # +0.3%, and it is what fits the 104-z slab in HBM; both slab
+    # contenders run with it.
     vols = {None: vol}
-    for impl, zfold, cdtype, vshape in (
-            ("s2bg", False, None, None),
-            ("s2bg", True, "bfloat16", None),
-            ("s2bg", True, "bfloat16", (96, 512, 512)),
-            ("direct", False, None, None)):
+    for impl, zfold, cdtype, act, vshape in (
+            ("s2bg", False, None, False, None),
+            ("s2bg", True, "bfloat16", False, None),
+            ("s2bg", True, "bfloat16", True, (96, 512, 512)),
+            ("s2bg", True, "bfloat16", True, (104, 512, 512)),
+            ("direct", False, None, False, None)):
         label = (impl + ("+zfold" if zfold else "")
                  + (f"+{'bf16' if cdtype == 'bfloat16' else cdtype}"
                     if cdtype else "")
@@ -220,7 +231,7 @@ def main():
                 float(jnp.sum(v))
                 vols[vshape] = v
             model.set_dilated_impl(impl, zfold=zfold)
-            model.set_compute_dtype(cdtype)
+            model.set_compute_dtype(cdtype, activations=act)
             out, dt = _sustained(
                 lambda: model.predict_dense_device(v, pad_raw=True), K)
         except Exception:

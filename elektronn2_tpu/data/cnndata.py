@@ -390,7 +390,7 @@ class AgentData(BatchCreatorImage):
     """
 
     def __init__(self, *args, skeleton_files=None, skeleton_cube=None,
-                 **kwargs):
+                 rotate_to_heading=False, **kwargs):
         super().__init__(*args, **kwargs)
         from elektronn2_tpu.data.skeleton import SkeletonMFK
         self.skeletons = [SkeletonMFK.load(f) for f in (skeleton_files or [])]
@@ -398,6 +398,10 @@ class AgentData(BatchCreatorImage):
         #: annotates); None → paired by position / single-cube default
         self.skeleton_cube = (None if skeleton_cube is None
                               else [int(c) for c in skeleton_cube])
+        #: cut views in the local flight frame (``get_tracing_slice``) and
+        #: express direction targets in that frame — pair with
+        #: ``Tracer(rotate_to_heading=True)`` at rollout
+        self.rotate_to_heading = bool(rotate_to_heading)
 
     def get_tracing_batch(self, batch_size=1, n_steps=8, source="train"):
         from elektronn2_tpu.data.skeleton import sample_tracing_batch

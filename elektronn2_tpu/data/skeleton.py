@@ -311,20 +311,13 @@ class SkeletonMFK:
 
     def local_frame(self, node_idx):
         """Orthonormal frame at a node: (tangent, normal1, normal2)."""
+        from elektronn2_tpu.data.transformations import flight_frame
         nbrs = self._adj[node_idx]
         if nbrs:
             t = self.positions[nbrs[0]] - self.positions[node_idx]
         else:
             t = np.array([0.0, 0.0, 1.0])
-        n = np.linalg.norm(t)
-        t = t / n if n > 0 else np.array([0.0, 0.0, 1.0])
-        ref = np.array([1.0, 0.0, 0.0])
-        if abs(t @ ref) > 0.9:
-            ref = np.array([0.0, 1.0, 0.0])
-        n1 = np.cross(t, ref)
-        n1 /= np.linalg.norm(n1)
-        n2 = np.cross(t, n1)
-        return np.stack([t, n1, n2])
+        return flight_frame(t)
 
     def __repr__(self):
         return (f"<SkeletonMFK {len(self.positions)} nodes, "
@@ -416,6 +409,13 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
     For each sample: pick a skeleton + walk; at each step cut the image
     patch at the current position and compute the direction target. Returns
     sequences shaped (n_steps, b, ...) for ScanN consumption.
+
+    With ``agent_data.rotate_to_heading`` the views are cut in the local
+    flight frame (``get_tracing_slice`` — the patch z-axis looks along the
+    agent's last hop) and the direction targets are expressed in that same
+    frame; roll out with ``Tracer(rotate_to_heading=True)``, which inverts
+    the frame per step. Default: axis-aligned views, world-frame targets
+    (what ``DeviceTracer`` supports on device).
     ``source='valid'`` cuts patches from the held-out cubes so validation
     metrics are genuinely out-of-sample.
 
@@ -429,7 +429,9 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
     ITS cubes (a valid batch never cuts patches at train-skeleton
     coordinates and vice versa).
     """
-    from elektronn2_tpu.data.transformations import warp_slice, WarpingOOBError
+    from elektronn2_tpu.data.transformations import (
+        warp_slice, WarpingOOBError, get_tracing_slice, flight_frame)
+    rotate = bool(getattr(agent_data, "rotate_to_heading", False))
     if not agent_data.skeletons:
         raise ValueError("AgentData has no skeletons loaded")
     if source == "valid":
@@ -488,20 +490,42 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
                     f" with one ORIGINAL-order cube index per skeleton")
         vol = vols[ci]
         path = sk.walk(sk.sample_node(rng), n_steps, rng)
+        prev_head = None
         for t in range(n_steps):
             pos = sk.positions[path[t]]
             pos = np.clip(pos, np.asarray(ps) / 2 + 1,
                           np.asarray(vol.shape[1:]) - np.asarray(ps) / 2 - 1)
-            try:
-                seq_d[t, b] = warp_slice(vol, ps, position=pos)
-            except WarpingOOBError:
-                pass  # keep zeros for degenerate geometry
             # target follows the FLIGHT direction (the walk's next hop) —
             # the undirected nearest-node heuristic can point backward
             nxt = sk.positions[path[min(t + 1, len(path) - 1)]]
             head = nxt - sk.positions[path[t]]
-            seq_t[t, b] = sk.direction_target(
-                pos, heading=head if np.linalg.norm(head) > 0 else None)
+            if np.linalg.norm(head) == 0:
+                head = None
+            tgt = sk.direction_target(pos, heading=head)
+            if rotate:
+                # frame-aligned view (reference get_tracing_slice
+                # semantics): cut along the CURRENT heading — at t the
+                # agent knows where it came from, not where it is going,
+                # so the view frame uses the PREVIOUS hop and the target
+                # is expressed in that same local frame (what the rollout
+                # Tracer(rotate_to_heading=True) inverts per step)
+                view_dir = (prev_head if prev_head is not None
+                            else (head if head is not None
+                                  else (0.0, 0.0, 1.0)))
+                tgt = flight_frame(view_dir) @ tgt
+                try:
+                    seq_d[t, b] = get_tracing_slice(vol, ps, position=pos,
+                                                    direction=view_dir)
+                except WarpingOOBError:
+                    pass  # keep zeros for degenerate geometry
+            else:
+                try:
+                    seq_d[t, b] = warp_slice(vol, ps, position=pos)
+                except WarpingOOBError:
+                    pass  # keep zeros for degenerate geometry
+            seq_t[t, b] = tgt
+            if head is not None:
+                prev_head = head
     return seq_d, seq_t
 
 

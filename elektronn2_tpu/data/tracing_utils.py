@@ -110,22 +110,36 @@ class Tracer(_AgentStepper):
     """
 
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
-                 stop_on_oob=True):
+                 stop_on_oob=True, rotate_to_heading=False):
         self.model = model
         self.volume = volume            # (f, Z, X, Y)
         self.step_scale = float(step_scale)
         self.max_steps = int(max_steps)
         self.stop_on_oob = stop_on_oob
+        #: frame-aligned views (``get_tracing_slice``): cut each view
+        #: along the agent's last step and interpret the model's
+        #: prediction IN that local frame — the rollout counterpart of
+        #: ``AgentData(rotate_to_heading=True)`` training
+        self.rotate_to_heading = bool(rotate_to_heading)
         self.scan_node, self._x_node = _discover_scan(model)
         ps = self._x_node.shape.spatial_shape
         self.patch_size = ps
         self.cube = CubeShape(volume.shape[1:],
                               np.asarray(ps) / 2 + 1)
 
-    def trace(self, seed_position):
-        """Trace from a seed; returns a ``Trace``."""
+    def trace(self, seed_position, initial_heading=None):
+        """Trace from a seed; returns a ``Trace``.
+
+        ``initial_heading`` orients the first frame-aligned view when
+        ``rotate_to_heading=True`` (default (0, 0, 1), matching the
+        degenerate-heading fallback of ``flight_frame`` /
+        ``direction_target``)."""
         import jax.numpy as jnp
+        from elektronn2_tpu.data.transformations import (get_tracing_slice,
+                                                         flight_frame)
         pos = np.asarray(seed_position, np.float64)
+        heading = (np.array([0.0, 0.0, 1.0]) if initial_heading is None
+                   else np.asarray(initial_heading, np.float64))
         trace = Trace([pos])
         carry = (self._init_carry(self.model.params, self.model.state, 1)
                  if hasattr(self.model, "_node_index") else ())
@@ -135,8 +149,13 @@ class Tracer(_AgentStepper):
                     break
                 pos = self.cube.clip(pos)
             try:
-                patch = warp_slice(self.volume, self.patch_size,
-                                   position=pos)
+                if self.rotate_to_heading:
+                    patch = get_tracing_slice(self.volume, self.patch_size,
+                                              position=pos,
+                                              direction=heading)
+                else:
+                    patch = warp_slice(self.volume, self.patch_size,
+                                       position=pos)
             except WarpingOOBError:
                 break
             if not hasattr(self.model, "_node_index"):
@@ -147,9 +166,14 @@ class Tracer(_AgentStepper):
                     self.model.params, self.model.state,
                     jnp.asarray(patch[None]), carry)
             step = np.asarray(pred)[0].reshape(-1)[:3] * self.step_scale
+            if self.rotate_to_heading:
+                # prediction lives in the view's local frame → world
+                step = flight_frame(heading).T @ step
             if np.linalg.norm(step) < 1e-4:
                 break
             pos = pos + step
+            if self.rotate_to_heading:
+                heading = step
             trace.append(pos)
         return trace
 
@@ -264,6 +288,13 @@ class DeviceTracer(_AgentStepper):
     place. Works with recurrent models built around a single-sequence
     ``ScanN`` (the tracing-model family) and with feedforward
     step-predictors (no carried state).
+
+    Views are AXIS-ALIGNED (translation-only cuts): the frame-aligned
+    mode (``rotate_to_heading`` — ``get_tracing_slice`` views, see the
+    host ``Tracer``) would need a per-step rotated trilinear resample
+    inside the scan body; models trained with
+    ``AgentData(rotate_to_heading=True)`` must roll out through the host
+    ``Tracer(rotate_to_heading=True)``.
     """
 
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,

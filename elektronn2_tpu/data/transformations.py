@@ -124,6 +124,65 @@ def chain(*mats):
     return M
 
 
+def flight_frame(direction):
+    """Orthonormal frame ``(tangent, normal1, normal2)`` (rows) for a
+    flight heading in (z, x, y) world coordinates. Degenerate/zero
+    headings fall back to (0, 0, 1) — the same fallback
+    ``SkeletonMFK.direction_target`` uses. Same construction as
+    ``SkeletonMFK.local_frame`` (which delegates here)."""
+    t = np.asarray(direction, np.float64)
+    n = np.linalg.norm(t)
+    t = t / n if n > 0 else np.array([0.0, 0.0, 1.0])
+    ref = np.array([1.0, 0.0, 0.0])
+    if abs(t @ ref) > 0.9:
+        ref = np.array([0.0, 1.0, 0.0])
+    n1 = np.cross(t, ref)
+    n1 /= np.linalg.norm(n1)
+    n2 = np.cross(t, n1)
+    return np.stack([t, n1, n2])
+
+
+def tracing_frame_matrix(direction, aniso_factor=1.0):
+    """4×4 warp matrix rotating the output patch into the local flight
+    frame: the patch z-axis samples along ``direction`` (and the normals
+    span the perpendicular view plane). ``aniso_factor`` conjugates the
+    rotation into anisotropic voxel space (z voxels ``aniso_factor``×
+    thicker) via :func:`aniso_warp_matrix`."""
+    F = flight_frame(direction)
+    M = identity()
+    M[:3, :3] = F.T          # columns = frame vectors: patch axes → world
+    return aniso_warp_matrix(M, aniso_factor)
+
+
+def get_tracing_slice(img, patch_size, position, direction=None,
+                      aniso_factor=1.0, target=None, target_patch_size=None,
+                      target_strides=None, target_offset=None,
+                      return_M=False):
+    """Cut the tracing agent's view patch, rotated into the local flight
+    frame.
+
+    Reference: ``transformations.py::get_tracing_slice`` — the agent's
+    view is cut along its flight direction so the network always "looks"
+    where it is going; predicted step vectors then live in the same local
+    frame (components along ``flight_frame(direction)``'s rows). With
+    ``direction=None`` this is an axis-aligned :func:`warp_slice` cut
+    (the framework's default tracing mode — both train and rollout paths
+    accept ``rotate_to_heading=True`` to switch to frame-aligned views
+    consistently).
+
+    ``return_M=True`` additionally returns the 4×4 warp matrix so callers
+    can express targets in / recover world vectors from the local frame.
+    Raises :class:`WarpingOOBError` like :func:`warp_slice`.
+    """
+    M = (identity() if direction is None
+         else tracing_frame_matrix(direction, aniso_factor))
+    out = warp_slice(img, patch_size, M=M, position=position, target=target,
+                     target_patch_size=target_patch_size,
+                     target_strides=target_strides,
+                     target_offset=target_offset)
+    return (out, M) if return_M else out
+
+
 def get_random_warp_params(rng, amount=1.0, lock_z=True, no_x_flip=False,
                            perspective_on=False, sample_aniso=True):
     """Random warp parameter set, scaled by ``amount`` in [0, 1].

@@ -190,12 +190,14 @@ class Model:
         compiled functions.
 
         ``activations=True`` additionally STORES the dense-path activations
-        in ``dtype`` between layers. This is value-identical to the default
-        (every conv output is already rounded to ``dtype`` because the
-        operands are — the f32 inter-layer buffers hold bf16-precision
-        values at twice the bytes) but halves inter-layer HBM traffic;
-        epilogues (bias/BN/activation) still evaluate in f32 before the
-        store. Dense/serving path only; training keeps f32 activations.
+        in ``dtype`` between layers, halving inter-layer HBM traffic.
+        Deviation from the default is ONE extra rounding per layer — the
+        f32 epilogue (bias/BN/activation, still evaluated in f32) is
+        rounded to ``dtype`` before the store instead of being consumed at
+        f32 precision by pool/softmax/merge stages. Measured ≤1.5e-3 on
+        softmax outputs on-chip (vs the bf16 mode's 0.019 vs f32); bound
+        locked at 5e-3 by tests. Dense/serving path only; training keeps
+        f32 activations.
 
         ``'int8'``: QUANTIZED dense serving — per-output-channel weight
         quant + dynamic per-tensor activation quant, int8×int8 MXU with
@@ -677,6 +679,62 @@ class Model:
     def param_count(self):
         return sum(int(np.prod(v.shape))
                    for nd in self.params.values() for v in nd.values())
+
+    @property
+    def kernel_lists(self):
+        """``(filter_shapes, pool_shapes, mfp_flags)`` of the Conv chain
+        under the prediction/loss node, in graph topological order — the
+        triplet :func:`utils.cnncalculator.cnncalculator` consumes.
+        Reference: ``model.py::kernel_lists``."""
+        from elektronn2_tpu.neuromancer import neural
+        root = self.prediction_node or self.loss_node
+        order = (root.all_parents() if root is not None    # includes root
+                 else list(self.nodes.values()))
+        filters, pools, mfps = [], [], []
+        for node in order:
+            if isinstance(node, neural.Conv):
+                filters.append(list(node.filter_shape))
+                pools.append(list(node.pool_shape))
+                mfps.append(bool(node.mfp))
+        return filters, pools, mfps
+
+    # ------------------------------------------------------- blowup recovery
+    def snapshot_good(self):
+        """Record the current params / optimiser / aux state as known-good
+        (host copies). The Trainer calls this at every finite history
+        point; :meth:`repair_fuckup` restores it."""
+        self._good = (jax.tree_util.tree_map(np.asarray, self.params),
+                      jax.tree_util.tree_map(np.asarray, self.opt_state),
+                      jax.tree_util.tree_map(np.asarray, self.state))
+
+    def repair_fuckup(self, lr_scale=None):
+        """Roll back to the last :meth:`snapshot_good` after a training
+        blowup (non-finite loss / exploded params).
+
+        Reference: ``optimiser.py::repair_fuckup``. Restores params,
+        optimiser slots (incl. step counter) and aux state; ``lr_scale``
+        optionally multiplies the live learning rate (e.g. ``0.5`` to back
+        off after the rollback — a mutation, no recompile). Returns True
+        if a snapshot existed and was restored."""
+        good = getattr(self, "_good", None)
+        if good is None:
+            return False
+        p, o, s = good
+        self.params = jax.tree_util.tree_map(jnp.asarray, p)
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, o)
+        self.state = jax.tree_util.tree_map(jnp.asarray, s)
+        if self._mesh is not None:
+            # re-commit the mesh shardings the rollback overwrote
+            self.params = jax.device_put(self.params,
+                                         self._param_shardings())
+            self.state = jax.device_put(self.state, self._repl_sharding())
+            if self.opt_state is not None:
+                self.opt_state = jax.device_put(self.opt_state,
+                                                self._opt_shardings())
+        if lr_scale is not None and self.optimiser is not None:
+            self.optimiser.setlr(float(self.optimiser.hyperparams["lr"])
+                                 * float(lr_scale))
+        return True
 
     def paramstats(self):
         """Per-node parameter norm/min/max (reference: Model.paramstats)."""

@@ -230,3 +230,68 @@ class BackgroundProc:
 #: reference alias — the queue abstraction and the proc pool were separate
 #: classes there; one class serves both here.
 SharedQ = BackgroundProc
+
+
+class SharedMem:
+    """Zero-copy numpy array in OS shared memory, visible across worker
+    processes (any start method — fork/spawn/forkserver).
+
+    Reference: ``parallelisation.py::SharedMem`` — there: shared ctypes
+    buffers carrying batches between fork()ed workers and the trainer.
+    Here batches travel the worker queue by default (pickle; fine at EM
+    batch sizes); ``SharedMem`` is the zero-copy option for larger
+    payloads and the direct equivalent of the reference surface.
+
+    Usage::
+
+        shm = SharedMem.alloc((4, 1, 64, 64, 64), np.float32)
+        shm.array[:] = batch                       # producer
+        view = SharedMem.attach(shm.name, shm.shape, shm.dtype)  # consumer
+        ...
+        view.close(); shm.close(); shm.unlink()    # owner unlinks ONCE
+    """
+
+    def __init__(self, shm, shape, dtype, owner):
+        import numpy as _np
+        self._shm = shm
+        self.name = shm.name
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = _np.dtype(dtype)
+        self._owner = bool(owner)
+        self.array = _np.ndarray(self.shape, self.dtype, buffer=shm.buf)
+
+    @classmethod
+    def alloc(cls, shape, dtype):
+        from multiprocessing import shared_memory
+        import numpy as _np
+        nbytes = int(_np.dtype(dtype).itemsize * _np.prod(shape))
+        shm = shared_memory.SharedMemory(create=True, size=max(1, nbytes))
+        return cls(shm, shape, dtype, owner=True)
+
+    @classmethod
+    def attach(cls, name, shape, dtype):
+        from multiprocessing import shared_memory
+        return cls(shared_memory.SharedMemory(name=name), shape, dtype,
+                   owner=False)
+
+    def close(self):
+        # the ndarray view must die before the mapping can close
+        self.array = None
+        self._shm.close()
+
+    def unlink(self):
+        if self._owner:
+            self._shm.unlink()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        if self._owner:
+            self.unlink()
+        return False
+
+    def __repr__(self):
+        return (f"<SharedMem {self.name} {self.shape} "
+                f"{self.dtype.name}{' owner' if self._owner else ''}>")

@@ -312,6 +312,17 @@ class Trainer:
                         break
                     continue
                 loss_f = flush()
+                # blowup detection/recovery (reference:
+                # optimiser.py::repair_fuckup): a non-finite synced loss
+                # rolls params/optimiser back to the last finite sync
+                # point and halves the lr; finite → refresh the snapshot
+                if np.isfinite(loss_f):
+                    model.snapshot_good()
+                elif model.repair_fuckup(lr_scale=0.5):
+                    logger.warning(
+                        f"step {self.step}: non-finite loss ({loss_f}) — "
+                        "rolled back to the last good snapshot, lr halved "
+                        f"to {model.optimiser.hyperparams.get('lr'):.2e}")
                 if self._tb is not None and self.step % 10 == 0:
                     self._tb_scalars(loss_f,
                                      float(aux["error"])
@@ -447,6 +458,16 @@ class Trainer:
                 for i, lv in enumerate(losses):
                     self.step += 1
                     self.history.update_timeline(self.step, float(lv))
+                # blowup recovery at chunk granularity (see _run's per-step
+                # variant): a chunk ending non-finite rolls back to the
+                # last finite chunk boundary
+                if np.isfinite(float(losses[-1])):
+                    model.snapshot_good()
+                elif model.repair_fuckup(lr_scale=0.5):
+                    logger.warning(
+                        f"step {self.step}: non-finite fused-chunk loss — "
+                        "rolled back to the last good snapshot, lr halved "
+                        f"to {model.optimiser.hyperparams.get('lr'):.2e}")
                 if self._tb is not None:
                     self._tb_scalars(float(losses[-1]),
                                      float(errs[-1]) if errs is not None

@@ -365,3 +365,9 @@ class ConsoleControl:
                                "stat/ipython)")
         except Exception as e:
             logger.warning(f"console command {line!r} failed: {e}")
+
+
+#: reference surface alias — ``trainutils.py::user_input`` is the live
+#: console entry point there; ``ConsoleControl`` is its object form here
+#: (constructed with the trainer, polled by the run loop).
+user_input = ConsoleControl

@@ -654,3 +654,61 @@ def test_simple_cnn_rejects_misaligned_lists():
     with pytest.raises(ValueError, match="dropout_rates"):
         simple_cnn(1, 1, 2, 31, filters=[3, 3], pools=[2, 1],
                    nof_filters=[4, 8], dropout_rates=[0.1], ndim=2)
+
+
+def test_kernel_lists_property():
+    """Model.kernel_lists returns the Conv chain triplet cnncalculator
+    consumes (reference: model.py::kernel_lists)."""
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset(seed=0)
+    inp = nm.Input([1, 1, 22, 22, 22], "b,f,z,x,y", name="raw")
+    h = nm.Conv(inp, 4, (1, 3, 3), (1, 2, 2), name="c0")
+    h = nm.Conv(h, 6, (3, 3, 3), (1, 1, 1), name="c1")
+    out = nm.Softmax(nm.Conv(h, 2, (1, 1, 1), (1, 1, 1),
+                             activation_func="lin", name="head"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=out)
+    filters, pools, mfps = m.kernel_lists
+    assert filters == [[1, 3, 3], [3, 3, 3], [1, 1, 1]]
+    assert pools == [[1, 2, 2], [1, 1, 1], [1, 1, 1]]
+    assert mfps == [False, False, False]
+    # feeds cnncalculator directly
+    from elektronn2_tpu.utils.cnncalculator import cnncalculator
+    calc = cnncalculator(filters, pools, desired_patch_size=[22, 22, 22],
+                         mfp=mfps, ndim=3)
+    assert calc.input is not None
+
+
+def test_repair_fuckup_rolls_back(rng):
+    """snapshot_good/repair_fuckup restore params + optimiser state and
+    optionally back the lr off (reference: optimiser.py::repair_fuckup)."""
+    import elektronn2_tpu.neuromancer as nm
+    nm.model_manager.reset(seed=1)
+    inp = nm.Input([2, 4], "b,f", name="x")
+    out = nm.Perceptron(inp, 3, activation_func="lin", name="p")
+    tgt = nm.Input([2, 3], "b,f", name="t")
+    loss = nm.AggregateLoss(nm.SquaredLoss(out, tgt))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=out)
+    m.set_opt("Adam", lr=1e-2)
+    assert m.repair_fuckup() is False      # nothing recorded yet
+    d = rng.randn(2, 4).astype(np.float32)
+    t = rng.randn(2, 3).astype(np.float32)
+    m.trainingstep(d, t)
+    m.snapshot_good()
+    good_w = np.asarray(m.params["p"]["w"]).copy()
+    good_opt = jax.tree_util.tree_map(np.asarray, m.opt_state)
+    # blow the run up
+    m.params["p"]["w"] = jnp.full_like(m.params["p"]["w"], np.nan)
+    m.trainingstep(d, t)
+    assert m.repair_fuckup(lr_scale=0.5) is True
+    np.testing.assert_array_equal(np.asarray(m.params["p"]["w"]), good_w)
+    for a, b in zip(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, m.opt_state)),
+            jax.tree_util.tree_leaves(good_opt)):
+        np.testing.assert_array_equal(a, b)
+    assert m.optimiser.hyperparams["lr"] == pytest.approx(5e-3)
+    # training continues finitely from the restored state
+    lv, _ = m.trainingstep(d, t)
+    assert np.isfinite(float(lv))

@@ -843,3 +843,114 @@ def test_kzip_load_accepts_annotation_xml(tmp_path):
         with zipfile.ZipFile(kz2, "w") as zf:
             zf.writestr("readme.txt", b"x")
         SkeletonMFK.load(str(kz2))
+
+
+# ------------------------------------------------- frame-aligned views (r2)
+
+def test_flight_frame_orthonormal_and_degenerate():
+    from elektronn2_tpu.data.transformations import flight_frame
+    for d in ([1.0, 2.0, -0.5], [0.0, 1.0, 0.0], [3.0, 0.0, 0.0],
+              [0.0, 0.0, 0.0]):
+        F = flight_frame(d)
+        np.testing.assert_allclose(F @ F.T, np.eye(3), atol=1e-12)
+        n = np.linalg.norm(d)
+        if n > 0:
+            np.testing.assert_allclose(F[0], np.asarray(d) / n, atol=1e-12)
+        else:   # degenerate heading falls back to (0, 0, 1) — the same
+                # fallback direction_target uses
+            np.testing.assert_allclose(F[0], [0.0, 0.0, 1.0], atol=1e-12)
+
+
+def test_get_tracing_slice_z_heading_vs_axis_aligned(rng):
+    """direction=None == plain warp_slice; a +z heading samples the same
+    z-planes with the view plane rotated 90° in-plane (the frame's gauge:
+    n1=(0,0,1), n2=(0,-1,0) for t=(1,0,0)) — axis-aligned values up to a
+    rot90."""
+    from elektronn2_tpu.data.transformations import (get_tracing_slice,
+                                                     warp_slice)
+    vol = rng.rand(1, 20, 20, 20).astype(np.float32)
+    pos = [10.0, 9.5, 10.5]
+    b = warp_slice(vol, (5, 5, 5), position=pos)
+    c = get_tracing_slice(vol, (5, 5, 5), pos, direction=None)
+    np.testing.assert_allclose(c, b, atol=1e-5)
+    a = get_tracing_slice(vol, (5, 5, 5), pos, direction=[1.0, 0.0, 0.0])
+    # a[z, i, j] = b[z, N-1-j, i]  (axis1 → world y, axis2 → world -x)
+    np.testing.assert_allclose(a, np.rot90(b, k=-1, axes=(2, 3)),
+                               atol=1e-5)
+
+
+def test_get_tracing_slice_samples_along_heading():
+    """On a linear ramp f(z,x,y)=z, the patch gradient along local axis i
+    equals the i-th frame vector's z-component (the view really looks
+    along the heading)."""
+    from elektronn2_tpu.data.transformations import (get_tracing_slice,
+                                                     flight_frame)
+    Z = 40
+    vol = np.broadcast_to(np.arange(Z, dtype=np.float32)[None, :, None,
+                                                         None],
+                          (1, Z, Z, Z)).copy()
+    pos = [20.0, 20.0, 20.0]
+    for d in ([0.0, 1.0, 0.0], [1.0, 1.0, 0.0], [2.0, -1.0, 0.5]):
+        patch, M = get_tracing_slice(vol, (7, 7, 7), pos, direction=d,
+                                     return_M=True)
+        F = flight_frame(d)
+        np.testing.assert_allclose(M[:3, :3], F.T, atol=1e-12)
+        g = np.gradient(patch[0])
+        for i in range(3):
+            np.testing.assert_allclose(np.median(g[i]), F[i, 0], atol=1e-3)
+
+
+def test_sample_tracing_batch_rotated_targets(rng):
+    """rotate_to_heading: straight-line flight -> local target is the
+    local z-axis (the agent keeps looking where it is going)."""
+    from elektronn2_tpu.data.cnndata import AgentData
+
+    vol = rng.rand(1, 32, 32, 32).astype(np.float32)
+    lab = (vol[0] > 0.5).astype(np.int16)
+    ad = AgentData(input_data=[vol], target_data=[lab],
+                   rotate_to_heading=True)
+    ad.set_geometry((5, 5, 5))
+    # straight line along +y (axis 2 in (z, x, y) order)
+    n = 15
+    posn = np.stack([np.full(n, 16.0), np.full(n, 16.0),
+                     5.0 + np.arange(n) * 1.5], axis=1)
+    ad.skeletons = [SkeletonMFK(posn, [(i, i + 1) for i in range(n - 1)])]
+    T, B = 4, 3
+    seq_d, seq_t = sample_tracing_batch(ad, B, T, rng)
+    assert seq_d.shape == (T, B, 1, 5, 5, 5)
+    assert seq_t.shape == (T, B, 3)
+    # after the first hop the view frame tracks the (constant) heading:
+    # the local-frame target is (1, 0, 0) = straight ahead
+    for t in range(1, T):
+        np.testing.assert_allclose(seq_t[t], np.tile([1.0, 0.0, 0.0],
+                                                     (B, 1)), atol=1e-6)
+    # and targets stay unit-length in either frame
+    np.testing.assert_allclose(np.linalg.norm(seq_t, axis=-1), 1.0,
+                               atol=1e-6)
+
+
+def test_tracer_rotated_rollout_goes_straight(rng):
+    """A model that always predicts 'straight ahead' in the local frame
+    traces a straight world line along the initial heading."""
+
+    class LocalAhead:
+        class _N:
+            pass
+
+        def __init__(self):
+            from elektronn2_tpu.neuromancer.graphutils import TaggedShape
+            self.input_node = self._N()
+            self.input_node.shape = TaggedShape((1, 1, 5, 5, 5),
+                                                "b,f,z,x,y")
+
+        def predict(self, patch):
+            return np.array([[2.0, 0.0, 0.0]], np.float32)  # local +t
+
+    vol = rng.rand(1, 28, 28, 28).astype(np.float32)
+    tracer = Tracer(LocalAhead(), vol, max_steps=6, rotate_to_heading=True)
+    tr = tracer.trace([14.0, 5.0, 14.0], initial_heading=[0.0, 1.0, 0.0])
+    assert len(tr) > 4
+    d = tr.coords[-1] - tr.coords[0]
+    # moved along +x (the initial heading) only
+    assert d[1] > 4.0
+    np.testing.assert_allclose([d[0], d[2]], [0.0, 0.0], atol=1e-4)

@@ -466,3 +466,33 @@ def test_schedule_lindec_resume_no_double_decay():
     assert abs(Obj.lr - 0.5) < 1e-12   # unchanged at the resume step
     s.update(7500, 10000)
     assert abs(Obj.lr - 0.25) < 1e-12  # original slope
+
+
+def _sharedmem_child(name, shape):
+    from elektronn2_tpu.training.parallelisation import SharedMem
+    v = SharedMem.attach(name, shape, np.float32)
+    v.array[:] *= 2.0
+    v.close()
+
+
+def test_sharedmem_cross_process_zero_copy():
+    """SharedMem: a spawn-mode child mutates the same pages the parent
+    reads (reference: parallelisation.py::SharedMem)."""
+    import multiprocessing as mp
+    from elektronn2_tpu.training.parallelisation import SharedMem
+    with SharedMem.alloc((3, 4), np.float32) as shm:
+        shm.array[:] = np.arange(12, dtype=np.float32).reshape(3, 4)
+        ctx = mp.get_context("spawn")
+        p = ctx.Process(target=_sharedmem_child,
+                        args=(shm.name, shm.shape))
+        p.start()
+        p.join(60)
+        assert p.exitcode == 0
+        np.testing.assert_array_equal(
+            shm.array, np.arange(12, dtype=np.float32).reshape(3, 4) * 2)
+
+
+def test_user_input_surface_alias():
+    """trainutils.user_input is the console (reference surface name)."""
+    from elektronn2_tpu.training import trainutils
+    assert trainutils.user_input is trainutils.ConsoleControl
