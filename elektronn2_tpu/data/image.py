@@ -100,3 +100,60 @@ def center_cubes(cube1, cube2, crop=True):
         return out
 
     return fit(np.asarray(cube1), s1), fit(np.asarray(cube2), s2)
+
+
+def make_affinities(labels, nhood=None, size_thresh=1):
+    """Segmentation labels → affinity graphs + component-relabelled segs.
+
+    Reference: ``image.py::make_affinities`` — the label encoding MALIS /
+    affinity nets train on. For each label cube: build the ground-truth
+    affinity graph (:func:`elektronn2_tpu.malis.seg_to_affgraph`, nearest-
+    neighbour ``nhood`` by default), re-derive the segmentation as the
+    affinity graph's connected components (splits accidentally-touching
+    same-id objects exactly like the reference), and zero out components
+    smaller than ``size_thresh`` voxels in both the seg and its affinities.
+
+    ``labels``: (z, x, y) or (n, z, x, y) int array. Returns
+    ``(affinities, segs)`` with the leading n axis matching the input.
+    """
+    from elektronn2_tpu import malis as _malis
+    labels = np.asarray(labels)
+    single = labels.ndim == 3
+    if single:
+        labels = labels[None]
+    if nhood is None:
+        nhood = _malis.mknhood3d(1)
+    affs, segs = [], []
+    for lab in labels:
+        aff = np.asarray(_malis.seg_to_affgraph(lab, nhood), np.float32)
+        seg, sizes = _malis.connected_components(aff, nhood, threshold=0.5)
+        seg = seg * (lab != 0)            # background stays background
+        small = np.flatnonzero(sizes < int(size_thresh)) + 1
+        if small.size:
+            seg[np.isin(seg, small)] = 0
+            aff = np.asarray(_malis.seg_to_affgraph(seg, nhood), np.float32)
+        affs.append(aff)
+        segs.append(seg.astype(np.int32))
+    affs, segs = np.stack(affs), np.stack(segs)
+    return (affs[0], segs[0]) if single else (affs, segs)
+
+
+def downsample_xy(d, l, factor=2):
+    """Downsample a (raw, label) pair in x/y: mean-pool the raw, stride the
+    labels. Reference: ``image.py::downsample_xy``.
+
+    ``d``: (f, z, x, y) float raw; ``l``: (z, x, y) int labels (or None).
+    Trailing rows/columns that don't fill a ``factor`` block are cropped.
+    """
+    f = int(factor)
+    d = np.asarray(d)
+    cx = (d.shape[-2] // f) * f
+    cy = (d.shape[-1] // f) * f
+    dc = d[..., :cx, :cy]
+    d2 = dc.reshape(dc.shape[:-2] + (cx // f, f, cy // f, f)) \
+           .mean(axis=(-3, -1)).astype(d.dtype)
+    l2 = None
+    if l is not None:
+        l = np.asarray(l)
+        l2 = l[..., :cx:f, :cy:f]
+    return d2, l2

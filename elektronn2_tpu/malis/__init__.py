@@ -62,9 +62,39 @@ def mknhood3d(radius=1):
 
 
 def mknhood2d(radius=1):
+    """Nearest-neighbour 2D edge neighbourhood; ``radius > 1`` keeps one
+    representative of each ± offset pair within the disc (same policy as
+    :func:`mknhood3d`). Reference: ``malis_utils.py::mknhood2d``."""
     if radius == 1:
         return np.array([[-1, 0], [0, -1]], dtype=np.int32)
-    raise NotImplementedError("2D neighbourhoods beyond radius 1")
+    ceil = int(np.ceil(radius))
+    offs = []
+    for dx in range(-ceil, ceil + 1):
+        for dy in range(-ceil, ceil + 1):
+            if (dx, dy) == (0, 0) or (dx, dy) > (0, 0):
+                continue
+            if dx ** 2 + dy ** 2 <= radius ** 2:
+                offs.append((dx, dy))
+    return np.array(offs, dtype=np.int32)
+
+
+def mknhood3d_aniso(radiusxy=1, radiusxy_zminus1=1.8):
+    """Anisotropic 3D neighbourhood for thick-z EM stacks.
+
+    Reference: ``malis_utils.py::mknhood3d_aniso`` — full-resolution
+    in-plane edges (``mknhood2d(radiusxy)``), ONE direct z edge, plus
+    *both signed* in-plane offsets at z−1 within ``radiusxy_zminus1``
+    (diagonal inter-slice edges compensate the coarse z sampling).
+    Offset columns are (z, x, y) like :func:`mknhood3d`.
+    """
+    xy = mknhood2d(radiusxy)
+    xy_z = mknhood2d(radiusxy_zminus1)
+    rows = [np.concatenate([[0], o]) for o in xy]
+    rows.append(np.array([-1, 0, 0]))
+    for o in xy_z:
+        rows.append(np.concatenate([[-1], o]))
+        rows.append(np.concatenate([[-1], -o]))
+    return np.asarray(rows, dtype=np.int32)
 
 
 def seg_to_affgraph(seg, nhood):
@@ -286,3 +316,100 @@ def malis_weighted_nll(pred, aff_gt, seg_gt, nhood, unrestrict_neg=True):
     nll = -(pos_w * jnp.log(jnp.maximum(pred, eps))
             + neg_w * jnp.log(jnp.maximum(1.0 - pred, eps)))
     return jnp.sum(nll, axis=1)
+
+
+def affgraph_to_edgelist(aff, nhood):
+    """Flatten an affinity graph to ``(node1, node2, weight)`` arrays.
+
+    Reference: ``malis_utils.py::affgraph_to_edgelist`` (Turaga's malis
+    utility surface). Only in-bounds edges are emitted (the reference
+    emitted every lattice position and bounds-checked in the C core;
+    the valid-edge set and weights are identical). Node ids are flat
+    C-order voxel indices into ``aff.shape[1:]``.
+    """
+    aff = np.asarray(aff, dtype=np.float32)
+    nhood = np.asarray(nhood, dtype=np.int32)
+    sp = aff.shape[1:]
+    strides = np.array([int(np.prod(sp[d + 1:])) for d in range(len(sp))],
+                       dtype=np.int64)
+    node1, node2, weight = [], [], []
+    grids = np.meshgrid(*[np.arange(s) for s in sp], indexing="ij")
+    for e in range(len(nhood)):
+        valid = np.ones(sp, dtype=bool)
+        for d in range(len(sp)):
+            o = int(nhood[e, d])
+            if o < 0:
+                valid &= grids[d] >= -o
+            elif o > 0:
+                valid &= grids[d] < sp[d] - o
+        vidx = np.ravel_multi_index([g[valid] for g in grids], sp)
+        node1.append(vidx)
+        node2.append(vidx + int((nhood[e] * strides).sum()))
+        weight.append(aff[e][valid])
+    return (np.concatenate(node1), np.concatenate(node2),
+            np.concatenate(weight))
+
+
+def connected_components(aff, nhood, threshold=0.5):
+    """Segment an affinity graph: union voxels over every edge with
+    affinity ≥ ``threshold``; labels are 1..K (every voxel gets a label,
+    singletons included). Returns ``(seg, sizes)`` with ``sizes[k-1]`` the
+    voxel count of component k.
+
+    Reference: ``malis_utils.py::connected_components`` (the
+    edgelist-based core there; this takes the (E, \\*sp) affinity layout
+    directly).
+    """
+    aff = np.asarray(aff, dtype=np.float32)
+    sp = aff.shape[1:]
+    n_vox = int(np.prod(sp))
+    node1, node2, weight = affgraph_to_edgelist(aff, nhood)
+    parent = np.arange(n_vox, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for v, u in zip(node1[weight >= threshold], node2[weight >= threshold]):
+        ra, rb = find(v), find(u)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(n_vox)])
+    uniq, seg_flat = np.unique(roots, return_inverse=True)
+    seg = (seg_flat + 1).astype(np.int32).reshape(sp)
+    sizes = np.bincount(seg_flat, minlength=len(uniq)).astype(np.int64)
+    return seg, sizes
+
+
+def compute_V_rand_N2(seg_gt, seg_pred):
+    """Foreground-restricted Rand F-score between two segmentations.
+
+    Reference: ``malis_utils.py::compute_V_rand_N2`` (the SNEMI3D metric).
+    Voxels with ``seg_gt == 0`` are ignored. Returns
+    ``(V_rand, V_rand_split, V_rand_merge)`` where split/merge are the
+    recall/precision-like components and
+    ``V_rand = 2·Σp²/(Σa² + Σb²)`` is their harmonic mean.
+    """
+    seg_gt = np.asarray(seg_gt).reshape(-1)
+    seg_pred = np.asarray(seg_pred).reshape(-1)
+    mask = seg_gt != 0
+    gt = seg_gt[mask]
+    pr = seg_pred[mask]
+    n = gt.size
+    if n == 0:
+        return 1.0, 1.0, 1.0
+    # joint histogram p_ij over (gt, pred) label pairs, normalised
+    pairs = gt.astype(np.int64) * (pr.max() + 1) + pr.astype(np.int64)
+    p = np.bincount(np.unique(pairs, return_inverse=True)[1]) / n
+    a = np.bincount(np.unique(gt, return_inverse=True)[1]) / n   # gt marginal
+    b = np.bincount(np.unique(pr, return_inverse=True)[1]) / n   # pred marginal
+    sp2 = float((p ** 2).sum())
+    sa2 = float((a ** 2).sum())
+    sb2 = float((b ** 2).sum())
+    v_split = sp2 / sa2     # high when gt segments are not split in pred
+    v_merge = sp2 / sb2     # high when pred segments do not merge gt ones
+    return 2.0 * sp2 / (sa2 + sb2), v_split, v_merge

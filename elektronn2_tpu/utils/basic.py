@@ -188,3 +188,108 @@ class DynamicKDT:
 
     def __len__(self):
         return len(self._points)
+
+
+def unique_rows(a):
+    """Unique rows of a 2D array (order of first occurrence preserved).
+    Reference: ``utils_basic.py::unique_rows``."""
+    a = np.ascontiguousarray(a)
+    if a.ndim != 2:
+        raise ValueError(f"unique_rows expects a 2D array, got {a.shape}")
+    view = a.view([("", a.dtype)] * a.shape[1]).reshape(-1)
+    _, first = np.unique(view, return_index=True)
+    return a[np.sort(first)]
+
+
+def makeversiondir(path, dir_name=None):
+    """Create a directory; if it already exists, create a versioned
+    sibling (``...-v2``, ``-v3``, …) instead and return the path actually
+    created. Reference: ``utils_basic.py::makeversiondir`` (guards the
+    trainer save root against clobbering an earlier run)."""
+    import os
+    base = os.path.join(path, dir_name) if dir_name else path
+    candidate = base
+    v = 1
+    while os.path.exists(candidate):
+        v += 1
+        candidate = f"{base}-v{v}"
+    os.makedirs(candidate)
+    return candidate
+
+
+def import_variable_from_file(file_path, class_name):
+    """Exec a Python source file and return one symbol from its namespace.
+    Reference: ``utils_basic.py::import_variable_from_file`` (how the
+    reference pulled ``create_model``-style callables out of standalone
+    files)."""
+    ns = {"__file__": str(file_path), "__name__": "__elektronn2_import__"}
+    with open(file_path) as f:
+        code = compile(f.read(), str(file_path), "exec")
+    exec(code, ns)
+    try:
+        return ns[class_name]
+    except KeyError:
+        raise AttributeError(
+            f"{file_path} defines no symbol {class_name!r}") from None
+
+
+def pretty_string_ops(n):
+    """Format an op count: ``1234567890 → '1.23 GOp'``. Reference:
+    ``utils_basic.py::pretty_string_ops``."""
+    n = float(n)
+    for unit in ("", "k", "M", "G", "T", "P"):
+        if abs(n) < 1000.0 or unit == "P":
+            return f"{n:.2f} {unit}Op".replace(".00 ", " ")
+        n /= 1000.0
+
+
+def get_free_cpu_count(safety=1):
+    """CPUs not currently busy (cpu_count minus 1-min load average, at
+    least 1). Reference: ``utils_basic.py::get_free_cpu_count`` — sizes
+    the background data-worker pool."""
+    import os
+    total = os.cpu_count() or 1
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        load = 0.0
+    return max(1, int(total - load - safety))
+
+
+class CircularBuffer:
+    """Fixed-capacity ring buffer over scalars/arrays with ``data`` /
+    ``mean`` views in insertion order. Reference:
+    ``utils_basic.py::CircularBuffer`` (the HistoryTracker's smoothing
+    window there)."""
+
+    def __init__(self, buffer_len):
+        self.buffer_len = int(buffer_len)
+        self._buf = None
+        self._n = 0          # total appends
+        self._i = 0          # next write slot
+
+    def append(self, value):
+        value = np.asarray(value)
+        if self._buf is None:
+            self._buf = np.zeros((self.buffer_len,) + value.shape,
+                                 value.dtype if value.dtype.kind == "f"
+                                 else np.float64)
+        self._buf[self._i] = value
+        self._i = (self._i + 1) % self.buffer_len
+        self._n += 1
+
+    @property
+    def data(self):
+        if self._buf is None:
+            return np.zeros((0,))
+        if self._n < self.buffer_len:
+            return self._buf[:self._n].copy()
+        # oldest → newest
+        return np.concatenate([self._buf[self._i:], self._buf[:self._i]])
+
+    def mean(self):
+        d = self.data
+        return d.mean(axis=0) if len(d) else 0.0
+
+    def __len__(self):
+        return min(self._n, self.buffer_len)

@@ -114,3 +114,107 @@ def save_preview_images(pred, path_prefix):
     for c in range(p.shape[0]):
         scroll_plot(p[c], f"{path_prefix}-c{c}.png")
     logger.info(f"preview images: {path_prefix}-c*.png")
+
+
+def my_quiver(x, y, img=None, c=None, path=None):
+    """Quiver plot of a 2D vector field, optionally over a background
+    image. Reference: ``plotting.my_quiver`` (used to visualise predicted
+    tracing direction fields).
+
+    ``x``/``y``: (H, W) vector components; ``img``: optional (H, W)
+    greyscale background; ``c``: optional arrow colour array.
+    """
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 6))
+    if img is not None:
+        ax.imshow(np.asarray(img), cmap="gray", interpolation="nearest")
+    if c is not None:
+        ax.quiver(np.asarray(x), np.asarray(y), np.asarray(c), angles="xy")
+    else:
+        ax.quiver(np.asarray(x), np.asarray(y), angles="xy")
+    if path:
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_trainingtarget(img, lab, stride=1, path=None):
+    """Show an image patch beside (and overlaid with) its training target.
+
+    Reference: ``plotting.plot_trainingtarget`` — the quick "is my data
+    pipeline sane" visual check. ``img``: (H, W) raw; ``lab``: (h, w)
+    target at output ``stride`` (upsampled by repetition for the overlay).
+    """
+    plt = _plt()
+    img = np.asarray(img)
+    lab = np.asarray(lab)
+    if stride > 1:
+        lab = np.repeat(np.repeat(lab, stride, 0), stride, 1)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    axes[0].imshow(img, cmap="gray", interpolation="nearest")
+    axes[0].set_title("raw")
+    axes[1].imshow(lab, cmap="viridis", interpolation="nearest")
+    axes[1].set_title("target")
+    axes[2].imshow(img, cmap="gray", interpolation="nearest")
+    # centre the (possibly smaller, valid-mode) target on the raw patch
+    off = [(a - b) // 2 for a, b in zip(img.shape, lab.shape)]
+    ext = (off[1] - 0.5, off[1] + lab.shape[1] - 0.5,
+           off[0] + lab.shape[0] - 0.5, off[0] - 0.5)
+    axes[2].imshow(lab, cmap="viridis", alpha=0.4,
+                   interpolation="nearest", extent=ext)
+    axes[2].set_title("overlay")
+    for ax in axes:
+        ax.axis("off")
+    if path:
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_exectimes(exectimes, path=None, top=20):
+    """Horizontal bar chart of per-node execution times.
+
+    Reference: ``plotting.plot_exectimes`` — consumes the dict
+    :meth:`Model.measure_exectimes` returns (node name → milliseconds).
+    """
+    plt = _plt()
+    items = sorted(((float(v), str(k)) for k, v in dict(exectimes).items()),
+                   reverse=True)[:int(top)]
+    vals = [v for v, _ in items][::-1]
+    names = [k for _, k in items][::-1]
+    fig, ax = plt.subplots(figsize=(7, 0.35 * max(4, len(items)) + 1))
+    ax.barh(range(len(vals)), vals)
+    ax.set_yticks(range(len(names)))
+    ax.set_yticklabels(names, fontsize=7)
+    ax.set_xlabel("ms")
+    ax.set_title("per-node execution time")
+    if path:
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_kde(x, y, path=None, bins=80, title=""):
+    """2D density plot (prediction-vs-target style). Reference:
+    ``plotting.plot_kde`` (unverified exact rendering — the reference used
+    a KDE scatter; a log-scaled 2D histogram carries the same diagnostic
+    without a seaborn dependency)."""
+    plt = _plt()
+    x = np.asarray(x, np.float64).reshape(-1)
+    y = np.asarray(y, np.float64).reshape(-1)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    h, xe, ye = np.histogram2d(x, y, bins=bins)
+    ax.imshow(np.log1p(h.T), origin="lower", aspect="auto",
+              extent=(xe[0], xe[-1], ye[0], ye[-1]), cmap="viridis")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    if title:
+        ax.set_title(title)
+    if path:
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return path
+    return fig

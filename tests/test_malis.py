@@ -113,3 +113,125 @@ def test_malis_nll_node(rng):
         losses.append(float(l))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_mknhood2d_radius2():
+    from elektronn2_tpu.malis import mknhood2d
+    nh = mknhood2d(2)
+    # one representative per ± pair within the disc, origin excluded
+    assert len(set(map(tuple, nh))) == len(nh)
+    for o in map(tuple, nh):
+        assert o != (0, 0)
+        assert o[0] ** 2 + o[1] ** 2 <= 4
+        assert tuple(-np.array(o)) not in set(map(tuple, nh))
+
+
+def test_mknhood3d_aniso():
+    from elektronn2_tpu.malis import mknhood3d_aniso
+    nh = mknhood3d_aniso(1, 1.8)
+    rows = set(map(tuple, nh))
+    # in-plane nearest edges + one z edge
+    assert {(0, -1, 0), (0, 0, -1), (-1, 0, 0)} <= rows
+    # diagonal inter-slice edges in BOTH in-plane signs
+    assert (-1, -1, 0) in rows and (-1, 1, 0) in rows
+    assert (-1, 0, -1) in rows and (-1, 0, 1) in rows
+    # all inter-slice offsets stay within the radius
+    for o in rows:
+        if o[0] == -1:
+            assert o[1] ** 2 + o[2] ** 2 <= 1.8 ** 2
+    assert len(rows) == len(nh)
+
+
+def test_affgraph_to_edgelist_roundtrip():
+    from elektronn2_tpu.malis import (affgraph_to_edgelist, seg_to_affgraph,
+                                      mknhood3d)
+    rng = np.random.RandomState(0)
+    seg = rng.randint(0, 3, size=(3, 4, 5)).astype(np.int32)
+    nhood = mknhood3d(1)
+    aff = np.asarray(seg_to_affgraph(seg, nhood))
+    n1, n2, w = affgraph_to_edgelist(aff, nhood)
+    # edge count: sum over axes of in-bounds positions
+    expect = 2 * 4 * 5 + 3 * 3 * 5 + 3 * 4 * 4
+    assert len(n1) == len(n2) == len(w) == expect
+    # every edge weight matches the graph entry it came from
+    flat = seg.reshape(-1)
+    for v, u, weight in zip(n1[:50], n2[:50], w[:50]):
+        assert weight == float((flat[v] == flat[u]) and flat[v] != 0)
+
+
+def test_connected_components_matches_labels():
+    from elektronn2_tpu.malis import (connected_components, seg_to_affgraph,
+                                      mknhood3d)
+    # two separated objects + background
+    seg = np.zeros((4, 6, 6), np.int32)
+    seg[:, :2, :2] = 5
+    seg[:, 4:, 4:] = 9
+    nhood = mknhood3d(1)
+    aff = np.asarray(seg_to_affgraph(seg, nhood))
+    cc, sizes = connected_components(aff, nhood, threshold=0.5)
+    # objects resolve to single components of the right size
+    ids_a = np.unique(cc[:, :2, :2])
+    ids_b = np.unique(cc[:, 4:, 4:])
+    assert len(ids_a) == 1 and len(ids_b) == 1 and ids_a[0] != ids_b[0]
+    assert sizes[ids_a[0] - 1] == 4 * 2 * 2
+    assert sizes[ids_b[0] - 1] == 4 * 2 * 2
+    # background voxels (affinity 0 everywhere) are singletons
+    assert cc.min() >= 1
+    assert sizes.sum() == seg.size
+
+
+def test_compute_v_rand_n2():
+    from elektronn2_tpu.malis import compute_V_rand_N2
+    gt = np.zeros((4, 4, 4), np.int32)
+    gt[:2] = 1
+    gt[2:] = 2
+    # perfect (up to a relabel)
+    v, vs, vm = compute_V_rand_N2(gt, gt * 7)
+    assert v == pytest.approx(1.0) and vs == pytest.approx(1.0) \
+        and vm == pytest.approx(1.0)
+    # a full merge: merge score suffers, split score stays perfect
+    # (SNEMI convention: split = Σp²/Σt² over GT marginals, high when no
+    # gt segment is split; merge = Σp²/Σs² over pred marginals)
+    merged = np.ones_like(gt)
+    v2, vs2, vm2 = compute_V_rand_N2(gt, merged)
+    assert vs2 == pytest.approx(1.0)   # no gt segment is split
+    assert vm2 == pytest.approx(0.5)   # everything merged into one
+    assert v2 == pytest.approx(2 / 3)
+    # background-restriction: gt zeros are ignored entirely
+    gt0 = gt.copy()
+    gt0[:, :, 0] = 0
+    pred = gt * 7
+    pred[:, :, 0] = 12345
+    v3, _, _ = compute_V_rand_N2(gt0, pred)
+    assert v3 == pytest.approx(1.0)
+
+
+def test_make_affinities_and_downsample_xy():
+    from elektronn2_tpu.data.image import make_affinities, downsample_xy
+    seg = np.zeros((3, 6, 6), np.int32)
+    seg[:, :2, :2] = 1
+    seg[:, 4:, 4:] = 1          # same id, spatially disconnected
+    seg[:, 4, 0] = 2            # 3-voxel bar
+    aff, cc = make_affinities(seg, size_thresh=4)
+    assert aff.shape == (3, 3, 6, 6)
+    # the disconnected same-id object splits into two components
+    a = np.unique(cc[:, :2, :2])
+    b = np.unique(cc[:, 4:, 4:])
+    assert len(a) == 1 and len(b) == 1 and a[0] != b[0] and a[0] != 0
+    # the 3-voxel bar is below size_thresh → zeroed
+    assert (cc[:, 4, 0] == 0).all()
+    # background stays background
+    assert (cc[seg == 0] == 0).all()
+    # batch form mirrors single form
+    affb, ccb = make_affinities(seg[None], size_thresh=4)
+    np.testing.assert_array_equal(ccb[0], cc)
+    np.testing.assert_array_equal(affb[0], aff)
+
+    d = np.arange(2 * 3 * 6 * 7, dtype=np.float32).reshape(2, 3, 6, 7)
+    l = np.arange(3 * 6 * 7, dtype=np.int32).reshape(3, 6, 7)
+    d2, l2 = downsample_xy(d, l, factor=2)
+    assert d2.shape == (2, 3, 3, 3) and l2.shape == (3, 3, 3)
+    assert d2[0, 0, 0, 0] == pytest.approx(d[0, 0, :2, :2].mean())
+    assert (l2 == l[:, :6:2, :6:2]).all()
+    d3, l3 = downsample_xy(d, None, factor=3)
+    assert d3.shape == (2, 3, 2, 2) and l3 is None

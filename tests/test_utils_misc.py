@@ -389,3 +389,73 @@ def test_pod_config_mesh_axes_survives_cli_path(tmp_path):
     exp = ExperimentConfig.from_file(
         os.path.join(root, "examples", "neuro3d_pod.py"))
     assert exp.as_dict().get("mesh_axes"), "mesh_axes dropped by the filter"
+
+
+def test_unique_rows():
+    from elektronn2_tpu.utils.basic import unique_rows
+    a = np.array([[1, 2], [3, 4], [1, 2], [5, 6], [3, 4]])
+    u = unique_rows(a)
+    np.testing.assert_array_equal(u, [[1, 2], [3, 4], [5, 6]])
+    with pytest.raises(ValueError):
+        unique_rows(np.zeros(3))
+
+
+def test_makeversiondir(tmp_path):
+    from elektronn2_tpu.utils.basic import makeversiondir
+    p1 = makeversiondir(str(tmp_path), "run")
+    p2 = makeversiondir(str(tmp_path), "run")
+    p3 = makeversiondir(str(tmp_path), "run")
+    assert p1.endswith("run") and p2.endswith("run-v2") \
+        and p3.endswith("run-v3")
+    assert os.path.isdir(p1) and os.path.isdir(p2) and os.path.isdir(p3)
+
+
+def test_import_variable_from_file(tmp_path):
+    from elektronn2_tpu.utils.basic import import_variable_from_file
+    f = tmp_path / "mod.py"
+    f.write_text("x = 41\ndef create_model():\n    return x + 1\n")
+    fn = import_variable_from_file(str(f), "create_model")
+    assert fn() == 42
+    with pytest.raises(AttributeError):
+        import_variable_from_file(str(f), "nope")
+
+
+def test_pretty_string_ops_and_free_cpus():
+    from elektronn2_tpu.utils.basic import (pretty_string_ops,
+                                            get_free_cpu_count)
+    assert pretty_string_ops(123) == "123 Op"
+    assert pretty_string_ops(1234567890) == "1.23 GOp"
+    assert 1 <= get_free_cpu_count() <= (os.cpu_count() or 1)
+
+
+def test_circular_buffer():
+    from elektronn2_tpu.utils.basic import CircularBuffer
+    cb = CircularBuffer(4)
+    assert len(cb) == 0 and cb.mean() == 0.0
+    for i in range(3):
+        cb.append(float(i))
+    np.testing.assert_allclose(cb.data, [0.0, 1.0, 2.0])
+    for i in range(3, 7):
+        cb.append(float(i))
+    # holds the LAST 4, oldest → newest
+    np.testing.assert_allclose(cb.data, [3.0, 4.0, 5.0, 6.0])
+    assert cb.mean() == pytest.approx(4.5)
+    assert len(cb) == 4
+
+
+def test_new_plot_helpers(tmp_path):
+    from elektronn2_tpu.utils.plotting import (my_quiver, plot_trainingtarget,
+                                               plot_exectimes, plot_kde)
+    rng = np.random.RandomState(0)
+    p = my_quiver(rng.randn(8, 8), rng.randn(8, 8),
+                  img=rng.rand(8, 8), c=rng.rand(8, 8),
+                  path=str(tmp_path / "q.png"))
+    assert os.path.getsize(p) > 0
+    p = plot_trainingtarget(rng.rand(32, 32), rng.randint(0, 2, (12, 12)),
+                            stride=2, path=str(tmp_path / "t.png"))
+    assert os.path.getsize(p) > 0
+    p = plot_exectimes({"conv1": 1.5, "conv2": 3.25, "softmax": 0.2},
+                       path=str(tmp_path / "e.png"))
+    assert os.path.getsize(p) > 0
+    p = plot_kde(rng.randn(500), rng.randn(500), path=str(tmp_path / "k.png"))
+    assert os.path.getsize(p) > 0
