@@ -416,6 +416,13 @@ def sample_tracing_batch(agent_data, batch_size, n_steps, rng,
     frame; roll out with ``Tracer(rotate_to_heading=True)``, which inverts
     the frame per step. Default: axis-aligned views, world-frame targets
     (what ``DeviceTracer`` supports on device).
+
+    t=0 convention: training teacher-forces the first view along the
+    walk's first hop (the sampler knows it; a cold rollout does not) —
+    at deployment pass the seed's orientation as
+    ``Tracer.trace(initial_heading=...)`` to match; the default
+    ``(0, 0, 1)`` first view is off-distribution for one step and the
+    frame locks onto the agent's own motion from step 1.
     ``source='valid'`` cuts patches from the held-out cubes so validation
     metrics are genuinely out-of-sample.
 

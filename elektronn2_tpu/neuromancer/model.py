@@ -30,6 +30,21 @@ from elektronn2_tpu.neuromancer.node_basic import Input, TraceCtx
 from elektronn2_tpu.neuromancer.optimiser import get_optimiser, Optimiser
 
 
+@jax.jit
+def _tree_copy_jit(tree):
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+def _tree_device_copy(tree):
+    """Deep-copy a pytree of (device) arrays in ONE jitted dispatch —
+    data never leaves the device (vs a ``np.asarray`` tree walk, which
+    pulls every buffer over D2H). All snapshot leaves are arrays by
+    construction (params / optimiser slots / BN stats)."""
+    if tree is None or not jax.tree_util.tree_leaves(tree):
+        return tree
+    return _tree_copy_jit(tree)
+
+
 class Model:
     """A compiled view over a node graph.
 
@@ -701,11 +716,14 @@ class Model:
     # ------------------------------------------------------- blowup recovery
     def snapshot_good(self):
         """Record the current params / optimiser / aux state as known-good
-        (host copies). The Trainer calls this at every finite history
-        point; :meth:`repair_fuckup` restores it."""
-        self._good = (jax.tree_util.tree_map(np.asarray, self.params),
-                      jax.tree_util.tree_map(np.asarray, self.opt_state),
-                      jax.tree_util.tree_map(np.asarray, self.state))
+        (ON-DEVICE copies — one jitted dispatch, no device→host transfer:
+        the Trainer calls this at every finite sync point / fused-chunk
+        boundary, and a host readback of the whole param+opt tree there
+        would tax the training loop with D2H bandwidth for a snapshot
+        that is usually thrown away). :meth:`repair_fuckup` restores it."""
+        self._good = (_tree_device_copy(self.params),
+                      _tree_device_copy(self.opt_state),
+                      _tree_device_copy(self.state))
 
     def repair_fuckup(self, lr_scale=None):
         """Roll back to the last :meth:`snapshot_good` after a training
@@ -720,11 +738,16 @@ class Model:
         if good is None:
             return False
         p, o, s = good
-        self.params = jax.tree_util.tree_map(jnp.asarray, p)
-        self.opt_state = jax.tree_util.tree_map(jnp.asarray, o)
-        self.state = jax.tree_util.tree_map(jnp.asarray, s)
+        # restore COPIES: the restored arrays get donated to the next
+        # trainingstep, and the snapshot must survive a second blowup
+        # before the next finite sync point refreshes it
+        self.params = _tree_device_copy(p)
+        self.opt_state = _tree_device_copy(o)
+        self.state = _tree_device_copy(s)
         if self._mesh is not None:
-            # re-commit the mesh shardings the rollback overwrote
+            # re-commit the mesh shardings (no-op for device snapshots,
+            # which keep their shardings; load-bearing if a caller stuffed
+            # host arrays into _good)
             self.params = jax.device_put(self.params,
                                          self._param_shardings())
             self.state = jax.device_put(self.state, self._repl_sharding())

@@ -985,3 +985,33 @@ def test_spatial_training_rejects_batchnorm():
     mesh = make_mesh({"data": 2, "space": 2}, n_devices=4)
     with pytest.raises(ValueError, match="BatchNorm"):
         make_spatial_dp_trainstep(m, mesh)
+
+
+def test_repair_fuckup_under_mesh(rng):
+    """Blowup rollback preserves committed shardings + optimiser state
+    under a DP mesh, and survives a SECOND blowup before the next
+    snapshot (restore hands out copies, not the snapshot itself)."""
+    B = 8
+    m = build_model(B)
+    m.set_opt("Adam", lr=1e-2)
+    m.use_mesh(make_mesh({"data": 8}))
+    x = rng.randn(*m.input_node.shape.shape).astype(np.float32)
+    y = (rng.rand(*m.target_node.shape.shape) > 0.5).astype(np.int32) \
+        if m.target_node.shape.shape[-1] != 2 else \
+        rng.randn(*m.target_node.shape.shape).astype(np.float32)
+    l0, _ = m.trainingstep(x, y)
+    m.snapshot_good()
+    good_w = np.asarray(jax.tree_util.tree_leaves(m.params)[0]).copy()
+    good_step = int(np.asarray(m.opt_state["step"]))
+    for attempt in range(2):      # second rollback reuses the snapshot
+        bad = jax.tree_util.tree_map(lambda a: jnp.full_like(a, np.nan),
+                                     m.params)
+        m.params = jax.device_put(bad, m._param_shardings())
+        assert m.repair_fuckup(lr_scale=0.5) is True
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(m.params)[0]), good_w)
+        assert int(np.asarray(m.opt_state["step"])) == good_step
+    # training continues finitely, still sharded
+    lv, _ = m.trainingstep(x, y)
+    assert np.isfinite(float(lv))
+    assert m.optimiser.hyperparams["lr"] == pytest.approx(2.5e-3)
