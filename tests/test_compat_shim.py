@@ -114,3 +114,31 @@ def test_gpu_compat_shim():
     # device (the out-of-range guard only applies when accelerators
     # exist)
     assert gpu.initgpu(0).platform == "cpu"
+
+
+def test_reference_deep_module_paths():
+    """Reference-style deep imports through the compat shim: the module
+    names user code imported in the reference resolve to the live
+    implementations (same objects, not copies)."""
+    from elektronn2.neuromancer.computations import (conv, fragmentpool,
+                                                     fragments2dense,
+                                                     upsampling, softmax)
+    from elektronn2.utils.utils_basic import (h5save, unique_rows,
+                                              pretty_string_time)
+    from elektronn2.malis.malis_utils import (mknhood3d, seg_to_affgraph,
+                                              compute_V_rand_N2)
+    from elektronn2.malis.malisop import malis_weights
+
+    import importlib
+    _conv_mod = importlib.import_module("elektronn2_tpu.ops.conv")
+    _basic_mod = importlib.import_module("elektronn2_tpu.utils.basic")
+    _malis_mod = importlib.import_module("elektronn2_tpu.malis")
+    assert conv is _conv_mod.conv
+    assert upsampling is _conv_mod.unpooling      # reference alias
+    assert h5save is _basic_mod.h5save
+    assert unique_rows is _basic_mod.unique_rows
+    assert mknhood3d is _malis_mod.mknhood3d
+    assert malis_weights is _malis_mod.malis_weights
+    assert callable(fragmentpool) and callable(fragments2dense)
+    assert callable(softmax) and callable(seg_to_affgraph)
+    assert callable(compute_V_rand_N2) and callable(pretty_string_time)
