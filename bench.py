@@ -198,9 +198,10 @@ def main():
     # keeps the best healthy-day value). Tracked in
     # docs/tpu_performance.md.
     # the champion config additionally runs a LARGER slab (96x512x512,
-    # ~25.2 Mvox — fits v5e HBM, measured): bigger slabs amortise both the
-    # fov halo (pad_raw reflect-pad computes ~2x the output voxels at
-    # 64x512x512, only ~1.77x at 96) and per-dispatch overhead. Measured
+    # ~25.2 Mvox — fits v5e HBM, measured): bigger slabs amortise
+    # per-dispatch overhead and let XLA tile deeper z better (the fov
+    # halo — pad_raw computes (Z+4)(X+25)(Y+25) positions, fov [5,26,26]
+    # — only explains ~2% of the 64-z -> 96-z gain). Measured
     # r2: 124.7 Mvox/s at 96 vs ~114 at 64 (and the 96 number was taken
     # on a degraded-tunnel day — healthy-day margin is larger).
     # int8 QUANTIZED serving was a contender and is now a measured
