@@ -323,6 +323,26 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     # measured on the pre-zfold 3D graph)
     use_poolslice = bool(getattr(model, "_dilated_poolslice", False))
 
+    # hand-written Pallas MXU kernel for eligible tail convs (the
+    # dense-path hot op) — dilated domain only, f32, unquantised
+    use_ptail = (bool(getattr(model, "_dilated_ptail", False))
+                 and halo_axis is None and not use_s2b and not use_zmajor
+                 and nsp == 3 and not quant and quant_calibrate is None
+                 and cdtype is None and not act_e2e and not batch)
+    xzcy_nodes = set()   # nodes whose cached value is in kernel layout
+
+    def _ptail_node_ok(node):
+        """Graph-level eligibility of one Conv for the Pallas tail kernel
+        (value-level conditions — ph, dil[0], batch — checked at use)."""
+        if not isinstance(node, neural.Conv):
+            return False
+        w_ = params[node.name]["w"]
+        return (w_.ndim == 5 and tuple(w_.shape[2:]) == (3, 3, 3)
+                and all(p == 1 for p in node.pool_shape)
+                and not node.batch_normalisation
+                and node.activation_func == "relu"
+                and "alpha" not in node.params)
+
     def _pool_slices(y, pool, dil, axes):
         """Max over the (stride-1, dilated) pool window as shifted slices:
         elementwise maximums XLA can fuse, vs a reduce_window call."""
@@ -504,6 +524,33 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                                 for d, p in zip(dil, node.pool_shape))
                 y = y.reshape((B2, Z2) + tuple(y.shape[1:])
                               ).transpose(0, 2, 1, 3, 4)
+            elif (use_ptail and ph is None and eff_dil[0] == 1
+                    and _ptail_node_ok(node)
+                    and (node.parents[0].name in xzcy_nodes
+                         or int(xin.shape[0]) == 1)):
+                from elektronn2_tpu.ops.pallas_tailconv import \
+                    conv3x3_dilated
+                in_xz = node.parents[0].name in xzcy_nodes
+                # chain in the kernel's native layout when this conv's
+                # ONLY consumer is the next eligible tail conv — the
+                # inter-conv transposes vanish
+                kids = [c for c in getattr(node, "children", [])]
+                out_xz = (len(kids) == 1 and _ptail_node_ok(kids[0]))
+                y = conv3x3_dilated(
+                    xin, w, b,
+                    dil=(1, int(eff_dil[1]), int(eff_dil[2])),
+                    in_layout="xzcy" if in_xz else "nczxy",
+                    out_layout="xzcy" if out_xz else "nczxy",
+                    valid_y=(int(vext[node.parents[0].name][-1])
+                             if in_xz else None),
+                    # Mosaic is TPU-only: CPU (tests) runs the kernel's
+                    # interpreter, which is exact but slow (the sandbox
+                    # TPU platform is named 'axon', hence the cpu check)
+                    interpret=jax.default_backend() == "cpu")
+                if out_xz:
+                    xzcy_nodes.add(node.name)
+                # bias + relu are fused in the kernel; v/dil bookkeeping
+                # continues below (no pool on eligible nodes)
             else:
                 zl_pre = int(xin.shape[2]) if nsp == 3 else 0
                 if nsp == 3:

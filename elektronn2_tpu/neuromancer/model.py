@@ -126,7 +126,7 @@ class Model:
 
     # --------------------------------------------------------------- plumbing
     def set_dilated_impl(self, impl="direct", zfold=False, ztap=False,
-                         zmajor=False, poolslice=False):
+                         zmajor=False, poolslice=False, pallas_tail=False):
         """Choose the dilated-op lowering for the dense path: 'direct'
         (rhs_dilation), 's2b' (per-op space-to-batch) or 's2bg' (GLOBAL
         space-to-batch: one split at the dilation plateau, undilated tail,
@@ -161,7 +161,17 @@ class Model:
         elementwise maximums instead of ``lax.reduce_window`` — exactly
         equivalent (max is max; tests); which is faster is XLA-version
         dependent (the slice form can fuse into neighbouring elementwise
-        ops where reduce_window cannot)."""
+        ops where reduce_window cannot).
+
+        ``pallas_tail``: run eligible tail convs (kernel (3,3,3), z-dil 1,
+        no fused pool/BN, relu, f32) through the hand-written Pallas MXU
+        kernel ``ops/pallas_tailconv.py`` (ring-buffered slab DMA, ky
+        weight blocks M-stacked to fill the 128-row MXU dim, fused
+        bias+relu; consecutive eligible convs chain in the kernel's native
+        layout with no transposes between them). Applies in the dilated
+        domain (impl 'direct'; ignored in phase space / s2b / zmajor /
+        quantised / bf16 modes — those fall back per conv). Exactly
+        equivalent up to float reassociation (tests)."""
         if impl not in ("direct", "s2b", "s2bg"):
             raise ValueError(f"impl={impl!r}: expected 'direct', 's2b' "
                              "or 's2bg'")
@@ -185,6 +195,7 @@ class Model:
         self._dilated_ztap = ztap
         self._dilated_zmajor = bool(zmajor)
         self._dilated_poolslice = bool(poolslice)
+        self._dilated_ptail = bool(pallas_tail)
         # the lowering is baked into the traced program: drop cached jits
         self._dilated_fns = {}
         return self

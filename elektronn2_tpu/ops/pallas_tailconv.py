@@ -1,0 +1,318 @@
+"""Pallas TPU kernel for the dense-sweep tail convs (3x3x3, xy-dilated).
+
+The dense-inference hot op — ~92% of the sweep FLOPs
+(docs/tpu_performance.md) — is a valid-mode 3D conv with kernel (3,3,3),
+z-dilation 1, xy-dilation d (the cumulative pool stride of the à-trous
+formulation; reference mechanism: ``elektronn2/neuromancer/computations.py::
+fragmentpool`` + ``conv``), and SMALL channel counts (Cin 30-40, Cout 40).
+Cout=40 underfills the MXU's 128-wide output dimension, capping ANY
+lowering at ~31% of peak (~61 TF/s bf16 on v5e); XLA's conv reaches ~28
+TF/s in-graph. This kernel attacks the gap between the two with a design
+XLA cannot express:
+
+* activations live in layout ``(X, Z*C, Y)`` — channels on sublanes, Y on
+  lanes — so one (3C, Y) VMEM slab holds all three kz taps of one x-row;
+* a ring of ``2*dx+2`` slabs in VMEM scratch (persistent across the
+  sequential TPU grid) turns the 9-fold x/z input reuse into ONE
+  double-buffered HBM DMA per output row (the round-1 kernel,
+  ``ops/experimental/pallas_dilated_conv.py``, paid 9 serial DMAs + 27
+  strided VMEM copies per tile and managed only 3.9 TF/s);
+* the 9 (kx, ky) taps are 9 MXU dots ``(Cout, 3C) @ (3C, Yo)`` reading the
+  ring at static lane offsets ``ky*dy`` — no im2col buffer is ever built;
+* bias + ReLU are fused into the epilogue, and ``out_layout='xzcy'``
+  writes the output directly in the next tail conv's input layout so
+  chained tail convs need no transposes between them.
+
+Dilation enters only as static offsets (ring stride dx, lane shifts
+ky*dy), so the kernel's cost is identical for any dilation — it runs the
+tail in the DILATED domain at full lane width instead of the s2bg phase
+domain's ragged 134-lane tiles.
+
+Status + measured numbers: docs/tpu_performance.md "Pallas tail-conv v2".
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
+                 variant="mstack"):
+    """C: padded channel count; slab = ((ZB+2)*C, Yp); ring = R slabs.
+
+    One grid cell computes ZB consecutive output z-rows at one x: the slab
+    DMA and grid-step fixed costs amortise over ZB rows (measured: ZB=1 is
+    per-cell-overhead-bound at ~33 us/cell)."""
+    SC = (ZB + 2) * C          # slab rows
+
+    def kernel(x_hbm, w_ref, b_ref, out_ref, ring, sem, stage=None):
+        z = pl.program_id(0)
+        x = pl.program_id(1)
+        n_x = pl.num_programs(1)
+
+        def dma(row, slot):
+            # one x-row slab: input rows (z*ZB .. z*ZB+ZB+1)*C at x=`row`
+            return pltpu.make_async_copy(
+                x_hbm.at[row, pl.ds(z * ZB * C, SC), :],
+                ring.at[pl.ds(slot * SC, SC), :],
+                sem.at[slot])
+
+        @pl.when(x == 0)
+        def _prime():
+            # new z-row: the ring holds stale slabs — refill rows 0..2dx
+            for r in range(n_prime):
+                dma(r, r % R).start()
+            for r in range(n_prime):
+                dma(r, r % R).wait()
+
+        @pl.when(x > 0)
+        def _wait_inflight():
+            # slab for row x+2dx was started by cell x-1
+            dma(x + 2 * dx, (x + 2 * dx) % R).wait()
+
+        # start the NEXT cell's slab now, overlapping this cell's dots.
+        # Target slot (x+1+2dx) % R is provably not read by this cell
+        # (R = 2dx+2 makes x-1, x, x+dx, x+2dx distinct mod R).
+        @pl.when(x + 1 < n_x)
+        def _start_next():
+            dma(x + 1 + 2 * dx, (x + 1 + 2 * dx) % R).start()
+
+        dn = (((1,), (0,)), ((), ()))
+        for zz in range(ZB):
+            if variant == "mstack":
+                # THE utilisation fix for Cout=40: stack the 3 ky weight
+                # blocks along the matmul M dim (M = 3*Cout_p = 120 rows,
+                # 94% MXU row fill instead of 31%) and contract all 9
+                # (kz, kx) tap blocks at once (K = 9C) from the staged
+                # row. Each ky product is computed over the FULL lane
+                # range; the ky lane shifts move into a cheap VPU
+                # epilogue (3 shifted adds in VMEM) — the 'fatn' trick,
+                # but with the shift-adds in VMEM instead of HBM.
+                for kx in range(3):
+                    slot = (x + kx * dx) % R
+                    stage[pl.ds(kx * 3 * C, 3 * C), :] = \
+                        ring[pl.ds(slot * SC + zz * C, 3 * C), :]
+                p = jax.lax.dot_general(
+                    w_ref[:, :], stage[:, :], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                acc = p[0: Cout_p, 0: Yo]
+                acc = acc + p[Cout_p: 2 * Cout_p, dy: dy + Yo]
+                acc = acc + p[2 * Cout_p: 3 * Cout_p, 2 * dy: 2 * dy + Yo]
+            elif variant == "mstack3":
+                # mstack without the staging copy: one M-stacked dot per
+                # kx tap, reading the ring at its (dynamic, free —
+                # measured) slot offset. 3 dots of (3*Cout_p, 3C) per row.
+                p = None
+                for kx in range(3):
+                    slot = (x + kx * dx) % R
+                    pk = jax.lax.dot_general(
+                        w_ref[kx], ring[pl.ds(slot * SC + zz * C, 3 * C), :],
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    p = pk if p is None else p + pk
+                acc = p[0: Cout_p, 0: Yo]
+                acc = acc + p[Cout_p: 2 * Cout_p, dy: dy + Yo]
+                acc = acc + p[2 * Cout_p: 3 * Cout_p, 2 * dy: 2 * dy + Yo]
+            elif variant == "kfuse":
+                # stage this row's 9 (kz, kx) tap-blocks contiguously so
+                # the ky dots contract K = 9C at once: 3 MXU dots instead
+                # of 9 — fewer weight (re)loads per output row at the
+                # price of 3 VMEM copies (~1 MB)
+                for kx in range(3):
+                    slot = (x + kx * dx) % R
+                    stage[pl.ds(kx * 3 * C, 3 * C), :] = \
+                        ring[pl.ds(slot * SC + zz * C, 3 * C), :]
+                acc = jnp.zeros((Cout_p, Yo), jnp.float32)
+                for ky in range(3):
+                    acc = acc + jax.lax.dot_general(
+                        w_ref[ky], stage[:, ky * dy: ky * dy + Yo],
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+            else:                                   # tap9
+                acc = jnp.zeros((Cout_p, Yo), jnp.float32)
+                for kx in range(3):
+                    slot = (x + kx * dx) % R
+                    u = ring[pl.ds(slot * SC + zz * C, 3 * C), :]
+                    for ky in range(3):
+                        acc = acc + jax.lax.dot_general(
+                            w_ref[kx * 3 + ky], u[:, ky * dy: ky * dy + Yo],
+                            dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+            acc = acc + b_ref[:, :1]
+            out_ref[zz, 0] = jnp.maximum(acc, 0.0)
+
+    def kernel_xz(x_hbm, w_ref, b_ref, out_ref, ring, sem, stage=None):
+        # identical, but the output block is (1, ZB, Cout_p, Yp_out) —
+        # xzcy layout (chained tail convs), lanes padded to 128 so the
+        # next kernel's DMAs stay tile-aligned (valid lanes = Yo)
+        kernel(x_hbm, w_ref, b_ref, _SwapRef(out_ref, Yo), ring, sem, stage)
+
+    if variant not in ("mstack", "mstack3", "kfuse", "tap9"):
+        raise ValueError(f"unknown pallas tail-conv variant {variant!r}")
+
+    return kernel, kernel_xz
+
+
+class _SwapRef:
+    """Adapter: out[zz, 0] writes land at out[0, zz, :, :Yo] (xzcy block,
+    lane-padded — the pad lanes stay uninitialised and are never read)."""
+
+    def __init__(self, ref, valid_y):
+        self._ref = ref
+        self._vy = valid_y
+
+    def __setitem__(self, idx, val):
+        zz, zero = idx
+        self._ref[zero, zz, :, 0: self._vy] = val
+
+
+@functools.partial(jax.jit, static_argnames=("dil", "relu", "out_layout",
+                                             "in_layout", "interpret",
+                                             "compute_dtype", "z_block",
+                                             "variant", "valid_y"))
+def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
+                    in_layout="nczxy", interpret=False,
+                    compute_dtype="float32", z_block=8, variant="mstack",
+                    valid_y=None):
+    """Valid-mode (3,3,3) conv, z-dilation 1, xy-dilation (dx, dy), fused
+    bias + optional ReLU, as a Pallas TPU kernel.
+
+    x: ``(1, Cin, Z, X, Y)`` (``in_layout='nczxy'``) or the kernel-native
+    ``(X, Z, Cp, Yp)`` produced by a previous ``out_layout='xzcy'`` call
+    (``in_layout='xzcy'`` — Cp/Yp already padded).
+    w: (Cout, Cin, 3, 3, 3); b: (Cout,).
+    Returns (1, Cout, Zo, Xo, Yo) or, with ``out_layout='xzcy'``,
+    (Xo, Zo, Cp_out, Yp_out) ready to chain (caller slices C/Y).
+    """
+    dz, dx, dy = dil
+    if dz != 1:
+        raise ValueError("pallas tail conv: z-dilation must be 1")
+    cd = jnp.dtype(compute_dtype)
+    c_align = 16 if cd == jnp.bfloat16 else 8
+    Cout = w.shape[0]
+    Cin = w.shape[1]
+
+    if in_layout == "nczxy":
+        _, _, Z, X, Y = x.shape
+        C = _round_up(Cin, c_align)
+        Yp = _round_up(Y, 128)
+        xt = jnp.transpose(x[0], (2, 1, 0, 3))        # (X, Z, Cin, Y)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, C - Cin), (0, Yp - Y)))
+        xt = xt.reshape(X, Z * C, Yp)
+    elif in_layout == "xzcy":
+        X, Z, C, Yp = x.shape
+        if C < Cin or C % c_align:
+            raise ValueError(f"xzcy input C={C} incompatible with "
+                             f"Cin={Cin} (align {c_align})")
+        Y = int(valid_y) if valid_y else Yp   # pad lanes carry garbage
+        xt = x.reshape(X, Z * C, Yp)
+    else:
+        raise ValueError(out_layout)
+    xt = xt.astype(cd)
+
+    Zo, Xo, Yo = Z - 2, X - 2 * dx, Y - 2 * dy
+    if min(Zo, Xo, Yo) < 1:
+        raise ValueError(f"volume too small for fov: {(Z, X, Y)} dil {dil}")
+    Cout_p = _round_up(Cout, c_align)
+
+    # z-block: pad Z so each grid cell owns exactly ZB output rows
+    ZB = max(1, min(int(z_block), Zo))
+    Zo_p = _round_up(Zo, ZB)
+    if Zo_p + 2 > Z:
+        xt = jnp.pad(xt, ((0, 0), (0, (Zo_p + 2 - Z) * C), (0, 0)))
+
+    if variant in ("kfuse", "mstack"):
+        # weights as 3 ky blocks of (Cout_p, 9C): cols kx*3C + kz*C + c
+        wt = jnp.transpose(w.astype(cd), (4, 3, 0, 2, 1))  # ky,kx,O,kz,c
+        wt = jnp.pad(wt, ((0, 0),) * 4 + ((0, C - Cin),))
+        wt = jnp.transpose(wt.reshape(3, 3, Cout, 3 * C), (0, 2, 1, 3))
+        wb = jnp.zeros((3, Cout_p, 9 * C), cd)
+        wb = wb.at[:, :Cout, :].set(wt.reshape(3, Cout, 9 * C))
+        if variant == "mstack":
+            # ...then stacked along M: (3*Cout_p, 9C) — one dot per row
+            wb = wb.reshape(3 * Cout_p, 9 * C)
+    elif variant == "mstack3":
+        # per-kx M-stacked blocks: (3 kx, 3*Cout_p, 3C)
+        wt = jnp.transpose(w.astype(cd), (3, 4, 0, 2, 1))  # kx,ky,O,kz,c
+        wt = jnp.pad(wt, ((0, 0),) * 4 + ((0, C - Cin),)).reshape(
+            3, 3, Cout, 3 * C)
+        wb = jnp.zeros((3, 3, Cout_p, 3 * C), cd)
+        wb = wb.at[:, :, :Cout, :].set(wt)
+        wb = wb.reshape(3, 3 * Cout_p, 3 * C)
+    else:
+        # weights as 9 (kx, ky) blocks of (Cout_p, 3C): rows kz*C + c
+        wb = jnp.zeros((3, 3, Cout_p, 3 * C), cd)
+        wt = jnp.transpose(w.astype(cd), (3, 4, 0, 2, 1))  # kx,ky,O,kz,c
+        wb = wb.at[:, :, :Cout, :].set(
+            jnp.pad(wt, ((0, 0),) * 4 + ((0, C - Cin),)).reshape(
+                3, 3, Cout, 3 * C))
+        wb = wb.reshape(9, Cout_p, 3 * C)
+    bp = jnp.zeros((Cout_p, 1), jnp.float32).at[:Cout, 0].set(
+        b.astype(jnp.float32))
+    if not relu:
+        # the kernel's epilogue is max(acc+b, 0); shift so it is identity:
+        # handled by caller instead (relu=False unsupported in-kernel)
+        raise ValueError("pallas tail conv: relu=False not supported")
+
+    R = 2 * dx + 2
+    n_prime = 2 * dx + 1                      # rows 0..2dx
+    kernel, kernel_xz = _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime,
+                                     ZB, cd, variant=variant)
+
+    if out_layout == "xzcy":
+        Yo_p = _round_up(Yo, 128)
+        out_spec = pl.BlockSpec((1, ZB, Cout_p, Yo_p),
+                                lambda z, x: (x, z, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Xo, Zo_p, Cout_p, Yo_p),
+                                         jnp.float32)
+        kfn = kernel_xz
+    else:
+        out_spec = pl.BlockSpec((ZB, 1, Cout_p, Yo),
+                                lambda z, x: (z, x, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Zo_p, Xo, Cout_p, Yo), jnp.float32)
+        kfn = kernel
+
+    out = pl.pallas_call(
+        kfn,
+        grid=(Zo_p // ZB, Xo),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((R * (ZB + 2) * C, Yp), cd),
+            pltpu.SemaphoreType.DMA((R,)),
+        ] + ([pltpu.VMEM((9 * C, Yp), cd)]
+             if variant in ("kfuse", "mstack") else []),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Zo * Xo * Yo * Cin * Cout * 27,
+            bytes_accessed=(Zo * Xo * 3 * C * Yp + Zo * Xo * Cout_p * Yo)
+            * cd.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt, wb, bp)
+
+    if out_layout == "xzcy":
+        return out[:, :Zo]
+    return jnp.transpose(out[:Zo, :, :Cout, :], (2, 0, 1, 3))[None]
+
+
+def conv3x3_dilated_reference(x, w, b, dil=(1, 1, 1)):
+    """lax.conv_general_dilated oracle for the kernel (tests/A-B)."""
+    from jax import lax
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NCDHW", "OIDHW", "NCDHW"))
+    y = lax.conv_general_dilated(x, w, (1, 1, 1), "VALID",
+                                 rhs_dilation=dil, dimension_numbers=dn)
+    return jnp.maximum(y + b.reshape(1, -1, 1, 1, 1), 0.0)

@@ -1,0 +1,107 @@
+"""Pallas tail-conv kernel: exactness vs lax.conv_general_dilated.
+
+The kernel (`ops/pallas_tailconv.py`) is the hand-written MXU path for the
+dense-sweep tail convs (reference mechanism:
+``elektronn2/neuromancer/computations.py::conv`` under the à-trous
+identity). On CPU it runs in Pallas interpreter mode — exact but slow, so
+shapes here are small; the production-size numbers live in
+docs/tpu_performance.md.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from elektronn2_tpu.ops.pallas_tailconv import (conv3x3_dilated,
+                                                conv3x3_dilated_reference)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray((rng.rand(*shape) - 0.5).astype(np.float32))
+
+
+@pytest.mark.parametrize("variant", ["tap9", "kfuse", "mstack", "mstack3"])
+def test_variants_match_lax(variant):
+    rng = np.random.RandomState(0)
+    for (Cin, Cout, Z, X, Y, dil) in [
+            (5, 7, 6, 14, 20, (1, 1, 1)),
+            (5, 7, 6, 20, 30, (1, 4, 4)),
+            (30, 40, 5, 12, 24, (1, 2, 3)),   # channel pad + anisotropic
+    ]:
+        x = _rand(rng, 1, Cin, Z, X, Y)
+        w = _rand(rng, Cout, Cin, 3, 3, 3)
+        b = _rand(rng, Cout)
+        ref = conv3x3_dilated_reference(x, w, b, dil)
+        got = conv3x3_dilated(x, w, b, dil, interpret=True, variant=variant,
+                              z_block=4)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_z_block_raggedness():
+    # Zo not divisible by z_block exercises the Zo padding + slice
+    rng = np.random.RandomState(1)
+    x = _rand(rng, 1, 8, 9, 14, 22)          # Zo = 7
+    w = _rand(rng, 8, 8, 3, 3, 3)
+    b = _rand(rng, 8)
+    ref = conv3x3_dilated_reference(x, w, b, (1, 2, 2))
+    for zb in (1, 3, 8, 16):
+        got = conv3x3_dilated(x, w, b, (1, 2, 2), interpret=True, z_block=zb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_chained_xzcy_layout():
+    # conv -> conv in the kernel-native layout: producer emits lane-padded
+    # (X, Z, C, Ypad) with valid lanes Yo; consumer takes valid_y
+    rng = np.random.RandomState(2)
+    Cin, Cmid, Cout = 8, 16, 8
+    x = _rand(rng, 1, Cin, 7, 18, 26)
+    w1, b1 = _rand(rng, Cmid, Cin, 3, 3, 3), _rand(rng, Cmid)
+    w2, b2 = _rand(rng, Cout, Cmid, 3, 3, 3), _rand(rng, Cout)
+    dil = (1, 2, 2)
+    ref = conv3x3_dilated_reference(
+        conv3x3_dilated_reference(x, w1, b1, dil), w2, b2, dil)
+    mid = conv3x3_dilated(x, w1, b1, dil, out_layout="xzcy", interpret=True)
+    assert mid.shape[-1] % 128 == 0          # lane-padded for the chain
+    yo_mid = 26 - 2 * dil[2]
+    got = conv3x3_dilated(mid, w2, b2, dil, in_layout="xzcy",
+                          valid_y=yo_mid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_graph_pallas_tail_equals_direct():
+    # whole dilated dense sweep with set_dilated_impl(pallas_tail=True)
+    # == the 'direct' lowering (the flagship's two tail convs chain)
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_model
+    m = _flagship_model(mfp=True, patch=[15, 55, 55])
+    vol = jnp.asarray(np.random.RandomState(0).rand(
+        1, 10, 64, 64).astype(np.float32))
+    m.set_dilated_impl("direct")
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    m.set_dilated_impl("direct", zfold=True, pallas_tail=True)
+    got = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    m.set_dilated_impl("direct")             # leave the model clean
+
+
+def test_invalid_args_raise():
+    rng = np.random.RandomState(3)
+    x = _rand(rng, 1, 4, 6, 10, 12)
+    w = _rand(rng, 4, 4, 3, 3, 3)
+    b = _rand(rng, 4)
+    with pytest.raises(ValueError, match="z-dilation"):
+        conv3x3_dilated(x, w, b, (2, 1, 1), interpret=True)
+    with pytest.raises(ValueError, match="relu"):
+        conv3x3_dilated(x, w, b, (1, 1, 1), relu=False, interpret=True)
+    with pytest.raises(ValueError, match="variant"):
+        conv3x3_dilated(x, w, b, (1, 1, 1), variant="nope", interpret=True)
+    with pytest.raises(ValueError, match="too small"):
+        conv3x3_dilated(_rand(rng, 1, 4, 2, 10, 12), w, b, (1, 1, 1),
+                        interpret=True)
