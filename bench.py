@@ -223,16 +223,26 @@ def main():
     # bound — small next to bf16 mode's own 0.019 vs f32), measured
     # +0.3%, and it is what fits the 104-z slab in HBM; both slab
     # contenders run with it.
+    # r2 s9: the Pallas tail-conv kernel (ops/pallas_tailconv.py,
+    # set_dilated_impl(pallas_tail=True)) measured +61% over the bf16
+    # champion in a same-run whole-graph A/B (124.5 vs 77.4 Mvox/s at
+    # 64x512x512 on a degraded-tunnel day) — in parity-grade f32. Slab
+    # scan (same day): 96x512 150.6, 80x624 154.8 (624-xy aligns conv2's
+    # lane count to a 128 multiple, deleting ~20% pad-lane waste);
+    # 96x624 / 752-xy hit the compile-helper 500.
     vols = {None: vol}
-    for impl, zfold, cdtype, act, vshape in (
-            ("s2bg", False, None, False, None),
-            ("s2bg", True, None, False, (80, 448, 448)),
-            ("s2bg", True, None, False, (96, 448, 448)),
-            ("s2bg", True, "bfloat16", False, None),
-            ("s2bg", True, "bfloat16", True, (96, 512, 512)),
-            ("s2bg", True, "bfloat16", True, (104, 512, 512)),
-            ("direct", False, None, False, None)):
+    for impl, zfold, ptail, cdtype, act, vshape in (
+            ("s2bg", False, False, None, False, None),
+            ("s2bg", True, False, None, False, (96, 448, 448)),
+            ("direct", True, True, None, False, None),
+            ("direct", True, True, None, False, (96, 512, 512)),
+            ("direct", True, True, None, False, (80, 624, 624)),
+            ("s2bg", True, False, "bfloat16", False, None),
+            ("s2bg", True, False, "bfloat16", True, (96, 512, 512)),
+            ("s2bg", True, False, "bfloat16", True, (104, 512, 512)),
+            ("direct", False, False, None, False, None)):
         label = (impl + ("+zfold" if zfold else "")
+                 + ("+ptail" if ptail else "")
                  + (f"+{'bf16' if cdtype == 'bfloat16' else cdtype}"
                     if cdtype else "")
                  + (f"@{'x'.join(map(str, vshape))}" if vshape else ""))
@@ -243,7 +253,7 @@ def main():
                                        (1,) + vshape, jnp.float32)
                 float(jnp.sum(v))
                 vols[vshape] = v
-            model.set_dilated_impl(impl, zfold=zfold)
+            model.set_dilated_impl(impl, zfold=zfold, pallas_tail=ptail)
             model.set_compute_dtype(cdtype, activations=act)
             out, dt = _sustained(
                 lambda: model.predict_dense_device(v, pad_raw=True), K)
