@@ -227,16 +227,18 @@ def main():
     # set_dilated_impl(pallas_tail=True)) measured +61% over the bf16
     # champion in a same-run whole-graph A/B (124.5 vs 77.4 Mvox/s at
     # 64x512x512 on a degraded-tunnel day) — in parity-grade f32. Slab
-    # scan (same day): 96x512 150.6, 80x624 154.8 (624-xy aligns conv2's
-    # lane count to a 128 multiple, deleting ~20% pad-lane waste);
-    # 96x624 / 752-xy hit the compile-helper 500.
+    # scan (same day): 496-xy gives conv2 EXACTLY 512 lanes (zero
+    # pad-lane waste in the kernel): 112x496 174.6 steady, 104x496
+    # 169.2; 624-xy (640 lanes) 80x624 154.8; 512-xy (~20% pad waste)
+    # 96x512 150.6. 120x496/88x624 OOM; 96x624/752-xy compile-500.
     vols = {None: vol}
     for impl, zfold, ptail, cdtype, act, vshape in (
             ("s2bg", False, False, None, False, None),
             ("s2bg", True, False, None, False, (96, 448, 448)),
             ("direct", True, True, None, False, None),
             ("direct", True, True, None, False, (96, 512, 512)),
-            ("direct", True, True, None, False, (80, 624, 624)),
+            ("direct", True, True, None, False, (104, 496, 496)),
+            ("direct", True, True, None, False, (112, 496, 496)),
             ("s2bg", True, False, "bfloat16", False, None),
             ("s2bg", True, False, "bfloat16", True, (96, 512, 512)),
             ("s2bg", True, False, "bfloat16", True, (104, 512, 512)),
