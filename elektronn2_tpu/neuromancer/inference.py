@@ -328,7 +328,10 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     use_ptail = (bool(getattr(model, "_dilated_ptail", False))
                  and halo_axis is None and not use_s2b and not use_zmajor
                  and nsp == 3 and not quant and quant_calibrate is None
-                 and cdtype is None and not act_e2e and not batch)
+                 and cdtype is None and not act_e2e)
+    # (batch=True with a size-1 batch still routes to the kernel — the
+    # per-node branch checks the actual leading extent; true multi-slab
+    # batches fall back to the XLA lowering per conv)
     xzcy_nodes = set()   # nodes whose cached value is in kernel layout
 
     def _ptail_node_ok(node):
@@ -342,6 +345,16 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 and not node.batch_normalisation
                 and node.activation_func == "relu"
                 and "alpha" not in node.params)
+
+    def _xzcy_1x1_ok(node):
+        """A 1x1x1 Conv (the prediction head) can consume the kernel's
+        xzcy layout directly — the expensive 40-channel transpose back to
+        nczxy then happens on its FEW-channel output instead."""
+        if not isinstance(node, neural.Conv):
+            return False
+        w_ = params[node.name]["w"]
+        return (w_.ndim == 5 and tuple(w_.shape[2:]) == (1, 1, 1)
+                and all(p == 1 for p in node.pool_shape))
 
     def _pool_slices(y, pool, dil, axes):
         """Max over the (stride-1, dilated) pool window as shifted slices:
@@ -497,6 +510,18 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                               for s, d, p in zip(v, dil, node.pool_shape))
                     dil = tuple(d * p
                                 for d, p in zip(dil, node.pool_shape))
+            elif (node.parents[0].name in xzcy_nodes
+                    and tuple(w.shape[2:]) == (1, 1, 1)):
+                # 1x1x1 prediction head on a Pallas-tail xzcy value:
+                # contract channels in place (one dot) and transpose the
+                # FEW-channel result back to nczxy — ~Cout/Cin the bytes
+                # of transposing the tail conv's output first
+                Xl, Zl, Cp, Ypl = (int(s) for s in xin.shape)
+                Yv = int(vext[node.parents[0].name][-1])
+                y = jnp.einsum("xzcy,oc->ozxy",
+                               xin[:, :, :w.shape[1], :Yv],
+                               w[:, :, 0, 0, 0])
+                y = (y + b.reshape(-1, 1, 1, 1))[None]
             elif (use_zfold and nsp == 3 and w.shape[2] == 1
                     and node.pool_shape[0] == 1):
                 # z never mixes (kz=1, pz=1): fold z into the conv batch
@@ -535,7 +560,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 # ONLY consumer is the next eligible tail conv — the
                 # inter-conv transposes vanish
                 kids = [c for c in getattr(node, "children", [])]
-                out_xz = (len(kids) == 1 and _ptail_node_ok(kids[0]))
+                out_xz = (len(kids) == 1
+                          and (_ptail_node_ok(kids[0])
+                               or _xzcy_1x1_ok(kids[0])))
                 y = conv3x3_dilated(
                     xin, w, b,
                     dil=(1, int(eff_dil[1]), int(eff_dil[2])),
@@ -1237,13 +1264,16 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     # impl/zfold/dtype (the headline levers — BASELINE.md r2 table), the
     # rest stay at their fast defaults
     def _cfg(impl, zfold, dtype, ztap=False, zmajor=False, poolslice=False,
-             act=False):
+             act=False, ptail=False):
         return {"impl": impl, "zfold": bool(zfold), "dtype": dtype,
                 "ztap": ztap, "zmajor": bool(zmajor),
-                "poolslice": bool(poolslice), "act": bool(act)}
+                "poolslice": bool(poolslice), "act": bool(act),
+                "ptail": bool(ptail)}
 
     if lowerings is None:
-        configs = [_cfg("direct", False, None), _cfg("s2bg", False, None)]
+        configs = [_cfg("direct", False, None), _cfg("s2bg", False, None),
+                   # the r2 s9 headline: Pallas tail-conv kernel, f32
+                   _cfg("direct", True, None, ptail=True)]
         if include_bf16:
             configs += [_cfg("s2bg", False, "bfloat16"),
                         _cfg("s2bg", True, "bfloat16")]
@@ -1264,7 +1294,8 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                  ztap=getattr(model, "_dilated_ztap", False),
                  zmajor=getattr(model, "_dilated_zmajor", False),
                  poolslice=getattr(model, "_dilated_poolslice", False),
-                 act=getattr(model, "_compute_act", False))
+                 act=getattr(model, "_compute_act", False),
+                 ptail=getattr(model, "_dilated_ptail", False))
     # calibrated int8 activation scales are cleared by every
     # set_compute_dtype call the grid makes — preserve them across the
     # tune (review r2 s5); contenders measure with dynamic scales
@@ -1298,7 +1329,8 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                         model.set_dilated_impl(
                             cfg["impl"], zfold=cfg["zfold"],
                             ztap=cfg["ztap"], zmajor=cfg["zmajor"],
-                            poolslice=cfg["poolslice"])
+                            poolslice=cfg["poolslice"],
+                            pallas_tail=cfg.get("ptail", False))
                         model.set_compute_dtype(cfg["dtype"],
                                                 activations=cfg["act"])
                         fn = jax.jit(lambda p, s, v, _i=cfg["impl"]:
@@ -1343,7 +1375,7 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                     if verbose:
                         extras = "".join(
                             f"+{k}" for k in ("zfold", "ztap", "zmajor",
-                                              "poolslice", "act")
+                                              "poolslice", "act", "ptail")
                             if cfg[k])
                         logger.info(
                             f"tune_sweep: {cfg['impl']}{extras}"
@@ -1354,7 +1386,8 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         model.set_compute_dtype(None)       # see cross-guard note above
         model.set_dilated_impl(saved["impl"], zfold=saved["zfold"],
                                ztap=saved["ztap"], zmajor=saved["zmajor"],
-                               poolslice=saved["poolslice"])
+                               poolslice=saved["poolslice"],
+                               pallas_tail=saved.get("ptail", False))
         model.set_compute_dtype(saved["dtype"], activations=saved["act"])
         if saved["dtype"] == "int8":
             model._quant_scales = saved_scales
@@ -1368,7 +1401,8 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         model.set_compute_dtype(None)       # see cross-guard note above
         model.set_dilated_impl(best["impl"], zfold=best["zfold"],
                                ztap=best["ztap"], zmajor=best["zmajor"],
-                               poolslice=best["poolslice"])
+                               poolslice=best["poolslice"],
+                               pallas_tail=best.get("ptail", False))
         model.set_compute_dtype(best["dtype"], activations=best["act"])
         if best["dtype"] == "int8":
             # an int8 winner keeps the user's calibration (still valid:

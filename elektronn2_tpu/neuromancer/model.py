@@ -1111,6 +1111,7 @@ def rebuild_model(model, override_mfp_to_active=False,
     new._dilated_ztap = getattr(model, "_dilated_ztap", False)
     new._dilated_zmajor = getattr(model, "_dilated_zmajor", False)
     new._dilated_poolslice = getattr(model, "_dilated_poolslice", False)
+    new._dilated_ptail = getattr(model, "_dilated_ptail", False)
     # calibrated int8 scales are per-conv-INPUT maxima: params carry over
     # unchanged, but an imposed patch/mfp change alters the activation
     # distribution geometry only, not its magnitudes — still valid

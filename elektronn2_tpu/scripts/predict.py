@@ -44,6 +44,11 @@ def main(argv=None):
                     "accumulation (per-channel weight + dynamic "
                     "activation scales; ~0.014 max softmax deviation, "
                     "2x bf16 MXU peak on v5e)")
+    ap.add_argument("--ptail", action="store_true",
+                    help="route eligible tail convs through the Pallas "
+                    "MXU kernel (set_dilated_impl(pallas_tail=True), "
+                    "parity-grade f32 — the r2 s9 headline config: "
+                    "+61%% over the bf16 champion measured same-run)")
     ap.add_argument("--tune", action="store_true",
                     help="KNOSSOS sweeps: autotune lowering/slab size/"
                     "slab batch on the live device first "
@@ -96,6 +101,11 @@ def main(argv=None):
         model.set_compute_dtype("bfloat16")
     elif args.int8:
         model.set_compute_dtype("int8")
+    if args.ptail:
+        if args.bf16 or args.int8:
+            ap.error("--ptail is a parity-grade f32 mode; drop "
+                     "--bf16/--int8 (it outperformed both on v5e)")
+        model.set_dilated_impl("direct", zfold=True, pallas_tail=True)
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)

@@ -105,3 +105,63 @@ def test_invalid_args_raise():
     with pytest.raises(ValueError, match="too small"):
         conv3x3_dilated(_rand(rng, 1, 4, 2, 10, 12), w, b, (1, 1, 1),
                         interpret=True)
+
+
+def test_rebuild_carries_ptail_config():
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_model
+    from elektronn2_tpu.neuromancer.model import rebuild_model
+    m = _flagship_model(mfp=True, patch=[15, 55, 55])
+    m.set_dilated_impl("direct", zfold=True, pallas_tail=True)
+    m2 = rebuild_model(m)
+    assert getattr(m2, "_dilated_ptail", False) is True
+    assert m2._dilated_zfold is True
+
+
+def test_tune_grid_includes_ptail_and_restores():
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_model
+    m = _flagship_model(mfp=True, patch=[15, 55, 55])
+    m.set_dilated_impl("s2bg", zfold=True)
+    res = m.tune_serving(steps=[(8, 48, 48)], slab_batches=(1,), K=1,
+                         include_bf16=False, include_int8=False,
+                         apply=False)
+    labels = [(r.get("impl"), r.get("ptail")) for r in res["table"]
+              if "mvox_s" in r]
+    assert ("direct", True) in labels, labels
+    # restore: the incumbent config is back on the model
+    assert m._dilated_impl == "s2bg" and m._dilated_zfold is True
+    assert getattr(m, "_dilated_ptail", False) is False
+
+
+def test_predict_cli_ptail(tmp_path):
+    """--ptail output matches the default f32 run (3D graph, h5 path)."""
+    import numpy as np
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.utils.basic import h5save, h5load
+    from elektronn2_tpu.scripts.predict import main
+    rng = np.random.RandomState(0)
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 7, 15, 15], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), mfp=True, name="c1")
+    probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "m.mdl")
+    m.save(mdl)
+    vol = rng.rand(1, 10, 24, 24).astype(np.float32)
+    h5save({"raw": vol}, str(tmp_path / "in.h5"))
+    o1, o2 = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    assert main([mdl, str(tmp_path / "in.h5") + ":raw", "-o", o1,
+                 "--cpu"]) == 0
+    assert main([mdl, str(tmp_path / "in.h5") + ":raw", "-o", o2,
+                 "--cpu", "--ptail"]) == 0
+    a, b = h5load(o1, "prediction"), h5load(o2, "prediction")
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    import pytest
+    from elektronn2_tpu.scripts.predict import main as _main
+    with pytest.raises(SystemExit):
+        _main([mdl, str(tmp_path / "in.h5") + ":raw", "-o", o2,
+               "--cpu", "--ptail", "--bf16"])
