@@ -563,6 +563,8 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 out_xz = (len(kids) == 1
                           and (_ptail_node_ok(kids[0])
                                or _xzcy_1x1_ok(kids[0])))
+                ptk = getattr(model, "_dilated_ptail", True)
+                ptk = ptk if isinstance(ptk, dict) else {}
                 y = conv3x3_dilated(
                     xin, w, b,
                     dil=(1, int(eff_dil[1]), int(eff_dil[2])),
@@ -570,6 +572,8 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                     out_layout="xzcy" if out_xz else "nczxy",
                     valid_y=(int(vext[node.parents[0].name][-1])
                              if in_xz else None),
+                    variant=ptk.get("variant", "mstack"),
+                    z_block=int(ptk.get("z_block", 8)),
                     # Mosaic is TPU-only: CPU (tests) runs the kernel's
                     # interpreter, which is exact but slow (the sandbox
                     # TPU platform is named 'axon', hence the cpu check)

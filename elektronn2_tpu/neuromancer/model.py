@@ -195,7 +195,12 @@ class Model:
         self._dilated_ztap = ztap
         self._dilated_zmajor = bool(zmajor)
         self._dilated_poolslice = bool(poolslice)
-        self._dilated_ptail = bool(pallas_tail)
+        # pallas_tail: False/True, or a dict of kernel tuning knobs
+        # ({"variant": "mstack"|"mstack3"|"kfuse"|"tap9", "z_block": int})
+        if isinstance(pallas_tail, dict):
+            self._dilated_ptail = dict(pallas_tail)
+        else:
+            self._dilated_ptail = bool(pallas_tail)
         # the lowering is baked into the traced program: drop cached jits
         self._dilated_fns = {}
         return self

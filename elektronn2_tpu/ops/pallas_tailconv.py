@@ -316,3 +316,206 @@ def conv3x3_dilated_reference(x, w, b, dil=(1, 1, 1)):
     y = lax.conv_general_dilated(x, w, (1, 1, 1), "VALID",
                                  rhs_dilation=dil, dimension_numbers=dn)
     return jnp.maximum(y + b.reshape(1, -1, 1, 1, 1), 0.0)
+
+
+def _make_head_kernel(C, Co, d, dp, Yp, ZB, pool, dtype):
+    """Head-unit kernel body: kz=1 (1,3,3) conv + optional (2,2) stride-1
+    dilated max-pool, per x-row, z-blocked. See conv1x3x3_pool_dilated."""
+    SC = ZB * C                  # input slab rows per x position
+    SO = ZB * Co                 # conv-row slab rows
+    R_in = 2 * d + dp + 2
+    R_c = dp + 2
+    Wc = Yp - 2 * d              # conv-valid lane width
+    Wp = Wc - dp                 # pool-valid lane width
+
+    def kernel(x_hbm, w_ref, b_ref, out_ref, ring_in, ring_c, stage, sem):
+        zb = pl.program_id(0)
+        x = pl.program_id(1)
+        n_x = pl.num_programs(1)
+
+        def dma(row, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[row, pl.ds(zb * SC, SC), :],
+                ring_in.at[pl.ds(slot * SC, SC), :],
+                sem.at[slot])
+
+        def conv_row(v):
+            """Conv row v (all ZB z-slices) -> ring_c slot v % R_c.
+            ky weight blocks are M-stacked (the tail kernel's 'mstack'):
+            one (3*Co, 3*C) dot per z-slice, ky lane shifts as VPU adds."""
+            for zz in range(ZB):
+                for kx in range(3):
+                    s_in = (v + kx * d) % R_in
+                    stage[pl.ds(kx * C, C), :] = \
+                        ring_in[pl.ds(s_in * SC + zz * C, C), :]
+                p = jax.lax.dot_general(
+                    w_ref[:, :], stage[:, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                c = (p[0:Co, 0:Wc] + p[Co:2 * Co, d:d + Wc]
+                     + p[2 * Co:3 * Co, 2 * d:2 * d + Wc]
+                     + b_ref[:, :1])
+                if pool == 1:
+                    out_ref[0, zz, :, 0:Wc] = jnp.maximum(c, 0.0)
+                else:
+                    ring_c[pl.ds((v % R_c) * SO + zz * Co, Co), 0:Wc] = c
+
+        @pl.when(x == 0)
+        def _prime():
+            for r in range(2 * d + dp + 1):
+                dma(r, r % R_in).start()
+            for r in range(2 * d + dp + 1):
+                dma(r, r % R_in).wait()
+            if pool == 2:
+                for v in range(dp):
+                    conv_row(v)
+
+        @pl.when(x > 0)
+        def _wait_inflight():
+            dma(x + 2 * d + dp, (x + 2 * d + dp) % R_in).wait()
+
+        @pl.when(x + 1 < n_x)
+        def _start_next():
+            dma(x + 1 + 2 * d + dp, (x + 1 + 2 * d + dp) % R_in).start()
+
+        conv_row(x + dp)
+        if pool == 2:
+            # pool over conv rows x, x+dp and lane shift d; relu after
+            # pool (the reference's pooling-before-activation order —
+            # identical for monotone relu)
+            a = ring_c[pl.ds((x % R_c) * SO, SO), :]
+            bb = ring_c[pl.ds(((x + dp) % R_c) * SO, SO), :]
+            t = jnp.maximum(a, bb)
+            o = jnp.maximum(t[:, 0:Wp], t[:, d:d + Wp])
+            out_ref[0, :, :, 0:Wp] = jnp.maximum(o, 0.0).reshape(
+                ZB, Co, Wp)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dil", "pool", "relu",
+                                             "in_layout", "interpret",
+                                             "z_block", "valid_y"))
+def conv1x3x3_pool_dilated(x, w, b, dil=(1, 1), pool=2, relu=True,
+                           in_layout="nczxy", valid_y=None, z_block=8,
+                           interpret=False):
+    """Head-unit Pallas kernel: valid-mode (1,3,3) conv (xy-dilation
+    ``dil``) + bias + optional stride-1 xy-dilated (2,2) max-pool + ReLU,
+    fused in one pass — the dense sweep's kz=1 head layers
+    (conv0+pool0 / conv1+pool1), which in XLA cost several full-volume
+    HBM round-trips each (reference mechanism:
+    ``elektronn2/neuromancer/computations.py::conv`` + ``pooling``).
+
+    x: ``(1, Cin, Z, X, Y)`` or a previous unit's xzcy output
+    ``(X, Z, Cp, Yp)`` (pass ``valid_y``). Output is ALWAYS xzcy
+    ``(Xo, Z_p, Cout_p, Yp)`` with valid lanes ``valid_y - 2d - d*(pool-1)``
+    — ready to chain into the next head unit or the tail kernel
+    (``conv3x3_dilated(in_layout='xzcy')``).
+    """
+    d = int(dil[-1])
+    if len(dil) == 2:
+        dxy = tuple(int(v) for v in dil)
+    else:
+        if dil[0] != 1:
+            raise ValueError("head kernel: z-dilation must be 1")
+        dxy = (int(dil[1]), int(dil[2]))
+    if dxy[0] != dxy[1]:
+        raise ValueError(f"head kernel: anisotropic xy dilation {dxy}")
+    d = dxy[0]
+    if pool not in (1, 2):
+        raise ValueError(f"head kernel: pool must be 1 or 2, got {pool}")
+    if not relu:
+        raise ValueError("head kernel: relu=False not supported")
+    cd = jnp.dtype("float32")
+    Cout, Cin = w.shape[0], w.shape[1]
+    if w.ndim == 5:
+        if w.shape[2] != 1 or w.shape[3:] != (3, 3):
+            raise ValueError(f"head kernel needs (1,3,3), got {w.shape}")
+        w2 = w[:, :, 0]
+    else:
+        w2 = w
+    C = _round_up(Cin, 8)
+    Co = _round_up(Cout, 8)
+
+    if in_layout == "nczxy":
+        _, _, Z, X, Y = x.shape
+        Yp = _round_up(Y, 128)
+        xt = jnp.transpose(x[0], (2, 1, 0, 3))          # (X, Z, Cin, Y)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, C - Cin), (0, Yp - Y)))
+    elif in_layout == "xzcy":
+        X, Z, Cp, Yp = x.shape
+        if Cp != C:
+            raise ValueError(f"xzcy input C={Cp}, expected {C}")
+        Y = int(valid_y) if valid_y else Yp
+        xt = x
+    else:
+        raise ValueError(in_layout)
+
+    dp = d * (pool - 1)
+    Xo = X - 2 * d - dp
+    Yo = Y - 2 * d - dp
+    if min(Xo, Yo, Z) < 1:
+        raise ValueError(f"volume too small: {(Z, X, Y)} dil {d} "
+                         f"pool {pool}")
+    ZB = max(1, min(int(z_block), Z))
+    Z_p = _round_up(Z, ZB)
+    if Z_p > Z:
+        xt = jnp.pad(xt, ((0, 0), (0, Z_p - Z), (0, 0), (0, 0)))
+    xt = xt.reshape(X, Z_p * C, Yp).astype(cd)
+
+    # weights: ky blocks M-stacked — (3*Co, 3kx*C)
+    wt = jnp.transpose(w2.astype(cd), (3, 2, 0, 1))     # (ky, kx, O, c)
+    wt = jnp.pad(wt, ((0, 0), (0, 0), (0, 0), (0, C - Cin)))
+    wt = jnp.transpose(wt, (0, 2, 1, 3))                # (ky, O, kx, c)
+    wb = jnp.zeros((3, Co, 3 * C), cd)
+    wb = wb.at[:, :Cout, :].set(wt.reshape(3, Cout, 3 * C))
+    wb = wb.reshape(3 * Co, 3 * C)
+    bp = jnp.zeros((Co, 1), jnp.float32).at[:Cout, 0].set(
+        b.astype(jnp.float32))
+
+    R_in = 2 * d + dp + 2
+    R_c = dp + 2
+    kernel = _make_head_kernel(C, Co, d, dp, Yp, ZB, pool, cd)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Z_p // ZB, Xo),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ZB, Co, Yp),
+                               lambda zb, x: (x, zb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Xo, Z_p, Co, Yp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((R_in * ZB * C, Yp), cd),
+            pltpu.VMEM((max(R_c * ZB * Co, 8) if pool == 2 else 8, Yp),
+                       cd),
+            pltpu.VMEM((3 * C, Yp), cd),
+            pltpu.SemaphoreType.DMA((R_in,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Z * Xo * Yo * Cin * Cout * 9,
+            bytes_accessed=(X * Z * C * Yp + Xo * Z * Co * Yp)
+            * cd.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt, wb, bp)
+    return out
+
+
+def conv1x3x3_pool_reference(x, w, b, dil=(1, 1), pool=2):
+    """lax oracle for the head unit (conv+bias -> pool -> relu)."""
+    from jax import lax
+    d = dil[-1]
+    w5 = w if w.ndim == 5 else w[:, :, None]
+    dn = lax.conv_dimension_numbers(x.shape, w5.shape,
+                                    ("NCDHW", "OIDHW", "NCDHW"))
+    y = lax.conv_general_dilated(x, w5, (1, 1, 1), "VALID",
+                                 rhs_dilation=(1, d, d),
+                                 dimension_numbers=dn)
+    y = y + b.reshape(1, -1, 1, 1, 1)
+    if pool == 2:
+        y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 1, 1, 2, 2),
+                              (1, 1, 1, 1, 1), "VALID",
+                              window_dilation=(1, 1, 1, d, d))
+    return jnp.maximum(y, 0.0)

@@ -165,3 +165,63 @@ def test_predict_cli_ptail(tmp_path):
     with pytest.raises(SystemExit):
         _main([mdl, str(tmp_path / "in.h5") + ":raw", "-o", o2,
                "--cpu", "--ptail", "--bf16"])
+
+
+@pytest.mark.parametrize("cfg", [(1, 20, 1, 2), (20, 30, 2, 2),
+                                 (4, 6, 1, 1), (3, 5, 3, 2)])
+def test_head_unit_matches_lax(cfg):
+    from elektronn2_tpu.ops.pallas_tailconv import (
+        conv1x3x3_pool_dilated, conv1x3x3_pool_reference)
+    Cin, Cout, d, pool = cfg
+    rng = np.random.RandomState(0)
+    Z, X, Y = 5, 18, 26
+    x = _rand(rng, 1, Cin, Z, X, Y)
+    w = _rand(rng, Cout, Cin, 1, 3, 3)
+    b = _rand(rng, Cout)
+    ref = conv1x3x3_pool_reference(x, w, b, (d, d), pool)
+    got = conv1x3x3_pool_dilated(x, w, b, (d, d), pool, interpret=True,
+                                 z_block=4)
+    Zr, Xo, Yo = ref.shape[2], ref.shape[3], ref.shape[4]
+    g = np.asarray(got)[:, :Zr, :Cout, :Yo].transpose(2, 1, 0, 3)[None]
+    np.testing.assert_allclose(g, np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_full_pallas_chain_head_head_tail():
+    """conv0+pool0 -> conv1+pool1 -> conv2 chained in the kernel-native
+    xzcy layout == the lax op sequence (the full dense path in Pallas)."""
+    from elektronn2_tpu.ops.pallas_tailconv import (
+        conv1x3x3_pool_dilated, conv1x3x3_pool_reference)
+    rng = np.random.RandomState(1)
+    Z, X, Y = 6, 30, 40
+    x = jnp.asarray(rng.rand(1, 1, Z, X, Y).astype(np.float32))
+    w0, b0 = _rand(rng, 8, 1, 1, 3, 3), jnp.zeros(8)
+    w1, b1 = _rand(rng, 8, 8, 1, 3, 3), jnp.zeros(8)
+    w2, b2 = _rand(rng, 8, 8, 3, 3, 3), jnp.zeros(8)
+    r = conv1x3x3_pool_reference(x, w0, b0, (1, 1), 2)
+    r = conv1x3x3_pool_reference(r, w1, b1, (2, 2), 2)
+    r = conv3x3_dilated_reference(r, w2, b2, (1, 4, 4))
+    h = conv1x3x3_pool_dilated(x, w0, b0, (1, 1), 2, interpret=True,
+                               z_block=4)
+    h = conv1x3x3_pool_dilated(h, w1, b1, (2, 2), 2, in_layout="xzcy",
+                               valid_y=Y - 3, interpret=True, z_block=4)
+    g = conv3x3_dilated(h, w2, b2, (1, 4, 4), in_layout="xzcy",
+                        valid_y=Y - 9, interpret=True, z_block=4)
+    g = np.asarray(g)[:, :, :r.shape[2]]   # head Z-pad rows sliced
+    np.testing.assert_allclose(g, np.asarray(r), atol=1e-4, rtol=1e-4)
+
+
+def test_ptail_dict_knobs_flow_to_kernel():
+    """set_dilated_impl(pallas_tail={'variant': ..., 'z_block': ...})
+    still produces the exact dense output (knobs are perf-only)."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_model
+    m = _flagship_model(mfp=True, patch=[15, 55, 55])
+    vol = jnp.asarray(np.random.RandomState(0).rand(
+        1, 10, 64, 64).astype(np.float32))
+    m.set_dilated_impl("direct")
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    m.set_dilated_impl("direct", zfold=True,
+                       pallas_tail={"variant": "mstack3", "z_block": 4})
+    got = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
