@@ -237,7 +237,12 @@ def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
         wb = jnp.zeros((3, Cout_p, 9 * C), cd)
         wb = wb.at[:, :Cout, :].set(wt.reshape(3, Cout, 9 * C))
         if variant == "mstack":
-            # ...then stacked along M: (3*Cout_p, 9C) — one dot per row
+            # ...then stacked along M: (3*Cout_p, 9C) — one dot per row.
+            # (Padding M/K to 128 multiples was measured and REJECTED:
+            # an isolated Mosaic dot microbenchmark showed (128,384) dots
+            # 1.8-2.6x faster than (120,360), but in-graph the padded
+            # kernel is SLOWER (148 vs 143 ms at 112x496x496) — the
+            # kernel is not dot-throughput-bound; docs/tpu_performance.md)
             wb = wb.reshape(3 * Cout_p, 9 * C)
     elif variant == "mstack3":
         # per-kx M-stacked blocks: (3 kx, 3*Cout_p, 3C)
