@@ -23,9 +23,10 @@ from elektronn2_tpu.log import logger
 
 # default slab-size candidates for tune_sweep on 3D graphs: the
 # sweep_knossos default plus the larger slab that measured fastest for the
-# flagship net on v5e (BASELINE.md r2: 124.7 vs ~114 Mvox/s — halo
-# amortisation)
-DEFAULT_TUNE_STEPS_3D = ((64, 384, 384), (96, 512, 512))
+# flagship net on v5e (BASELINE.md r2; 112x496x496 is the r2 s9 Pallas
+# tail-conv champion geometry — 496-xy keeps the kernel's conv lanes at
+# exact 128 multiples)
+DEFAULT_TUNE_STEPS_3D = ((64, 384, 384), (96, 512, 512), (112, 496, 496))
 
 
 class UnsupportedGraphError(ValueError):
@@ -326,12 +327,15 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     # hand-written Pallas MXU kernel for eligible tail convs (the
     # dense-path hot op) — dilated domain only, f32, unquantised
     use_ptail = (bool(getattr(model, "_dilated_ptail", False))
-                 and halo_axis is None and not use_s2b and not use_zmajor
+                 and not use_s2b and not use_zmajor
                  and nsp == 3 and not quant and quant_calibrate is None
                  and cdtype is None and not act_e2e)
     # (batch=True with a size-1 batch still routes to the kernel — the
     # per-node branch checks the actual leading extent; true multi-slab
-    # batches fall back to the XLA lowering per conv)
+    # batches fall back to the XLA lowering per conv. Under halo sharding
+    # the kernel runs per-shard after the usual z halo_gather, with the
+    # xzcy chaining disabled — each conv goes through nczxy so the halo
+    # exchange sees the standard layout.)
     xzcy_nodes = set()   # nodes whose cached value is in kernel layout
 
     def _ptail_node_ok(node):
@@ -556,11 +560,15 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 from elektronn2_tpu.ops.pallas_tailconv import \
                     conv3x3_dilated
                 in_xz = node.parents[0].name in xzcy_nodes
+                if halo_axis is not None:
+                    # SP-sharded sweep: gather this conv's z context from
+                    # the next rank, then run the kernel per shard
+                    xin = halo(xin, eff_dil[0] * (w.shape[2] - 1))
                 # chain in the kernel's native layout when this conv's
                 # ONLY consumer is the next eligible tail conv — the
                 # inter-conv transposes vanish
                 kids = [c for c in getattr(node, "children", [])]
-                out_xz = (len(kids) == 1
+                out_xz = (halo_axis is None and len(kids) == 1
                           and (_ptail_node_ok(kids[0])
                                or _xzcy_1x1_ok(kids[0])))
                 ptk = getattr(model, "_dilated_ptail", True)

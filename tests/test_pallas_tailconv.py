@@ -225,3 +225,29 @@ def test_ptail_dict_knobs_flow_to_kernel():
                        pallas_tail={"variant": "mstack3", "z_block": 4})
     got = np.asarray(m.predict_dense_device(vol, pad_raw=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_sharded_dense_with_ptail_equals_unsharded():
+    """SP (z-sharded, halo-exchange) dense sweep with pallas_tail on:
+    the kernel runs per shard after the z halo gather — output equals the
+    unsharded ptail sweep exactly (virtual CPU mesh, interpret mode)."""
+    import sys
+    sys.path.insert(0, ".")
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer.graphmanager import model_manager
+    from elektronn2_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(0)
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 11, 21, 21], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 2, 2), mfp=True, name="c1")
+    c2 = nm.Conv(c1, 4, (3, 3, 3), (1, 1, 1), mfp=True, name="c2")
+    probs = nm.Softmax(nm.Conv(c2, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    m.set_dilated_impl("direct", zfold=True, pallas_tail=True)
+    vol = jnp.asarray(rng.rand(1, 16, 30, 30).astype(np.float32))
+    un = np.asarray(m.predict_dense_device(vol))
+    mesh = make_mesh({"space": 4}, n_devices=4)
+    sh = np.asarray(m.predict_dense_sharded(vol, mesh))
+    assert sh.shape == un.shape
+    np.testing.assert_allclose(sh, un, atol=1e-6)
