@@ -567,8 +567,13 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 # chain in the kernel's native layout when this conv's
                 # ONLY consumer is the next eligible tail conv — the
                 # inter-conv transposes vanish
+                # never emit the kernel-native layout from the designated
+                # prediction node itself: its single child may live OFF
+                # the evaluated subgraph (e.g. a loss), and the caller
+                # expects nczxy (reproduced: (Xo, Zo, Cp, Yp) leaked out)
                 kids = [c for c in getattr(node, "children", [])]
-                out_xz = (halo_axis is None and len(kids) == 1
+                out_xz = (halo_axis is None and node is not pred
+                          and len(kids) == 1
                           and (_ptail_node_ok(kids[0])
                                or _xzcy_1x1_ok(kids[0])))
                 ptk = getattr(model, "_dilated_ptail", True)

@@ -251,3 +251,26 @@ def test_sharded_dense_with_ptail_equals_unsharded():
     sh = np.asarray(m.predict_dense_sharded(vol, mesh))
     assert sh.shape == un.shape
     np.testing.assert_allclose(sh, un, atol=1e-6)
+
+
+def test_pred_node_with_offpath_child_stays_nczxy():
+    """Regression: when the designated prediction node is itself an
+    eligible tail conv whose only child lives OFF the evaluated subgraph,
+    the dense output must still come back in nczxy (it leaked the
+    kernel-native xzcy layout before the fix)."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer.graphmanager import model_manager
+    rng = np.random.RandomState(0)
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 9, 19, 19], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 1, 1), mfp=False, name="c1")
+    nm.Conv(c1, 4, (3, 3, 3), (1, 1, 1), mfp=False, name="c2_offpath")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=c1)
+    m.set_dilated_impl("direct")
+    vol = jnp.asarray(rng.rand(1, 12, 24, 24).astype(np.float32))
+    ref = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    m.set_dilated_impl("direct", zfold=True, pallas_tail=True)
+    got = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    assert got.shape == ref.shape == (4, 12, 24, 24)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
