@@ -239,6 +239,10 @@ def main():
             ("direct", True, True, None, False, (96, 512, 512)),
             ("direct", True, True, None, False, (104, 496, 496)),
             ("direct", True, True, None, False, (112, 496, 496)),
+            # fits since the xzcy prediction head deleted the 40-channel
+            # transpose buffers (199.3 Mvox/s measured; 128x496 hits the
+            # compile-helper 500, 136x480 OOMs)
+            ("direct", True, True, None, False, (120, 496, 496)),
             ("s2bg", True, False, "bfloat16", False, None),
             ("s2bg", True, False, "bfloat16", True, (96, 512, 512)),
             ("s2bg", True, False, "bfloat16", True, (104, 512, 512)),
