@@ -128,6 +128,10 @@ def _sustained(call, K):
     import numpy as _np
     out = call()
     float(jnp.sum(jnp.asarray(out, jnp.float32)))
+    # a SECOND warm-up dispatch: the first post-compile heavy dispatch
+    # carries a one-off runtime/allocator penalty that one warm-up does
+    # not flush (measured repeatedly: first timed window reads ~40% low)
+    float(jnp.sum(jnp.asarray(call(), jnp.float32)))
     t0 = _time.perf_counter()
     acc = jnp.float32(0)
     for _ in range(K):
@@ -231,8 +235,7 @@ def main():
     # pad-lane waste in the kernel): 112x496 174.6 steady, 104x496
     # 169.2; 624-xy (640 lanes) 80x624 154.8; 512-xy (~20% pad waste)
     # 96x512 150.6. 120x496/88x624 OOM; 96x624/752-xy compile-500.
-    vols = {None: vol}
-    for impl, zfold, ptail, cdtype, act, vshape in (
+    contenders = (
             ("s2bg", False, False, None, False, None),
             ("s2bg", True, False, None, False, (96, 448, 448)),
             ("direct", True, True, None, False, None),
@@ -246,12 +249,21 @@ def main():
             ("s2bg", True, False, "bfloat16", False, None),
             ("s2bg", True, False, "bfloat16", True, (96, 512, 512)),
             ("s2bg", True, False, "bfloat16", True, (104, 512, 512)),
-            ("direct", False, False, None, False, None)):
+            ("direct", False, False, None, False, None))
+    vols = {None: vol}
+    for ci, (impl, zfold, ptail, cdtype, act, vshape) in \
+            enumerate(contenders):
         label = (impl + ("+zfold" if zfold else "")
                  + ("+ptail" if ptail else "")
                  + (f"+{'bf16' if cdtype == 'bfloat16' else cdtype}"
                     if cdtype else "")
                  + (f"@{'x'.join(map(str, vshape))}" if vshape else ""))
+        # free volumes no later contender uses — the 120x496 ptail slab
+        # sits at the HBM edge and dead ~0.4 GB staging arrays would tip
+        # a marginal day into a silent OOM skip
+        still_needed = {c[5] for c in contenders[ci:]}
+        for k in [k for k in vols if k not in still_needed]:
+            del vols[k]
         try:
             v = vols.get(vshape)
             if v is None:

@@ -520,7 +520,6 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 # contract channels in place (one dot) and transpose the
                 # FEW-channel result back to nczxy — ~Cout/Cin the bytes
                 # of transposing the tail conv's output first
-                Xl, Zl, Cp, Ypl = (int(s) for s in xin.shape)
                 Yv = int(vext[node.parents[0].name][-1])
                 y = jnp.einsum("xzcy,oc->ozxy",
                                xin[:, :, :w.shape[1], :Yv],
@@ -576,7 +575,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                           and len(kids) == 1
                           and (_ptail_node_ok(kids[0])
                                or _xzcy_1x1_ok(kids[0])))
-                ptk = getattr(model, "_dilated_ptail", True)
+                ptk = model._dilated_ptail
                 ptk = ptk if isinstance(ptk, dict) else {}
                 y = conv3x3_dilated(
                     xin, w, b,
@@ -1285,7 +1284,11 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         return {"impl": impl, "zfold": bool(zfold), "dtype": dtype,
                 "ztap": ztap, "zmajor": bool(zmajor),
                 "poolslice": bool(poolslice), "act": bool(act),
-                "ptail": bool(ptail)}
+                # a dict carries kernel tuning knobs (variant/z_block) —
+                # preserve it verbatim (like the non-bool ztap modes) so
+                # restore/apply don't silently reset a tuned kernel
+                "ptail": (dict(ptail) if isinstance(ptail, dict)
+                          else bool(ptail))}
 
     if lowerings is None:
         configs = [_cfg("direct", False, None), _cfg("s2bg", False, None),
@@ -1356,6 +1359,16 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                                          state=s, impl=_i))
                         out = fn(model.params, model.state, vol)
                         float(jnp.sum(jnp.asarray(out, jnp.float32)))
+                        # second warm-up: the first heavy dispatch after a
+                        # compile carries a large one-off runtime/allocator
+                        # penalty that ONE warm-up call does not flush
+                        # (measured: the first-timed contender reads 3-5
+                        # Mvox/s where its steady state is 40+, which
+                        # systematically penalised whichever config ran
+                        # first — usually the incumbent)
+                        float(jnp.sum(jnp.asarray(
+                            fn(model.params, model.state, vol),
+                            jnp.float32)))
                         t0 = _time.perf_counter()
                         acc = jnp.float32(0)
                         for _ in range(K):

@@ -215,7 +215,7 @@ def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
         Y = int(valid_y) if valid_y else Yp   # pad lanes carry garbage
         xt = x.reshape(X, Z * C, Yp)
     else:
-        raise ValueError(out_layout)
+        raise ValueError(in_layout)
     xt = xt.astype(cd)
 
     Zo, Xo, Yo = Z - 2, X - 2 * dx, Y - 2 * dy

@@ -274,3 +274,17 @@ def test_pred_node_with_offpath_child_stays_nczxy():
     got = np.asarray(m.predict_dense_device(vol, pad_raw=True))
     assert got.shape == ref.shape == (4, 12, 24, 24)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_tune_preserves_ptail_dict_incumbent():
+    """A dict-valued pallas_tail config (kernel tuning knobs) survives
+    tune_serving's capture/restore instead of flattening to bool."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_model
+    m = _flagship_model(mfp=True, patch=[15, 55, 55])
+    knobs = {"variant": "mstack3", "z_block": 4}
+    m.set_dilated_impl("direct", zfold=True, pallas_tail=dict(knobs))
+    m.tune_serving(steps=[(8, 48, 48)], slab_batches=(1,), K=1,
+                   include_bf16=False, include_int8=False, apply=False)
+    assert m._dilated_ptail == knobs, m._dilated_ptail
