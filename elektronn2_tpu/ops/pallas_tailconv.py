@@ -17,11 +17,21 @@ XLA cannot express:
   double-buffered HBM DMA per output row (the round-1 kernel,
   ``ops/experimental/pallas_dilated_conv.py``, paid 9 serial DMAs + 27
   strided VMEM copies per tile and managed only 3.9 TF/s);
-* the 9 (kx, ky) taps are 9 MXU dots ``(Cout, 3C) @ (3C, Yo)`` reading the
-  ring at static lane offsets ``ky*dy`` — no im2col buffer is ever built;
+* the three ky weight blocks are stacked along the matmul M dimension
+  (default ``variant='mstack'``: ONE ``(3*Cout, 9C) @ (9C, Yp)`` dot per
+  output row at 94% MXU row fill instead of Cout=40's 31%), with the ky
+  lane shifts moved into a cheap VPU epilogue — no im2col buffer is ever
+  built (``tap9``/``kfuse``/``mstack3`` variants stay selectable; all
+  measured within noise in-graph);
 * bias + ReLU are fused into the epilogue, and ``out_layout='xzcy'``
   writes the output directly in the next tail conv's input layout so
-  chained tail convs need no transposes between them.
+  chained tail convs need no transposes between them (a 1x1 prediction
+  head can consume xzcy too — see ``inference.py``).
+
+A sibling head-unit kernel, ``conv1x3x3_pool_dilated`` (kz=1 conv + bias
++ stride-1 dilated 2x2 max-pool + relu fused), shares the design and the
+chainable layout; for the flagship it measured a wash vs XLA's fused head
+and is not wired into the default path (docs/tpu_performance.md).
 
 Dilation enters only as static offsets (ring stride dx, lane shifts
 ky*dy), so the kernel's cost is identical for any dilation — it runs the
@@ -86,6 +96,32 @@ def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
             dma(x + 1 + 2 * dx, (x + 1 + 2 * dx) % R).start()
 
         dn = (((1,), (0,)), ((), ()))
+        if variant == "mstack2p":
+            # two-phase: ALL zz dots first (results parked in VMEM
+            # values), then all epilogues — gives Mosaic an explicit
+            # opportunity to pipeline MXU dots against VPU epilogues
+            # across rows instead of alternating per row
+            ps = []
+            for zz in range(ZB):
+                p3 = None
+                for kx in range(3):
+                    slot = (x + kx * dx) % R
+                    pk = jax.lax.dot_general(
+                        w_ref[kx],
+                        ring[pl.ds(slot * SC + zz * C, 3 * C), :],
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    p3 = pk if p3 is None else p3 + pk
+                ps.append(p3)
+            for zz in range(ZB):
+                p = ps[zz]
+                acc = p[0: Cout_p, 0: Yo]
+                acc = acc + p[Cout_p: 2 * Cout_p, dy: dy + Yo]
+                acc = acc + p[2 * Cout_p: 3 * Cout_p,
+                              2 * dy: 2 * dy + Yo]
+                acc = acc + b_ref[:, :1]
+                out_ref[zz, 0] = jnp.maximum(acc, 0.0)
+            return
         for zz in range(ZB):
             if variant == "mstack":
                 # THE utilisation fix for Cout=40: stack the 3 ky weight
@@ -155,7 +191,8 @@ def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
         # next kernel's DMAs stay tile-aligned (valid lanes = Yo)
         kernel(x_hbm, w_ref, b_ref, _SwapRef(out_ref, Yo), ring, sem, stage)
 
-    if variant not in ("mstack", "mstack3", "kfuse", "tap9"):
+    if variant not in ("mstack", "mstack3", "mstack2p", "kfuse",
+                       "tap9"):
         raise ValueError(f"unknown pallas tail-conv variant {variant!r}")
 
     return kernel, kernel_xz
@@ -244,7 +281,7 @@ def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
             # kernel is SLOWER (148 vs 143 ms at 112x496x496) — the
             # kernel is not dot-throughput-bound; docs/tpu_performance.md)
             wb = wb.reshape(3 * Cout_p, 9 * C)
-    elif variant == "mstack3":
+    elif variant in ("mstack3", "mstack2p"):
         # per-kx M-stacked blocks: (3 kx, 3*Cout_p, 3C)
         wt = jnp.transpose(w.astype(cd), (3, 4, 0, 2, 1))  # kx,ky,O,kz,c
         wt = jnp.pad(wt, ((0, 0),) * 4 + ((0, C - Cin),)).reshape(

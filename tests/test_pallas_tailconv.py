@@ -21,7 +21,8 @@ def _rand(rng, *shape):
     return jnp.asarray((rng.rand(*shape) - 0.5).astype(np.float32))
 
 
-@pytest.mark.parametrize("variant", ["tap9", "kfuse", "mstack", "mstack3"])
+@pytest.mark.parametrize("variant", ["tap9", "kfuse", "mstack",
+                                     "mstack3", "mstack2p"])
 def test_variants_match_lax(variant):
     rng = np.random.RandomState(0)
     for (Cin, Cout, Z, X, Y, dil) in [
