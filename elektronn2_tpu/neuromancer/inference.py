@@ -1034,7 +1034,14 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
         if st is not None and len(st) == 3:
             M = [max(m, int(s)) for m, s in zip(M, st)]
     if step is None:
-        step = [min(r, s) for r, s in zip(rshape, (64, 384, 384))]
+        # ptail models default to the measured champion slab (496-xy keeps
+        # the Pallas kernel's conv lanes at exact 128 multiples; 120-z
+        # fits v5e HBM — BASELINE.md r2 s9); otherwise the conservative
+        # ~8 Mvox slab. Explicit ``step`` (or ``tune_sweep``) overrides.
+        default = ((112, 496, 496)
+                   if getattr(model, "_dilated_ptail", False)
+                   else (64, 384, 384))
+        step = [min(r, s) for r, s in zip(rshape, default)]
     if any(int(s) % m for s, m in zip(step, M)):
         step = [min(r, -(-int(s) // m) * m)
                 for s, m, r in zip(step, M, rshape)]
