@@ -63,7 +63,11 @@ def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
     per-cell-overhead-bound at ~33 us/cell)."""
     SC = (ZB + 2) * C          # slab rows
 
-    def kernel(x_hbm, w_ref, b_ref, out_ref, ring, sem, stage=None):
+    def kernel(x_hbm, w_ref, b_ref, out_ref, ring, sem, *scratch):
+        if variant == "mstackd":
+            stage, sem2 = scratch
+        else:
+            stage = scratch[0] if scratch else None
         z = pl.program_id(0)
         x = pl.program_id(1)
         n_x = pl.num_programs(1)
@@ -96,6 +100,70 @@ def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
             dma(x + 1 + 2 * dx, (x + 1 + 2 * dx) % R).start()
 
         dn = (((1,), (0,)), ((), ()))
+        if variant == "mstackd":
+            # mstack with DOUBLE-BUFFERED ASYNC staging: the (9C, Yp)
+            # stage for row zz+1 is copied ring->stage by the DMA engines
+            # WHILE the MXU runs row zz's dot. Motivation (s10 probes,
+            # scripts/exp_ptail_dot.py): the dot alone costs ~0.79 us/row
+            # and the measured per-row total is ~1.71 us — the synchronous
+            # staging copy serializes VPU-copy with MXU-dot; overlapping
+            # them targets max(copy, dot) instead of their sum.
+            # stage here is (2, 9C, Yp); sem2 has 6 slots (3 copies/row).
+            def stage_copies(zz, buf):
+                return [pltpu.make_async_copy(
+                    ring.at[pl.ds(((x + kx * dx) % R) * SC + zz * C,
+                                  3 * C), :],
+                    stage.at[buf, pl.ds(kx * 3 * C, 3 * C), :],
+                    sem2.at[buf * 3 + kx]) for kx in range(3)]
+
+            for c in stage_copies(0, 0):
+                c.start()
+            for zz in range(ZB):
+                buf = zz % 2
+                for c in stage_copies(zz, buf):
+                    c.wait()
+                if zz + 1 < ZB:
+                    for c in stage_copies(zz + 1, 1 - buf):
+                        c.start()
+                p = jax.lax.dot_general(
+                    w_ref[:, :], stage[buf], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                acc = p[0: Cout_p, 0: Yo]
+                acc = acc + p[Cout_p: 2 * Cout_p, dy: dy + Yo]
+                acc = acc + p[2 * Cout_p: 3 * Cout_p,
+                              2 * dy: 2 * dy + Yo]
+                acc = acc + b_ref[:, :1]
+                out_ref[zz, 0] = jnp.maximum(acc, 0.0)
+            return
+        if variant == "nfold":
+            # ONE dot per grid cell: all ZB output rows fold into the
+            # matmul N (lane) dimension — stage is (9C, ZB*Yp), each
+            # row's tap slabs occupy its own Yp-lane segment (columns of
+            # a dot are independent, so per-row K content is fine). Every
+            # other structural variant (mstack/mstack3/kfuse/tap9/
+            # mstack2p — 1..9 dots per ROW, M fill 31..94%, RHS bytes
+            # 1..3x) measured the same ~1.05 us/row, i.e. the binding
+            # cost is per-row-invariant; this is the one axis that
+            # divides that per-row cost by ZB.
+            for zz in range(ZB):
+                for kx in range(3):
+                    slot = (x + kx * dx) % R
+                    stage[pl.ds(kx * 3 * C, 3 * C),
+                          pl.ds(zz * Yp, Yp)] = \
+                        ring[pl.ds(slot * SC + zz * C, 3 * C), :]
+            p = jax.lax.dot_general(
+                w_ref[:, :], stage[:, :], dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            for zz in range(ZB):
+                base = zz * Yp
+                acc = p[0: Cout_p, base: base + Yo]
+                acc = acc + p[Cout_p: 2 * Cout_p,
+                              base + dy: base + dy + Yo]
+                acc = acc + p[2 * Cout_p: 3 * Cout_p,
+                              base + 2 * dy: base + 2 * dy + Yo]
+                acc = acc + b_ref[:, :1]
+                out_ref[zz, 0] = jnp.maximum(acc, 0.0)
+            return
         if variant == "mstack2p":
             # two-phase: ALL zz dots first (results parked in VMEM
             # values), then all epilogues — gives Mosaic an explicit
@@ -185,14 +253,15 @@ def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
             acc = acc + b_ref[:, :1]
             out_ref[zz, 0] = jnp.maximum(acc, 0.0)
 
-    def kernel_xz(x_hbm, w_ref, b_ref, out_ref, ring, sem, stage=None):
+    def kernel_xz(x_hbm, w_ref, b_ref, out_ref, ring, sem, *scratch):
         # identical, but the output block is (1, ZB, Cout_p, Yp_out) —
         # xzcy layout (chained tail convs), lanes padded to 128 so the
         # next kernel's DMAs stay tile-aligned (valid lanes = Yo)
-        kernel(x_hbm, w_ref, b_ref, _SwapRef(out_ref, Yo), ring, sem, stage)
+        kernel(x_hbm, w_ref, b_ref, _SwapRef(out_ref, Yo), ring, sem,
+               *scratch)
 
     if variant not in ("mstack", "mstack3", "mstack2p", "kfuse",
-                       "tap9"):
+                       "tap9", "nfold", "mstackd"):
         raise ValueError(f"unknown pallas tail-conv variant {variant!r}")
 
     return kernel, kernel_xz
@@ -266,14 +335,14 @@ def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
     if Zo_p + 2 > Z:
         xt = jnp.pad(xt, ((0, 0), (0, (Zo_p + 2 - Z) * C), (0, 0)))
 
-    if variant in ("kfuse", "mstack"):
+    if variant in ("kfuse", "mstack", "nfold", "mstackd"):
         # weights as 3 ky blocks of (Cout_p, 9C): cols kx*3C + kz*C + c
         wt = jnp.transpose(w.astype(cd), (4, 3, 0, 2, 1))  # ky,kx,O,kz,c
         wt = jnp.pad(wt, ((0, 0),) * 4 + ((0, C - Cin),))
         wt = jnp.transpose(wt.reshape(3, 3, Cout, 3 * C), (0, 2, 1, 3))
         wb = jnp.zeros((3, Cout_p, 9 * C), cd)
         wb = wb.at[:, :Cout, :].set(wt.reshape(3, Cout, 9 * C))
-        if variant == "mstack":
+        if variant in ("mstack", "nfold", "mstackd"):
             # ...then stacked along M: (3*Cout_p, 9C) — one dot per row.
             # (Padding M/K to 128 multiples was measured and REJECTED:
             # an isolated Mosaic dot microbenchmark showed (128,384) dots
@@ -335,7 +404,11 @@ def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
         scratch_shapes=[
             pltpu.VMEM((R * (ZB + 2) * C, Yp), cd),
             pltpu.SemaphoreType.DMA((R,)),
-        ] + ([pltpu.VMEM((9 * C, Yp), cd)]
+        ] + ([pltpu.VMEM((9 * C, ZB * Yp), cd)] if variant == "nfold"
+             else [pltpu.VMEM((2, 9 * C, Yp), cd),
+                   pltpu.SemaphoreType.DMA((6,))]
+             if variant == "mstackd"
+             else [pltpu.VMEM((9 * C, Yp), cd)]
              if variant in ("kfuse", "mstack") else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * Zo * Xo * Yo * Cin * Cout * 27,

@@ -22,7 +22,8 @@ def _rand(rng, *shape):
 
 
 @pytest.mark.parametrize("variant", ["tap9", "kfuse", "mstack",
-                                     "mstack3", "mstack2p"])
+                                     "mstack3", "mstack2p", "nfold",
+                                     "mstackd"])
 def test_variants_match_lax(variant):
     rng = np.random.RandomState(0)
     for (Cin, Cout, Z, X, Y, dil) in [
