@@ -586,6 +586,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                              if in_xz else None),
                     variant=ptk.get("variant", "mstack"),
                     z_block=int(ptk.get("z_block", 8)),
+                    prefetch=int(ptk.get("prefetch", 1)),
                     # Mosaic is TPU-only: CPU (tests) runs the kernel's
                     # interpreter, which is exact but slow (the sandbox
                     # TPU platform is named 'axon', hence the cpu check)

@@ -55,12 +55,19 @@ def _round_up(v, m):
 
 
 def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
-                 variant="mstack"):
+                 variant="mstack", A=1, X_rows=None):
     """C: padded channel count; slab = ((ZB+2)*C, Yp); ring = R slabs.
 
     One grid cell computes ZB consecutive output z-rows at one x: the slab
     DMA and grid-step fixed costs amortise over ZB rows (measured: ZB=1 is
-    per-cell-overhead-bound at ~33 us/cell)."""
+    per-cell-overhead-bound at ~33 us/cell).
+
+    A = prefetch depth: number of ring DMAs kept in flight (R = 2dx+1+A).
+    The s10 ablation (scripts/exp_ptail_ablate.py) decomposed the kernel
+    body's floor into a ring-DMA leg (0.52 us/row) and an out-write leg
+    (0.45); with A=1 the DMA leg is LATENCY-bound — one 1 MB DMA in
+    flight at a time runs at ~250 GB/s vs ~800 peak — so deeper prefetch
+    targets max(write, dma/A) instead."""
     SC = (ZB + 2) * C          # slab rows
 
     def kernel(x_hbm, w_ref, b_ref, out_ref, ring, sem, *scratch):
@@ -82,22 +89,28 @@ def _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime, ZB, dtype,
         @pl.when(x == 0)
         def _prime():
             # new z-row: the ring holds stale slabs — refill rows 0..2dx
+            # (waited: cell 0 reads them) and launch the A-1 extra
+            # in-flight rows beyond them (unwaited)
             for r in range(n_prime):
                 dma(r, r % R).start()
+            for a in range(1, A):
+                r = n_prime - 1 + a               # rows 2dx+1 .. 2dx+A-1
+                if X_rows is None or r < X_rows:
+                    dma(r, r % R).start()
             for r in range(n_prime):
                 dma(r, r % R).wait()
 
         @pl.when(x > 0)
         def _wait_inflight():
-            # slab for row x+2dx was started by cell x-1
+            # slab for row x+2dx was started A cells ago
             dma(x + 2 * dx, (x + 2 * dx) % R).wait()
 
-        # start the NEXT cell's slab now, overlapping this cell's dots.
-        # Target slot (x+1+2dx) % R is provably not read by this cell
-        # (R = 2dx+2 makes x-1, x, x+dx, x+2dx distinct mod R).
-        @pl.when(x + 1 < n_x)
+        # keep A slabs in flight, overlapping this cell's dots. Target
+        # slot (x+A+2dx) % R is provably not read by cells x..x+A-1
+        # (R = 2dx+1+A keeps the live window x..x+2dx+A distinct mod R).
+        @pl.when(x + A < n_x)
         def _start_next():
-            dma(x + 1 + 2 * dx, (x + 1 + 2 * dx) % R).start()
+            dma(x + A + 2 * dx, (x + A + 2 * dx) % R).start()
 
         dn = (((1,), (0,)), ((), ()))
         if variant == "mstackd":
@@ -283,11 +296,12 @@ class _SwapRef:
 @functools.partial(jax.jit, static_argnames=("dil", "relu", "out_layout",
                                              "in_layout", "interpret",
                                              "compute_dtype", "z_block",
-                                             "variant", "valid_y"))
+                                             "variant", "valid_y",
+                                             "prefetch"))
 def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
                     in_layout="nczxy", interpret=False,
                     compute_dtype="float32", z_block=8, variant="mstack",
-                    valid_y=None):
+                    valid_y=None, prefetch=1):
     """Valid-mode (3,3,3) conv, z-dilation 1, xy-dilation (dx, dy), fused
     bias + optional ReLU, as a Pallas TPU kernel.
 
@@ -373,10 +387,12 @@ def conv3x3_dilated(x, w, b, dil=(1, 1, 1), relu=True, out_layout="nczxy",
         # handled by caller instead (relu=False unsupported in-kernel)
         raise ValueError("pallas tail conv: relu=False not supported")
 
-    R = 2 * dx + 2
+    A = max(1, int(prefetch))
+    R = 2 * dx + 1 + A
     n_prime = 2 * dx + 1                      # rows 0..2dx
     kernel, kernel_xz = _make_kernel(C, Cout_p, dx, dy, Yp, Yo, R, n_prime,
-                                     ZB, cd, variant=variant)
+                                     ZB, cd, variant=variant, A=A,
+                                     X_rows=int(xt.shape[0]))
 
     if out_layout == "xzcy":
         Yo_p = _round_up(Yo, 128)

@@ -10,6 +10,11 @@ actually serializes into the measured ~1.7 us/row?
   noepi    — stage + dot, write p slice raw (no shifted adds)
   dotonly  — dot from a FIXED stage (no staging, no epilogue)
   none     — ring DMA + out write only
+  dmaonly  — ring DMA; all cells write ONE shared tiny out block
+             (decomposes `none` into its DMA leg)
+  outonly  — out write only, no ring DMA (decomposes the write leg;
+             nczxy block writes are strided 2 KB chunks — the xzcy
+             production layout writes contiguously instead)
 
 JSON per probe. Shapes default to the canonical isolated tail shape.
 """
@@ -41,7 +46,9 @@ def main():
     K_disp = int(os.environ.get("BENCH_K", "8"))
     ZB = int(os.environ.get("ZB", "8"))
     probes = os.environ.get(
-        "PROBES", "full,nodot,nostage,noepi,dotonly,none").split(",")
+        "PROBES",
+        "full,nodot,nostage,noepi,dotonly,none,dmaonly,outonly"
+    ).split(",")
 
     _, Cin, Z, X, Y = shp
     dz, dx, dy = dil
@@ -74,20 +81,21 @@ def main():
                     ring.at[pl.ds(slot * SC, SC), :],
                     sem.at[slot])
 
-            @pl.when(xg == 0)
-            def _prime():
-                for r in range(n_prime):
-                    dma(r, r % R).start()
-                for r in range(n_prime):
-                    dma(r, r % R).wait()
+            if probe != "outonly":
+                @pl.when(xg == 0)
+                def _prime():
+                    for r in range(n_prime):
+                        dma(r, r % R).start()
+                    for r in range(n_prime):
+                        dma(r, r % R).wait()
 
-            @pl.when(xg > 0)
-            def _wait():
-                dma(xg + 2 * dx, (xg + 2 * dx) % R).wait()
+                @pl.when(xg > 0)
+                def _wait():
+                    dma(xg + 2 * dx, (xg + 2 * dx) % R).wait()
 
-            @pl.when(xg + 1 < n_x)
-            def _next():
-                dma(xg + 1 + 2 * dx, (xg + 1 + 2 * dx) % R).start()
+                @pl.when(xg + 1 < n_x)
+                def _next():
+                    dma(xg + 1 + 2 * dx, (xg + 1 + 2 * dx) % R).start()
 
             dn = (((1,), (0,)), ((), ()))
             for zz in range(ZB):
@@ -122,7 +130,7 @@ def main():
                                       2 * dy: 2 * dy + Yo]
                     acc = acc + b_ref[:, :1]
                     out_ref[zz, 0] = jnp.maximum(acc, 0.0)
-                else:                               # none
+                else:               # none / dmaonly / outonly
                     out_ref[zz, 0] = ring[pl.ds(zz * C, Cout_p),
                                           0: Yo]
             return
@@ -131,17 +139,28 @@ def main():
     rows = Zo_p * Xo
     flops = 2 * rows * Yo * 3 * Cout_p * 9 * C
     for probe in probes:
+        if probe == "dmaonly":
+            # all cells share ONE out block: the write leg collapses to
+            # a single block copy — what remains is the ring-DMA leg
+            out_specs = pl.BlockSpec((ZB, 1, Cout_p, Yo),
+                                     lambda z, xg: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((ZB, 1, Cout_p, Yo),
+                                             jnp.float32)
+        else:
+            out_specs = pl.BlockSpec((ZB, 1, Cout_p, Yo),
+                                     lambda z, xg: (z, xg, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((Zo_p, Xo, Cout_p, Yo),
+                                             jnp.float32)
         f = pl.pallas_call(
             make(probe),
             grid=(Zo_p // ZB, Xo),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((ZB, 1, Cout_p, Yo),
-                                   lambda z, xg: (z, xg, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Zo_p, Xo, Cout_p, Yo),
-                                           jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((R * SC, Yp), jnp.float32),
                 pltpu.SemaphoreType.DMA((R,)),

@@ -45,6 +45,8 @@ def main():
     variants = os.environ.get(
         "VARIANTS", "mstack,nfold").split(",")
     zblocks = [int(v) for v in os.environ.get("ZB", "8").split(",")]
+    prefetches = [int(v) for v in os.environ.get(
+        "PREFETCH", "1").split(",")]
 
     _, Cin, Z, X, Y = shp
     rng = np.random.RandomState(0)
@@ -59,13 +61,14 @@ def main():
     flops = 2 * Zo * Xo * Yo * Cin * Cout * 27
     ref = None
     for variant in variants:
+      for pf in prefetches:
         for zb in zblocks:
             try:
                 out = pt.conv3x3_dilated(x, w, b, dil=dil, z_block=zb,
-                                         variant=variant)
+                                         variant=variant, prefetch=pf)
                 s = float(jnp.sum(out))
             except Exception as e:
-                print(json.dumps({"variant": variant, "zb": zb,
+                print(json.dumps({"variant": variant, "zb": zb, "pf": pf,
                                   "error": str(e)[:160]}), flush=True)
                 continue
             if ref is None:
@@ -75,12 +78,12 @@ def main():
                 t0 = time.perf_counter()
                 for _ in range(K):
                     out = pt.conv3x3_dilated(x, w, b, dil=dil, z_block=zb,
-                                             variant=variant)
+                                             variant=variant, prefetch=pf)
                 float(jnp.sum(out))
                 ts.append((time.perf_counter() - t0) / K)
             dt = min(ts)
             print(json.dumps({
-                "variant": variant, "zb": zb,
+                "variant": variant, "zb": zb, "pf": pf,
                 "ms": round(dt * 1e3, 2),
                 "us_per_row": round(dt * 1e6 / rows, 3),
                 "tflops": round(flops / dt / 1e12, 1),

@@ -42,6 +42,21 @@ def test_variants_match_lax(variant):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_prefetch_depths_exact():
+    # prefetch only changes the DMA schedule (A slabs in flight), never
+    # values; cover A larger than the x extent too
+    rng = np.random.RandomState(3)
+    x = _rand(rng, 1, 6, 7, 12, 26)
+    w = _rand(rng, 6, 6, 3, 3, 3)
+    b = _rand(rng, 6)
+    ref = conv3x3_dilated_reference(x, w, b, (1, 2, 2))
+    for pf in (1, 2, 4, 16):
+        got = conv3x3_dilated(x, w, b, (1, 2, 2), interpret=True,
+                              z_block=4, prefetch=pf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_z_block_raggedness():
     # Zo not divisible by z_block exercises the Zo padding + slice
     rng = np.random.RandomState(1)
