@@ -44,7 +44,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def make_self_golden(path, cpu=True):
+_UNET_WSHAPES = [            # (w shape, b len) per layer, in build order
+    ((5, 1, 1, 3, 3), 5),    # enc0: Conv (1,3,3)
+    ((8, 5, 3, 3, 3), 8),    # enc1: Conv (3,3,3) pool (1,2,2)
+    ((5, 8, 1, 2, 2), 5),    # up:   UpConv (1,2,2)
+    ((6, 10, 1, 3, 3), 6),   # dec:  Conv (1,3,3) on the skip merge
+    ((2, 6, 1, 1, 1), 2),    # cls:  1x1 head
+]
+
+
+def _unet_weights(rng):
+    return [((rng.randn(*ws) / np.sqrt(np.prod(ws[1:]))).astype(
+        np.float32), (rng.randn(nb) * 0.1).astype(np.float32))
+        for ws, nb in _UNET_WSHAPES]
+
+
+def _build_unet(nm, patch, weights):
+    """Small decoder-family net (Conv -> pooled Conv -> UpConv ->
+    FaithlessMerge skip -> Conv -> 1x1 head): locks the decoder dense
+    path's UpConv/Crop/Concat numerics, the second of the two dense
+    lowerings (inference.py::convolutional_dense_forward; reference
+    geometry: ``node_basic.py::predict_dense`` + U-Net paper §3
+    overlap-tile arithmetic)."""
+    (w0, b0), (w1, b1), (w2, b2), (w3, b3), (w4, b4) = weights
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1] + list(patch), "b,f,z,x,y", name="raw")
+    enc0 = nm.Conv(inp, 5, (1, 3, 3), (1, 1, 1), w=w0, b=b0, name="enc0")
+    enc1 = nm.Conv(enc0, 8, (3, 3, 3), (1, 2, 2), w=w1, b=b1, name="enc1")
+    up = nm.UpConv(enc1, 5, (1, 2, 2), activation_func="relu",
+                   w=w2, b=b2, name="up")
+    merged = nm.FaithlessMerge(up, enc0, name="skip")
+    dec = nm.Conv(merged, 6, (1, 3, 3), (1, 1, 1), w=w3, b=b3, name="dec")
+    head = nm.Conv(dec, 2, 1, 1, activation_func="lin", w=w4, b=b4,
+                   name="cls")
+    probs_n = nm.Softmax(head, name="probs")
+    model = nm.model_manager.getmodel("self_golden_unet")
+    model.designate_nodes(input_node=inp, prediction_node=probs_n)
+    return model
+
+
+def make_self_golden(path, cpu=True, family="mfp"):
     """Write a golden.h5 (harness schema) from this framework's own oracle
     path with seeded params/input — the committed numeric regression lock
     (see module docstring)."""
@@ -54,6 +93,25 @@ def make_self_golden(path, cpu=True):
     import h5py
     import elektronn2_tpu.neuromancer as nm
     from elektronn2_tpu.utils.cnncalculator import cnncalculator
+
+    if family == "unet":
+        rng = np.random.RandomState(7)
+        patch = [16, 32, 32]
+        raw = rng.rand(1, 20, 40, 40).astype(np.float32)
+        weights = _unet_weights(rng)
+        model = _build_unet(nm, patch, weights)
+        probs = np.asarray(model.predict_dense(raw, prefer_device=False),
+                           np.float32)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("raw", data=raw)
+            f.create_dataset("probs", data=probs)
+            f.attrs["spec"] = json.dumps({"family": "unet",
+                                          "patch": patch})
+            for i, (w, b) in enumerate(weights):
+                f.create_dataset(f"w{i}", data=w)
+                f.create_dataset(f"b{i}", data=b)
+        print(f"wrote {path}: raw {raw.shape}, probs {probs.shape}")
+        return 0
 
     spec = {"filters": [[1, 3, 3], [3, 3, 3]],
             "pools": [[1, 2, 2], [2, 2, 2]],
@@ -108,12 +166,15 @@ def main(argv=None):
                     help="WRITE the golden file from this framework's "
                     "oracle path (self regression lock) instead of "
                     "checking against it")
+    ap.add_argument("--family", default="mfp", choices=["mfp", "unet"],
+                    help="which self-golden net to write (mfp conv "
+                    "stack, or the decoder/U-Net family)")
     args = ap.parse_args(argv)
 
     if args.make_self_golden:
         # ALWAYS on CPU: the committed lock is checked by the CPU test
         # suite — TPU-numerics goldens would silently weaken it
-        return make_self_golden(args.golden, cpu=True)
+        return make_self_golden(args.golden, cpu=True, family=args.family)
 
     import jax
     if args.cpu:
@@ -125,14 +186,29 @@ def main(argv=None):
         raw = f["raw"][()]
         want = f["probs"][()]
         spec = json.loads(f.attrs["spec"])
+        n_layers = (len(_UNET_WSHAPES) if spec.get("family") == "unet"
+                    else len(spec["filters"]))
         weights = []
-        for i in range(len(spec["filters"])):
+        for i in range(n_layers):
             w = f[f"w{i}"][()]
             b = f[f"b{i}"][()]
             if args.flip_filters:
                 w = w[..., ::-1, ::-1, ::-1] if w.ndim == 5 \
                     else w[..., ::-1, ::-1]
             weights.append((np.ascontiguousarray(w), b))
+
+    if spec.get("family") == "unet":
+        model = _build_unet(nm, spec["patch"], weights)
+        got = model.predict_dense(raw, prefer_device=False)
+        n = [min(a, b) for a, b in zip(got.shape, want.shape)]
+        got_c = got[tuple(slice(0, k) for k in n)]
+        want_c = want[tuple(slice(0, k) for k in n)]
+        maxdiff = float(np.abs(got_c - want_c).max())
+        print(f"shapes: ours {got.shape} reference {want.shape}; "
+              f"compared {n}; max |diff| = {maxdiff:.3e} "
+              f"(tol {args.tol})")
+        print("PARITY: PASS" if maxdiff <= args.tol else "PARITY: FAIL")
+        return 0 if maxdiff <= args.tol else 1
 
     nm.model_manager.reset()
     ndim = raw.ndim - 1

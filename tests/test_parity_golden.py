@@ -34,6 +34,32 @@ def test_self_golden_locked():
     assert _harness().main([GOLDEN, "--cpu"]) == 0
 
 
+GOLDEN_UNET = os.path.join(os.path.dirname(__file__), "golden",
+                           "self_golden_unet.h5")
+
+
+def test_self_golden_unet_locked():
+    """Decoder-family lock: UpConv/FaithlessMerge/Crop numerics through
+    the convolutional dense path (the second dense lowering).
+    Regenerate: parity_vs_reference.py ... --make-self-golden --family
+    unet (only after an INTENDED numeric change)."""
+    assert os.path.exists(GOLDEN_UNET), "committed unet golden missing"
+    assert _harness().main([GOLDEN_UNET, "--cpu"]) == 0
+
+
+def test_self_golden_unet_catches_drift(tmp_path):
+    import h5py
+    import shutil
+    bad = str(tmp_path / "drifted_unet.h5")
+    shutil.copy(GOLDEN_UNET, bad)
+    with h5py.File(bad, "r+") as f:
+        w = f["w2"][()]              # the UpConv weights specifically
+        w[0, 0, 0, 0, 0] += 0.25
+        del f["w2"]
+        f.create_dataset("w2", data=w)
+    assert _harness().main([bad, "--cpu"]) == 1
+
+
 def test_self_golden_catches_drift(tmp_path):
     """The harness actually fails when voxels drift (guards against a
     vacuous pass): perturb one weight in a copy of the golden."""
