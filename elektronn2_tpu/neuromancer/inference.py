@@ -187,6 +187,14 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
     impl = impl or getattr(model, "_dilated_impl", "direct")
     if impl not in ("direct", "s2b", "s2bg"):
         raise ValueError(f"unknown dilated impl {impl!r}")
+    nsp_in = len(model.input_node.shape.spatial_axes)
+    want = nsp_in + (2 if batch else 1)
+    if vol.ndim != want:
+        raise ValueError(
+            f"dilated_dense_forward(batch={batch}) expects a "
+            f"{want}-d volume ({'(b, f' if batch else '(f'}"
+            f"{', Z' if nsp_in == 3 else ''}, X, Y) for this "
+            f"{nsp_in}-d model), got shape {tuple(vol.shape)}")
     use_s2b = impl == "s2b" and halo_axis is None
     use_s2bg = impl == "s2bg" and halo_axis is None
     # kz=1 convs as 2D convs with z in the conv batch dim (XLA's small-Cin
@@ -521,10 +529,16 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 # FEW-channel result back to nczxy — ~Cout/Cin the bytes
                 # of transposing the tail conv's output first
                 Yv = int(vext[node.parents[0].name][-1])
-                y = jnp.einsum("xzcy,oc->ozxy",
-                               xin[:, :, :w.shape[1], :Yv],
-                               w[:, :, 0, 0, 0])
-                y = (y + b.reshape(-1, 1, 1, 1))[None]
+                if xin.ndim == 5:      # batched multi-slab xzcy value
+                    y = jnp.einsum("bxzcy,oc->bozxy",
+                                   xin[:, :, :, :w.shape[1], :Yv],
+                                   w[:, :, 0, 0, 0])
+                    y = y + b.reshape(1, -1, 1, 1, 1)
+                else:
+                    y = jnp.einsum("xzcy,oc->ozxy",
+                                   xin[:, :, :w.shape[1], :Yv],
+                                   w[:, :, 0, 0, 0])
+                    y = (y + b.reshape(-1, 1, 1, 1))[None]
             elif (use_zfold and nsp == 3 and w.shape[2] == 1
                     and node.pool_shape[0] == 1):
                 # z never mixes (kz=1, pz=1): fold z into the conv batch
@@ -553,9 +567,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                 y = y.reshape((B2, Z2) + tuple(y.shape[1:])
                               ).transpose(0, 2, 1, 3, 4)
             elif (use_ptail and ph is None and eff_dil[0] == 1
-                    and _ptail_node_ok(node)
-                    and (node.parents[0].name in xzcy_nodes
-                         or int(xin.shape[0]) == 1)):
+                    and _ptail_node_ok(node)):
                 from elektronn2_tpu.ops.pallas_tailconv import \
                     conv3x3_dilated
                 in_xz = node.parents[0].name in xzcy_nodes
@@ -577,20 +589,44 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                                or _xzcy_1x1_ok(kids[0])))
                 ptk = model._dilated_ptail
                 ptk = ptk if isinstance(ptk, dict) else {}
-                y = conv3x3_dilated(
-                    xin, w, b,
-                    dil=(1, int(eff_dil[1]), int(eff_dil[2])),
-                    in_layout="xzcy" if in_xz else "nczxy",
-                    out_layout="xzcy" if out_xz else "nczxy",
-                    valid_y=(int(vext[node.parents[0].name][-1])
-                             if in_xz else None),
-                    variant=ptk.get("variant", "mstack"),
-                    z_block=int(ptk.get("z_block", 8)),
-                    prefetch=int(ptk.get("prefetch", 1)),
-                    # Mosaic is TPU-only: CPU (tests) runs the kernel's
-                    # interpreter, which is exact but slow (the sandbox
-                    # TPU platform is named 'axon', hence the cpu check)
-                    interpret=jax.default_backend() == "cpu")
+
+                def _pt_one(x1):
+                    return conv3x3_dilated(
+                        x1, w, b,
+                        dil=(1, int(eff_dil[1]), int(eff_dil[2])),
+                        in_layout="xzcy" if in_xz else "nczxy",
+                        out_layout="xzcy" if out_xz else "nczxy",
+                        valid_y=(int(vext[node.parents[0].name][-1])
+                                 if in_xz else None),
+                        variant=ptk.get("variant", "mstack"),
+                        z_block=int(ptk.get("z_block", 8)),
+                        prefetch=int(ptk.get("prefetch", 1)),
+                        # Mosaic is TPU-only: CPU (tests) runs the
+                        # kernel's interpreter, which is exact but slow
+                        # (the sandbox TPU platform is named 'axon',
+                        # hence the cpu check)
+                        interpret=jax.default_backend() == "cpu")
+
+                # slab_batch > 1 (batched multi-slab serving): the kernel
+                # is single-volume, so run it per slab in a STATIC loop —
+                # still ONE dispatch for the whole batch (the dispatch
+                # amortisation that slab_batch buys), the kernels just
+                # execute sequentially inside it. xzcy chain values carry
+                # a leading slab dim ((B, X, Z, C, Yp)).
+                if in_xz:
+                    xs = ([xin[i] for i in range(int(xin.shape[0]))]
+                          if xin.ndim == 5 else [xin])
+                else:
+                    xs = [xin[i:i + 1] for i in range(int(xin.shape[0]))]
+                ys = [_pt_one(x1) for x1 in xs]
+                if out_xz:
+                    y = (jnp.stack(ys, 0)
+                         if (len(ys) > 1 or (in_xz and xin.ndim == 5)
+                             or (not in_xz and int(xin.shape[0]) > 1))
+                         else ys[0])
+                else:
+                    y = (jnp.concatenate(ys, 0) if len(ys) > 1
+                         else ys[0])
                 if out_xz:
                     xzcy_nodes.add(node.name)
                 # bias + relu are fused in the kernel; v/dil bookkeeping

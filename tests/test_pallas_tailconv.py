@@ -244,6 +244,29 @@ def test_ptail_dict_knobs_flow_to_kernel():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_batched_slab_ptail_equals_per_slab():
+    """slab_batch serving keeps the Pallas tail kernel: batch=True with
+    B=2 slabs routes each slab through the kernel (static in-jit loop,
+    incl. the chained xzcy layout + 1x1 head) and equals the per-slab
+    runs AND the direct lowering."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_model
+    from elektronn2_tpu.neuromancer.inference import dilated_dense_forward
+    m = _flagship_model(mfp=True, patch=[15, 55, 55])
+    rng = np.random.RandomState(4)
+    vols = jnp.asarray(rng.rand(2, 1, 18, 70, 70).astype(np.float32))
+    m.set_dilated_impl("direct", zfold=True, pallas_tail=True)
+    got = np.asarray(dilated_dense_forward(m, vols, batch=True))
+    per = np.stack([np.asarray(dilated_dense_forward(m, vols[i]))
+                    for i in range(2)])
+    np.testing.assert_allclose(got, per, atol=1e-6)
+    m.set_dilated_impl("direct")
+    ref = np.stack([np.asarray(dilated_dense_forward(m, vols[i]))
+                    for i in range(2)])
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_sharded_dense_with_ptail_equals_unsharded():
     """SP (z-sharded, halo-exchange) dense sweep with pallas_tail on:
     the kernel runs per shard after the z halo gather — output equals the
