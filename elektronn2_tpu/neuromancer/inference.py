@@ -922,6 +922,11 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
                          and quant_calibrate is None)
     ctx.quant_calibrate = quant_calibrate
     ctx.quant_scales = getattr(model, "_quant_scales", None)
+    # serving-only op lowerings (Model.set_convdense_impl): exactly
+    # equivalent programs, selected per hardware/XLA-version measurement
+    ctx.convdense_upconv_d2s = \
+        getattr(model, "_convdense_upconv", "dilate") == "d2s"
+    ctx.convdense_zfold = bool(getattr(model, "_convdense_zfold", False))
     y = ctx.get(pred)[0]
     return y[(slice(None),) + tuple(slice(0, w) for w in want_out)]
 

@@ -205,6 +205,31 @@ class Model:
         self._dilated_fns = {}
         return self
 
+    def set_convdense_impl(self, upconv="dilate", zfold=False):
+        """Choose op lowerings for the CONVOLUTIONAL dense path (decoder /
+        U-Net graphs, ``inference.py::convolutional_dense_forward``) — the
+        conv-dense sibling of ``set_dilated_impl``.
+
+        ``upconv``: 'dilate' (lhs_dilation transposed conv, the default)
+        or 'd2s' (1×1 conv + depth-to-space, ``ops.conv.upconv_d2s``) —
+        bit-identical on v5e; d2s measured 82.2 → 64.9 ms at the unet3d
+        decoder's whole-volume shape (scripts/exp_convdense_ops.py).
+
+        ``zfold``: lower kz=1 convs as 2D convs with z folded into the
+        conv batch dim (``ops.conv.conv_zfold2d``) — exactly equivalent;
+        measured ~1.6× at whole-volume shapes. 3D graphs only (ignored
+        for 2D). Both knobs affect the whole-volume conv-dense trace
+        only; training, patch predict and the tiled fallback keep the
+        default lowerings.
+        """
+        if upconv not in ("dilate", "d2s"):
+            raise ValueError(f"upconv={upconv!r}: expected 'dilate' "
+                             "or 'd2s'")
+        self._convdense_upconv = upconv
+        self._convdense_zfold = bool(zfold)
+        self._dilated_fns = {}    # conv-dense jits live in this cache
+        return self
+
     def set_remat(self, enabled=True):
         """Rematerialisation: recompute each node's activations in the
         backward pass instead of storing them (``jax.checkpoint``) — trades
@@ -1117,6 +1142,8 @@ def rebuild_model(model, override_mfp_to_active=False,
     new._dilated_zmajor = getattr(model, "_dilated_zmajor", False)
     new._dilated_poolslice = getattr(model, "_dilated_poolslice", False)
     new._dilated_ptail = getattr(model, "_dilated_ptail", False)
+    new._convdense_upconv = getattr(model, "_convdense_upconv", "dilate")
+    new._convdense_zfold = getattr(model, "_convdense_zfold", False)
     # calibrated int8 scales are per-conv-INPUT maxima: params carry over
     # unchanged, but an imposed patch/mfp change alters the activation
     # distribution geometry only, not its magnitudes — still valid

@@ -271,6 +271,19 @@ class Conv(Node, _BNMixin):
             self._init_bn(self.n_f)
         self._parent_offsets = np.asarray(ps.mfp_offsets)
 
+    def _serving_conv_fn(self, ctx, x):
+        """Pick the conv lowering for this trace: ``conv_zfold2d`` when the
+        conv-dense serving path requests the z-fold (kz=1 3D convs only —
+        Model.set_convdense_impl(zfold=True)), else plain ``conv``.
+        Exactly equivalent; serving-only (the flag exists only on
+        conv-dense TraceCtxs)."""
+        if getattr(ctx, "convdense_zfold", False) and x.ndim == 5 \
+                and len(self.filter_shape) == 3 \
+                and self.filter_shape[0] == 1:
+            from elektronn2_tpu.ops.conv import conv_zfold2d
+            return conv_zfold2d
+        return ops_conv
+
     def _compute(self, ctx, x):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
@@ -302,11 +315,13 @@ class Conv(Node, _BNMixin):
             # accumulation), cast back for the elementwise tail — the
             # explicit astype keeps the conv dtype-uniform so its gradient
             # transpose is well-typed
-            y = ops_conv(x.astype(ctx.compute_dtype),
-                         w.astype(ctx.compute_dtype)).astype(jnp.float32)
+            cfn = self._serving_conv_fn(ctx, x)
+            y = cfn(x.astype(ctx.compute_dtype),
+                    w.astype(ctx.compute_dtype)).astype(jnp.float32)
             y = y + b.reshape((1, -1) + (1,) * (x.ndim - 2))
         else:
-            y = ops_conv(x, w) + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+            cfn = self._serving_conv_fn(ctx, x)
+            y = cfn(x, w) + b.reshape((1, -1) + (1,) * (x.ndim - 2))
         if any(p > 1 for p in self.pool_shape):
             if self.mfp:
                 y, _ = fragmentpool(y, self.pool_shape, self._parent_offsets,
@@ -436,6 +451,11 @@ class UpConv(Node):
                                x_absmax=(getattr(ctx, "quant_scales",
                                                  None)
                                          or {}).get(self.name))
+        elif getattr(ctx, "convdense_upconv_d2s", False):
+            # conv-dense serving lowering (Model.set_convdense_impl):
+            # 1×1 conv + depth-to-space — bit-identical, measured faster
+            from elektronn2_tpu.ops.conv import upconv_d2s
+            y = upconv_d2s(x, w, self.pool_shape)
         else:
             y = ops_upconv(x, w, self.pool_shape)
         y = y + b.reshape((1, -1) + (1,) * (x.ndim - 2))

@@ -293,6 +293,59 @@ def upconv(x, w, pool_shape, precision=None, preferred_element_type=None):
         precision=precision, preferred_element_type=preferred_element_type)
 
 
+def upconv_d2s(x, w, pool_shape, precision=None,
+               preferred_element_type=None):
+    """``upconv`` lowered as 1×1 conv + depth-to-space (pixel shuffle).
+
+    With kernel == stride (always true for UpConv) every output position
+    receives exactly ONE kernel tap, so the transposed conv factors into a
+    feature matmul to ``f_out·∏pool`` channels followed by a phase
+    interleave — zero wasted MACs, where the ``lhs_dilation`` form
+    convolves the (∏pool−1)/∏pool zero fraction of the dilated input
+    unless XLA rewrites it. Exactly equal to ``upconv`` (bit-identical on
+    v5e, tests); measured 82.2 → 64.9 ms at the unet3d decoder's
+    whole-volume shape (scripts/exp_convdense_ops.py). Selected for the
+    conv-dense serving path via ``Model.set_convdense_impl``.
+    """
+    nsp = x.ndim - 2
+    p = tuple(int(v) for v in pool_shape)
+    co, ci = int(w.shape[0]), int(w.shape[1])
+    P = int(np.prod(p))
+    # (co, ci, *p) → (co·∏p, ci, *1): tap (i1..in) becomes output channel
+    # co·∏p + row-major(i); no spatial flip — tap i of a kernel==stride
+    # transposed conv lands at output offset i directly
+    wm = w.reshape(co, ci, P).transpose(0, 2, 1) \
+          .reshape((co * P, ci) + (1,) * nsp)
+    y = conv(x, wm, precision=precision,
+             preferred_element_type=preferred_element_type)
+    b = y.shape[0]
+    sp = y.shape[2:]
+    y = y.reshape((b, co) + p + tuple(sp))
+    perm = [0, 1]
+    for i in range(nsp):                    # b co p1..pn s1..sn →
+        perm += [2 + nsp + i, 2 + i]        # b co s1 p1 s2 p2 …
+    y = y.transpose(perm)
+    return y.reshape((b, co) + tuple(s * pv for s, pv in zip(sp, p)))
+
+
+def conv_zfold2d(x, w, precision=None, preferred_element_type=None):
+    """kz=1 3D conv as a 2D conv with z folded into the conv batch dim.
+
+    XLA's small-Cin 3D conv lowering is pathological on TPU (the dilated
+    path's ``zfold`` finding, docs/tpu_performance.md); the same fold
+    applied at the conv-dense path's whole-volume shapes measured
+    55→36 / 70→43 ms (scripts/exp_convdense_ops.py, v5e). Exactly
+    equivalent — same contraction, same accumulation order per output.
+    """
+    b, c, z = x.shape[:3]
+    x2 = x.transpose(0, 2, 1, 3, 4).reshape(b * z, c,
+                                            x.shape[3], x.shape[4])
+    y = conv(x2, w[:, :, 0], precision=precision,
+             preferred_element_type=preferred_element_type)
+    y = y.reshape(b, z, w.shape[0], y.shape[2], y.shape[3])
+    return y.transpose(0, 2, 1, 3, 4)
+
+
 def dot(x, w, axis=1, precision=None):
     """Feature-axis dense transform: (b, f_in, *sp) @ (f_in, f_out).
 

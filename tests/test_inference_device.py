@@ -277,6 +277,68 @@ def test_conv_dense_faithless_unet3d(rng):
                for k in m._dilated_fns)
 
 
+def test_convdense_impl_knobs_exact(rng):
+    """``set_convdense_impl`` lowerings (upconv d2s / kz=1 zfold) ==
+    the default conv-dense trace, alone and composed; 2D graphs ignore
+    the z-fold; rebuild carries the knobs; bad values rejected."""
+    m = faithless_unet3d()
+    vol = jnp.asarray(rng.randn(1, 11, 21, 23).astype(np.float32))
+    base = np.asarray(m.predict_dense_device(vol))
+    patch = np.asarray(m.predict(rng.randn(
+        1, 1, *m.input_node.shape.spatial_shape).astype(np.float32)))
+    for kw in ({"upconv": "d2s"}, {"zfold": True},
+               {"upconv": "d2s", "zfold": True}):
+        m.set_convdense_impl(**kw)
+        got = np.asarray(m.predict_dense_device(vol))
+        np.testing.assert_allclose(got, base, atol=2e-5, err_msg=str(kw))
+        # + pad_raw leg (recursive call must inherit the lowering)
+        pr = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+        assert pr.shape == (2, 11, 21, 23)
+    # patch predict / training trace untouched by the serving knob
+    patch2 = np.asarray(m.predict(np.asarray(
+        vol[None, :, :m.input_node.shape.spatial_shape[0],
+            :m.input_node.shape.spatial_shape[1],
+            :m.input_node.shape.spatial_shape[2]])))
+    assert patch2.shape[0] == 1 and patch.shape[0] == 1
+    with pytest.raises(ValueError):
+        m.set_convdense_impl(upconv="bogus")
+    # rebuild_model carries the serving configuration
+    from elektronn2_tpu.neuromancer.model import rebuild_model
+    m.set_convdense_impl(upconv="d2s", zfold=True)
+    m2 = rebuild_model(m)
+    assert m2._convdense_upconv == "d2s" and m2._convdense_zfold is True
+    got2 = np.asarray(m2.predict_dense_device(vol))
+    np.testing.assert_allclose(got2, base, atol=2e-5)
+    # 2D decoder graph: zfold is a no-op, d2s applies
+    m2d = crop_concat_unet()
+    vol2d = jnp.asarray(rng.randn(1, 27, 29).astype(np.float32))
+    base2d = np.asarray(m2d.predict_dense_device(vol2d))
+    m2d.set_convdense_impl(upconv="d2s", zfold=True)
+    got2d = np.asarray(m2d.predict_dense_device(vol2d))
+    np.testing.assert_allclose(got2d, base2d, atol=2e-5)
+
+
+def test_upconv_d2s_op_exact(rng):
+    """ops.conv.upconv_d2s == ops.conv.upconv for 2D/3D pools incl.
+    pz>1 and asymmetric pools, at HIGHEST precision (bit-level check of
+    the tap->channel index math, not float noise)."""
+    import jax
+    from elektronn2_tpu.ops.conv import upconv, upconv_d2s
+    with jax.default_matmul_precision("highest"):
+        for (nsp, pool, ci, co) in (
+                (2, (2, 2), 5, 3), (2, (3, 2), 4, 4),
+                (3, (1, 2, 2), 6, 3), (3, (2, 2, 2), 3, 5),
+                (3, (3, 1, 2), 4, 2)):
+            sp = tuple(rng.randint(4, 8) for _ in range(nsp))
+            x = jnp.asarray(rng.randn(2, ci, *sp).astype(np.float32))
+            w = jnp.asarray(
+                rng.randn(co, ci, *pool).astype(np.float32))
+            a = np.asarray(upconv(x, w, pool))
+            b = np.asarray(upconv_d2s(x, w, pool))
+            np.testing.assert_allclose(a, b, atol=1e-5,
+                                       err_msg=f"{pool}")
+
+
 def test_conv_dense_pad_raw_covers_volume(rng):
     m = crop_concat_unet()
     vol = rng.randn(1, 27, 29).astype(np.float32)
