@@ -838,7 +838,8 @@ def check_conv_dense_supported(pred):
 
 
 def convolutional_dense_forward(model, vol, params=None, state=None,
-                                pad_raw=False, quant_calibrate=None):
+                                pad_raw=False, quant_calibrate=None,
+                                batch=False):
     """Dense prediction for decoder (U-Net) graphs by whole-volume
     convolutional application.
 
@@ -853,7 +854,13 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     and trim to the ``V - fov + 1`` dense-output convention shared with
     the tiled and dilated paths.
 
-    ``vol``: (f, Z, X, Y) (or (f, X, Y) for 2D models).
+    ``vol``: (f, Z, X, Y) (or (f, X, Y) for 2D models). With
+    ``batch=True``: (B, f, *sp) — the graph is batch-polymorphic, so B
+    slabs of identical extent run as ONE program with the convs batched
+    on the MXU batch dim (the conv-dense analog of
+    ``dilated_dense_forward(batch=True)``; serves
+    ``sweep_knossos(slab_batch=N)`` for decoder graphs). Returns
+    (B, f_out, *out_sp).
     """
     import jax.numpy as jnp
     from elektronn2_tpu.neuromancer.node_basic import TraceCtx
@@ -862,6 +869,20 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     params = model.params if params is None else params
     state = model.state if state is None else state
     nsp = len(inp.shape.spatial_axes)
+    if batch:
+        if vol.ndim != nsp + 2:
+            raise ValueError(
+                f"batch=True expects a (B, f, *spatial) volume of rank "
+                f"{nsp + 2} for this {nsp}-D graph; got rank {vol.ndim}")
+    else:
+        if vol.ndim != nsp + 1:
+            raise ValueError(
+                f"expected a (f, *spatial) volume of rank {nsp + 1} for "
+                f"this {nsp}-D graph (batch=True for a slab batch); got "
+                f"rank {vol.ndim}")
+        vol = vol[None]
+    # from here on vol is (B, f, *sp); the graph is batch-polymorphic, so
+    # the B slabs run as ONE program with the convs batched on the MXU
     patch0 = [int(s) for s in inp.shape.spatial_shape]
     out0 = [int(s) for s in pred.shape.spatial_shape]
     fov = [int(f) for f in pred.shape.fov]
@@ -872,7 +893,7 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
         if st is not None and len(st) == nsp:
             M = [max(m, int(s)) for m, s in zip(M, st)]
 
-    V = [int(s) for s in vol.shape[1:]]
+    V = [int(s) for s in vol.shape[2:]]
     if pad_raw:
         # cover the whole volume: pad the front by the output's centre
         # offset ROUNDED UP to a multiple of M — shift-equivariance only
@@ -883,13 +904,16 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
         hi = [f - 1 - o for f, o in zip(fov, off)]
         if any(l + h > v - 1 for l, h, v in zip(lo, hi, V)):
             raise ValueError(f"volume {V} too small for pad_raw reflect pad")
-        vol = jnp.pad(vol, [(0, 0)] + [(l, h) for l, h in zip(lo, hi)],
+        vol = jnp.pad(vol, [(0, 0), (0, 0)] + [(l, h)
+                                               for l, h in zip(lo, hi)],
                       mode="reflect")
         y = convolutional_dense_forward(model, vol, params=params,
                                         state=state,
-                                        quant_calibrate=quant_calibrate)
-        return y[(slice(None),) + tuple(
+                                        quant_calibrate=quant_calibrate,
+                                        batch=True)
+        y = y[(slice(None), slice(None)) + tuple(
             slice(l - o, l - o + v) for l, o, v in zip(lo, off, V))]
+        return y if batch else y[0]
     want_out = [v - f + 1 for v, f in zip(V, fov)]
     if any(w < 1 for w in want_out):
         raise ValueError(f"volume {V} smaller than model fov {fov}")
@@ -907,9 +931,10 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
         raise ValueError(f"volume {V} too small to pad to valid size {N}")
     x = vol
     if any(pad):
-        x = jnp.pad(x, [(0, 0)] + [(0, p) for p in pad], mode="reflect")
+        x = jnp.pad(x, [(0, 0), (0, 0)] + [(0, p) for p in pad],
+                    mode="reflect")
 
-    ctx = TraceCtx(params, {inp.name: x[None]}, None, train=False,
+    ctx = TraceCtx(params, {inp.name: x}, None, train=False,
                    state_in=state, node_index=model._node_index,
                    compute_dtype=getattr(model, "_compute_dtype", None))
     # int8 quantised serving extends to this path because it is
@@ -927,8 +952,10 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     ctx.convdense_upconv_d2s = \
         getattr(model, "_convdense_upconv", "dilate") == "d2s"
     ctx.convdense_zfold = bool(getattr(model, "_convdense_zfold", False))
-    y = ctx.get(pred)[0]
-    return y[(slice(None),) + tuple(slice(0, w) for w in want_out)]
+    y = ctx.get(pred)
+    y = y[(slice(None), slice(None)) + tuple(slice(0, w)
+                                             for w in want_out)]
+    return y if batch else y[0]
 
 
 def predict_dense_sharded(model, vol, mesh, axis_name="space",
@@ -1194,8 +1221,19 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
             key = ("sweep_batch", impl, int(slab_batch))
             fn = model._dilated_fns.get(key)
             if fn is None:
-                fn = jax.jit(lambda p, s, v: dilated_dense_forward(
-                    model, v, batch=True, params=p, state=s, impl=impl))
+                try:
+                    # decoder (UpConv) graphs: batched whole-volume
+                    # convolutional application (same V-fov+1 output
+                    # geometry, so write_back is path-agnostic)
+                    check_conv_dense_supported(model.prediction_node)
+                    fn = jax.jit(lambda p, s, v:
+                                 convolutional_dense_forward(
+                                     model, v, batch=True, params=p,
+                                     state=s))
+                except (ValueError, TypeError):
+                    fn = jax.jit(lambda p, s, v: dilated_dense_forward(
+                        model, v, batch=True, params=p, state=s,
+                        impl=impl))
                 model._dilated_fns[key] = fn
         chunks = [origins[i:i + slab_batch]
                   for i in range(0, len(origins), slab_batch)]
@@ -1261,6 +1299,125 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     return out
 
 
+def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
+                          include_bf16=True, include_int8=True,
+                          lowerings=None, apply=False, verbose=True):
+    """``tune_sweep``'s decoder-graph leg: measure the conv-dense serving
+    contenders (``Model.set_convdense_impl`` upconv/zfold lowerings ×
+    serving dtype × slab geometry × slab batch) with the same sustained
+    protocol. ``lowerings``: (upconv, zfold, dtype) triples. int8 runs
+    with the default op lowerings (the quantised conv manages its own
+    kernels — upconv/zfold knobs don't apply there)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    f_in = int(model.input_node.shape["f"])
+
+    def _cfg(upconv, zfold, dtype, act=False):
+        return {"path": "convdense", "upconv": upconv,
+                "zfold": bool(zfold), "dtype": dtype, "act": bool(act)}
+
+    if lowerings is None:
+        # the r2 s13 study grid (docs/tpu_performance.md): d2s+zfold is
+        # the measured v5e champion; default and single-knob rows kept so
+        # regressions on other toolchains surface in the table
+        configs = [_cfg("dilate", False, None), _cfg("dilate", True, None),
+                   _cfg("d2s", True, None)]
+        if include_bf16:
+            configs += [_cfg("d2s", True, "bfloat16")]
+        if include_int8:
+            configs += [_cfg("dilate", False, "int8", act=True)]
+    else:
+        configs = [_cfg(*low) for low in lowerings]
+    saved = _cfg(getattr(model, "_convdense_upconv", "dilate"),
+                 getattr(model, "_convdense_zfold", False),
+                 getattr(model, "_compute_dtype", None),
+                 act=getattr(model, "_compute_act", False))
+    saved_scales = getattr(model, "_quant_scales", None)
+    if saved not in configs:
+        configs.insert(0, saved)
+    table = []
+    try:
+        for step in steps:
+            ext = tuple(s + h for s, h in zip(step, halo))
+            for sb in slab_batches:
+                sb = max(1, int(sb))
+                try:
+                    vol = jax.random.uniform(jax.random.PRNGKey(0),
+                                             (sb, f_in) + ext, jnp.float32)
+                    float(jnp.sum(vol))
+                except Exception as e:   # noqa: BLE001 — OOM-graceful
+                    table.append({"step": step, "slab_batch": sb,
+                                  "failed": f"staging: {e}"[:120]})
+                    continue
+                for cfg in configs:
+                    row = dict(cfg, slab_batch=sb, step=step)
+                    try:
+                        model.set_compute_dtype(None)
+                        model.set_convdense_impl(cfg["upconv"],
+                                                 zfold=cfg["zfold"])
+                        model.set_compute_dtype(cfg["dtype"],
+                                                activations=cfg["act"])
+                        fn = jax.jit(lambda p, s, v:
+                                     convolutional_dense_forward(
+                                         model, v, batch=True,
+                                         params=p, state=s))
+                        out = fn(model.params, model.state, vol)
+                        float(jnp.sum(jnp.asarray(out, jnp.float32)))
+                        # double warm-up — see the dilated leg's rationale
+                        float(jnp.sum(jnp.asarray(
+                            fn(model.params, model.state, vol),
+                            jnp.float32)))
+                        t0 = _time.perf_counter()
+                        acc = jnp.float32(0)
+                        for _ in range(K):
+                            acc = acc + jnp.sum(jnp.asarray(
+                                fn(model.params, model.state, vol),
+                                jnp.float32))
+                        checksum = float(acc)   # sync closes the window
+                        dt = _time.perf_counter() - t0
+                        if not np.isfinite(checksum):
+                            raise FloatingPointError(
+                                f"non-finite checksum ({checksum}) from "
+                                f"contender {row}")
+                    except Exception as e:   # noqa: BLE001 — skip
+                        row["failed"] = str(e)[:120]
+                        table.append(row)
+                        continue
+                    row["mvox_s"] = round(
+                        float(np.prod(step)) * sb * K / dt / 1e6, 2)
+                    table.append(row)
+                    if verbose:
+                        logger.info(
+                            f"tune_sweep[convdense]: upconv={cfg['upconv']}"
+                            f"{'+zfold' if cfg['zfold'] else ''}"
+                            f"{'+' + cfg['dtype'] if cfg['dtype'] else ''}"
+                            f"{'+act' if cfg['act'] else ''} "
+                            f"slab_batch={sb} step={step}: "
+                            f"{row['mvox_s']} Mvox/s")
+    finally:
+        model.set_compute_dtype(None)
+        model.set_convdense_impl(saved["upconv"], zfold=saved["zfold"])
+        model.set_compute_dtype(saved["dtype"], activations=saved["act"])
+        if saved["dtype"] == "int8":
+            model._quant_scales = saved_scales
+    ok = [r for r in table if "mvox_s" in r]
+    if not ok:
+        return {"best": None, "table": table}
+    best = max(ok, key=lambda r: r["mvox_s"])
+    if apply:
+        model.set_compute_dtype(None)
+        model.set_convdense_impl(best["upconv"], zfold=best["zfold"])
+        model.set_compute_dtype(best["dtype"], activations=best["act"])
+        if best["dtype"] == "int8":
+            model._quant_scales = saved_scales
+    if verbose:
+        logger.info(f"tune_sweep[convdense]: best {best}")
+    return {"best": best, "table": table}
+
+
 def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
                include_bf16=True, include_int8=True, lowerings=None,
                apply=False, verbose=True):
@@ -1294,8 +1451,13 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     Returns ``{"best": {...}, "table": [...]}`` where ``best`` carries
     ``impl``/``zfold``/``dtype``/``slab_batch``/``step``/``mvox_s`` —
     feed ``step`` and ``slab_batch`` straight into ``sweep_knossos``.
-    Returns ``best=None`` if no contender ran (e.g. a graph the dilated
-    path cannot express — the tiled fallback has no lowering knobs).
+
+    Decoder (UpConv) graphs route to the conv-dense leg automatically:
+    the grid is then ``Model.set_convdense_impl``'s upconv/zfold
+    lowerings (× dtype × slab geometry; ``lowerings`` triples become
+    ``(upconv, zfold, dtype)``) and ``best`` carries ``upconv``/``zfold``
+    with ``path='convdense'``. Returns ``best=None`` if no contender ran
+    (a graph only the tiled fallback can serve has no lowering knobs).
     """
     import time as _time
 
@@ -1325,6 +1487,20 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
         tuple(-(-v // m) * m for v, m in zip(s, Mv)) for s in steps))
     halo = [-(-((f - 1) // 2) // m) * m + (f - 1 - (f - 1) // 2)
             for f, m in zip(fov, Mv)]
+    try:
+        check_conv_dense_supported(model.prediction_node)
+        is_convdense = True
+    except (ValueError, TypeError):
+        is_convdense = False
+    if is_convdense:
+        # decoder (UpConv) graphs: their serving path is the whole-volume
+        # convolutional trace, with its own lowering knobs
+        # (Model.set_convdense_impl) — tune those instead of the dilated
+        # grid (which such graphs cannot express)
+        return _tune_sweep_convdense(
+            model, steps, halo, slab_batches=slab_batches, K=K,
+            include_bf16=include_bf16, include_int8=include_int8,
+            lowerings=lowerings, apply=apply, verbose=verbose)
     # contenders carry the FULL serving knob set; the default grid varies
     # impl/zfold/dtype (the headline levers — BASELINE.md r2 table), the
     # rest stay at their fast defaults

@@ -49,6 +49,12 @@ def main(argv=None):
                     "MXU kernel (set_dilated_impl(pallas_tail=True), "
                     "parity-grade f32 — the r2 s9 headline config: "
                     "+61%% over the bf16 champion measured same-run)")
+    ap.add_argument("--convdense", default=None, metavar="KNOBS",
+                    help="decoder (U-Net) graphs: conv-dense serving "
+                    "lowerings as 'd2s', 'zfold' or 'd2s,zfold' "
+                    "(set_convdense_impl; exactly equivalent, measured "
+                    "92.9->181.3 Mvox/s f32 on v5e — the s13 champion "
+                    "is 'd2s,zfold')")
     ap.add_argument("--tune", action="store_true",
                     help="KNOSSOS sweeps: autotune lowering/slab size/"
                     "slab batch on the live device first "
@@ -106,6 +112,15 @@ def main(argv=None):
             ap.error("--ptail is a parity-grade f32 mode; drop "
                      "--bf16/--int8 (it outperformed both on v5e)")
         model.set_dilated_impl("direct", zfold=True, pallas_tail=True)
+    if args.convdense:
+        knobs = {k.strip() for k in args.convdense.split(",") if k.strip()}
+        bad = knobs - {"d2s", "zfold"}
+        if bad:
+            ap.error(f"--convdense: unknown knob(s) {sorted(bad)} "
+                     "(expected 'd2s' and/or 'zfold')")
+        model.set_convdense_impl(
+            upconv=("d2s" if "d2s" in knobs else "dilate"),
+            zfold=("zfold" in knobs))
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)

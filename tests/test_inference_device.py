@@ -339,6 +339,43 @@ def test_upconv_d2s_op_exact(rng):
                                        err_msg=f"{pool}")
 
 
+def test_conv_dense_batch_matches_per_slab(rng):
+    """convolutional_dense_forward(batch=True) == stacked per-slab runs
+    (plain + pad_raw), and sweep_knossos(slab_batch=2) on a decoder graph
+    routes through it with output == the per-slab sweep."""
+    from elektronn2_tpu.neuromancer.inference import (
+        convolutional_dense_forward, sweep_knossos)
+    m = faithless_unet3d()
+    m.set_convdense_impl(upconv="d2s", zfold=True)
+    vols = rng.randn(3, 1, 11, 21, 23).astype(np.float32)
+    got = np.asarray(convolutional_dense_forward(
+        m, jnp.asarray(vols), batch=True))
+    for j in range(3):
+        one = np.asarray(convolutional_dense_forward(
+            m, jnp.asarray(vols[j])))
+        np.testing.assert_allclose(got[j], one, atol=1e-6)
+    gotp = np.asarray(convolutional_dense_forward(
+        m, jnp.asarray(vols), batch=True, pad_raw=True))
+    assert gotp.shape == (3, 2, 11, 21, 23)
+    onep = np.asarray(convolutional_dense_forward(
+        m, jnp.asarray(vols[1]), pad_raw=True))
+    np.testing.assert_allclose(gotp[1], onep, atol=1e-6)
+    # rank validation names the expectation
+    with pytest.raises(ValueError, match="batch=True"):
+        convolutional_dense_forward(m, jnp.asarray(vols[0]), batch=True)
+    with pytest.raises(ValueError, match="rank"):
+        convolutional_dense_forward(m, jnp.asarray(vols))
+    # the sweep's batched chunk loop keeps ONE dispatch per chunk for
+    # decoder graphs (no per-slab fallback) and matches slab_batch=1
+    karr = rng.randn(16, 40, 44).astype(np.float32)
+    out1 = sweep_knossos(m, karr, step=(8, 20, 22), slab_batch=1)
+    m._dilated_fns.clear()
+    out2 = sweep_knossos(m, karr, step=(8, 20, 22), slab_batch=2)
+    np.testing.assert_allclose(out2, out1, atol=1e-6)
+    assert any(isinstance(k, tuple) and k and k[0] == "sweep_batch"
+               for k in m._dilated_fns)
+
+
 def test_conv_dense_pad_raw_covers_volume(rng):
     m = crop_concat_unet()
     vol = rng.randn(1, 27, 29).astype(np.float32)
@@ -654,11 +691,58 @@ def test_tune_sweep_rejects_wrong_rank_step(rng):
         tune_sweep(m, steps=[(8, 8, 8)], verbose=False)
 
 
-def test_tune_sweep_unsupported_graph_returns_none(rng):
-    """Decoder graphs (UpConv) live outside the dilated path: nothing to
-    tune — tune_sweep says so instead of raising."""
+def test_tune_sweep_routes_decoder_graphs_to_convdense_leg(rng):
+    """Decoder graphs (UpConv) live outside the dilated path — tune_sweep
+    tunes their conv-dense lowerings (set_convdense_impl grid) instead,
+    restores prior settings without apply, and applies the winner with."""
     from elektronn2_tpu.neuromancer.inference import tune_sweep
     m = crop_concat_unet()
+    res = tune_sweep(m, steps=[(8, 8)], slab_batches=(1, 2), K=2,
+                     verbose=False)
+    best = res["best"]
+    assert best is not None and best["path"] == "convdense"
+    assert best["mvox_s"] > 0 and "upconv" in best
+    ok = [r for r in res["table"] if "mvox_s" in r]
+    assert len(ok) >= 6          # grid rows × 2 slab batches, minus skips
+    # prior settings restored
+    assert getattr(m, "_convdense_upconv", "dilate") == "dilate"
+    assert getattr(m, "_convdense_zfold", False) is False
+    assert m._compute_dtype is None
+    res2 = tune_sweep(m, steps=[(8, 8)], slab_batches=(1,), K=1,
+                      apply=True, verbose=False)
+    b2 = res2["best"]
+    assert m._convdense_upconv == b2["upconv"]
+    assert m._convdense_zfold == b2["zfold"]
+    assert m._compute_dtype == b2["dtype"]
+    # custom lowerings triples are (upconv, zfold, dtype) on this leg
+    # (the incumbent config always competes too, so the table may hold
+    # one extra non-d2s row — assert the requested contender ran)
+    res3 = tune_sweep(m, steps=[(8, 8)], slab_batches=(1,), K=1,
+                      lowerings=[("d2s", True, None)], verbose=False)
+    assert any(r.get("upconv") == "d2s" and r.get("zfold") is True
+               and "mvox_s" in r for r in res3["table"])
+    assert len(res3["table"]) <= 2      # requested + at most the incumbent
+
+
+def test_tune_sweep_tiled_only_graph_returns_none(rng):
+    """A graph that only the tiled fallback can serve (strided output,
+    no UpConv, dilated-unsupported op) has no lowering knobs: best=None.
+    mfp 2D model WITH an unsupported node type for both fused paths."""
+    from elektronn2_tpu.neuromancer.inference import (
+        UnsupportedGraphError, tune_sweep, check_conv_dense_supported,
+        dilated_dense_forward)
+    # build a graph rejected by BOTH fused paths: GaussianRV injection
+    # between convs is outside the dilated whitelist and has no UpConv
+    inp = nm.Input([1, 1, 16, 16], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, 3, 2, name="c1")
+    import elektronn2_tpu.neuromancer.various as various
+    c1b = nm.Conv(inp, 4, 3, 2, name="c1b")
+    g = various.GaussianRV(c1, c1b, name="grv")
+    probs = nm.Softmax(nm.Conv(g, 2, 1, 1, activation_func="lin"))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    with pytest.raises((ValueError, TypeError)):
+        check_conv_dense_supported(m.prediction_node)
     res = tune_sweep(m, steps=[(8, 8)], slab_batches=(1,), K=1,
                      verbose=False)
     assert res["best"] is None

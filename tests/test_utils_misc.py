@@ -340,6 +340,43 @@ def test_predict_cli_int8_sweep(tmp_path, rng):
         main([mdl, kdir, "--cpu", "--int8", "--bf16"])
 
 
+def test_predict_cli_convdense_knobs_and_tune(tmp_path, rng):
+    """--convdense d2s,zfold on a decoder model: batched sweep matches the
+    default-lowering reference exactly; --tune routes decoder graphs to
+    the conv-dense tuner leg; bad knob names error."""
+    import jax.numpy as jnp
+    import elektronn2_tpu.neuromancer as nm
+    from test_data import write_knossos
+    from elektronn2_tpu.utils.basic import h5load
+    nm.model_manager.reset()
+    inp = nm.Input([1, 1, 8, 16, 16], "b,f,z,x,y", name="raw")
+    e0 = nm.Conv(inp, 4, (1, 3, 3), (1, 1, 1), name="e0")
+    e1 = nm.Conv(e0, 6, (3, 3, 3), (1, 2, 2), name="e1")
+    up = nm.UpConv(e1, 4, (1, 2, 2), activation_func="relu", name="up")
+    mg = nm.FaithlessMerge(up, e0, name="mg")
+    probs = nm.Softmax(nm.Conv(mg, 2, 1, 1, activation_func="lin"))
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+    mdl = str(tmp_path / "mu.mdl")
+    m.save(mdl)
+    vol = (rng.rand(16, 24, 24) * 255).astype(np.uint8)
+    kdir = write_knossos(tmp_path, vol, cube_edge=8)
+    from elektronn2_tpu.scripts.predict import main
+    ref = np.asarray(m.predict_dense_device(
+        jnp.asarray(vol[None].astype(np.float32) / 255.0), pad_raw=True))
+    out = str(tmp_path / "outu.h5")
+    assert main([mdl, kdir, "-o", out, "--cpu",
+                 "--convdense", "d2s,zfold", "--slab-batch", "2",
+                 "--step", "8,12,12"]) == 0
+    np.testing.assert_allclose(h5load(out, "prediction"), ref, atol=1e-5)
+    out2 = str(tmp_path / "outu2.h5")
+    assert main([mdl, kdir, "-o", out2, "--cpu", "--tune",
+                 "--step", "8,12,12"]) == 0
+    np.testing.assert_allclose(h5load(out2, "prediction"), ref, atol=1e-5)
+    with pytest.raises(SystemExit):
+        main([mdl, kdir, "--cpu", "--convdense", "bogus"])
+
+
 def test_legacy_import_token_name_matching(tmp_path):
     """Legacy name matching is whole-token: 'w' must not match inside
     'gamma_weights' (substring matching assigned the wrong same-shaped
