@@ -972,14 +972,136 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
     import jax.numpy as jnp
 
     if pad_raw:
-        fov = list(model.prediction_node.shape.fov)
-        pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
+        pred = model.prediction_node
+        fov = [int(f) for f in pred.shape.fov]
+        off = [(f - 1) // 2 for f in fov]
+        lo = list(off)
+        try:
+            # decoder graphs are shift-equivariant only modulo the
+            # valid-size period M: round the front pad up to M-multiples
+            # and trim the surplus after (same convention as the
+            # conv-dense pad_raw leg — an unrounded pad phase-shifts the
+            # pooling grid and decoheres every voxel)
+            check_conv_dense_supported(pred)
+            nsp = len(fov)
+            M = [1] * nsp
+            for node in pred.all_parents():
+                st = getattr(node.shape, "strides", None)
+                if st is not None and len(st) == nsp:
+                    M = [max(m, int(s)) for m, s in zip(M, st)]
+            lo = [-(-o // m) * m for o, m in zip(off, M)]
+        except (ValueError, TypeError):
+            pass      # dilated graphs: phase-exact, centred pad suffices
+        V = [int(s) for s in vol.shape[1:]]
+        pads = [(0, 0)] + [(l, f - 1 - o)
+                           for l, o, f in zip(lo, off, fov)]
         vol = jnp.pad(vol, pads, mode="reflect")
+        y = predict_dense_sharded_batch(model, vol[None], mesh,
+                                        axis_name=axis_name,
+                                        batch_axis=None)[0]
+        return y[(slice(None),) + tuple(
+            slice(l - o, l - o + v) for l, o, v in zip(lo, off, V))]
     # single-slab case of the batched sharded sweep (review r2 pass 2:
     # the two paths duplicated the pad/shard_map/trim/cache logic)
     return predict_dense_sharded_batch(model, vol[None], mesh,
                                        axis_name=axis_name,
                                        batch_axis=None)[0]
+
+
+def _sharded_batch_convdense(model, vols, mesh, axis_name, batch_axis):
+    """``predict_dense_sharded_batch``'s decoder-graph leg: z-sharded
+    conv-dense serving by INPUT-level halo exchange.
+
+    Decoder (UpConv) graphs for anisotropic EM data pool only in x/y, so
+    their z receptive field is exactly ``fov_z`` — each rank fetches
+    ``fov_z - 1`` z-rows from its successor ONCE (``halo_gather`` over
+    ICI) and then runs the whole local conv-dense program independently
+    (valid in z). Exactly equal to the unsharded batched run (tests):
+    per-conv halo exchange is unnecessary because no z stride ever
+    coarsens the z grid. Graphs that pool/stride in z (M_z > 1) or whose
+    FaithlessMerge under-covers z (delta_z > 0 — per-rank reflect pads
+    would decohere interior voxels) are rejected as unsupported.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from elektronn2_tpu.parallel.halo import halo_gather
+
+    inp, pred = model.input_node, model.prediction_node
+    nsp = len(inp.shape.spatial_axes)
+    if nsp != 3 or vols.ndim != 5:
+        raise ValueError("sharded conv-dense serving expects a 3D model "
+                         f"and (B, f, Z, X, Y) volumes; got rank "
+                         f"{vols.ndim}")
+    fov = [int(f) for f in pred.shape.fov]
+    patch0 = [int(s) for s in inp.shape.spatial_shape]
+    out0 = [int(s) for s in pred.shape.spatial_shape]
+    M_z = 1
+    for node in pred.all_parents():
+        st = getattr(node.shape, "strides", None)
+        if st is not None and len(st) == nsp:
+            M_z = max(M_z, int(st[0]))
+    delta_z = max(0, (patch0[0] - fov[0] + 1) - out0[0])
+    if M_z != 1 or delta_z:
+        raise UnsupportedGraphError(
+            f"z-sharded conv-dense serving requires an unpooled z axis "
+            f"(M_z={M_z}) and full z fov coverage (delta_z={delta_z}); "
+            "this graph needs per-rank z padding that would decohere "
+            "voxels from the unsharded run — use per-slab unsharded "
+            "sweeps")
+    if getattr(model, "_compute_dtype", None) == "int8" \
+            and not getattr(model, "_quant_scales", None):
+        raise ValueError(
+            "z-sharded int8 conv-dense serving needs calibrated static "
+            "activation scales (Model.calibrate_int8) — dynamic per-rank "
+            "scales would seam values at shard boundaries "
+            "(sweep_knossos auto-calibrates on its first slab)")
+    n = mesh.shape[axis_name]
+    if batch_axis is not None and vols.shape[0] % mesh.shape[batch_axis]:
+        raise ValueError(f"slab batch {vols.shape[0]} not divisible by "
+                         f"mesh axis {batch_axis!r}="
+                         f"{mesh.shape[batch_axis]}")
+    Z = int(vols.shape[2])
+    pad_z = (n - Z % n) % n
+    if pad_z:
+        vols = jnp.pad(vols, [(0, 0), (0, 0), (0, pad_z), (0, 0), (0, 0)],
+                       mode="reflect")
+    z_loc = (Z + pad_z) // n
+    # the local trace must not need z padding: local input z (shard +
+    # halo) has to reach the design patch's z extent
+    if z_loc + fov[0] - 1 < patch0[0]:
+        raise ValueError(
+            f"local z shard {z_loc} (+{fov[0] - 1} halo) is smaller than "
+            f"the model's z patch {patch0[0]}: per-rank padding would "
+            f"decohere the output — use fewer z shards or taller slabs")
+
+    key = ("sharded_batch_conv", mesh, axis_name, batch_axis,
+           tuple(int(s) for s in vols.shape), Z)
+    run = model._dilated_fns.get(key)
+    if run is None:
+        shard_fn = jax.shard_map(
+            lambda p, s, v: convolutional_dense_forward(
+                model, halo_gather(v, fov[0] - 1, axis_name),
+                batch=True, params=p, state=s),
+            mesh=mesh,
+            in_specs=(P(), P(), P(batch_axis, None, axis_name, None, None)),
+            out_specs=P(batch_axis, None, axis_name, None, None),
+            check_vma=False)
+
+        @jax.jit
+        def run(p, s, v):
+            y = shard_fn(p, s, v)
+            return y[:, :, :Z - fov[0] + 1]   # trim invalid z tail
+
+        sh_keys = [k for k in model._dilated_fns
+                   if isinstance(k, tuple) and k
+                   and k[0] == "sharded_batch_conv"]
+        if len(sh_keys) >= 4:                 # ragged shapes: FIFO-bound
+            model._dilated_fns.pop(sh_keys[0])
+        model._dilated_fns[key] = run
+
+    return run(model.params, model.state, vols)
 
 
 def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
@@ -995,11 +1117,24 @@ def predict_dense_sharded_batch(model, vols, mesh, axis_name="space",
     mesh size (z is reflect-padded to a multiple of the ``axis_name``
     size internally). ``batch_axis=None`` leaves the batch dim unsharded
     (``predict_dense_sharded`` is the B=1 case of this). 3D models only.
+
+    Decoder (UpConv) graphs route to the conv-dense leg automatically
+    (input-level z halo + local whole-volume trace —
+    ``_sharded_batch_convdense``); the dilated leg below serves
+    everything else.
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
+    try:
+        check_conv_dense_supported(model.prediction_node)
+        is_decoder = True
+    except (ValueError, TypeError):
+        is_decoder = False
+    if is_decoder:
+        return _sharded_batch_convdense(model, vols, mesh, axis_name,
+                                        batch_axis)
     _check_dense_geometry(model.prediction_node)
     n = mesh.shape[axis_name]
     if batch_axis is not None:

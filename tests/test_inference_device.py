@@ -987,6 +987,69 @@ def test_int8_dp_sp_batched_matches_unsharded_batched(rng):
     np.testing.assert_array_equal(got[:, :, :ref.shape[2]], ref)
 
 
+def test_convdense_sharded_matches_unsharded(rng):
+    """z-sharded decoder serving (input-level fov_z-1 halo + local
+    conv-dense trace) == the unsharded batched run: SP-only, DP×SP, odd
+    Z (pad_z != 0), through sweep_knossos(mesh=...), and with the s13
+    lowering knobs on."""
+    from elektronn2_tpu.parallel import make_mesh
+    from elektronn2_tpu.neuromancer.inference import (
+        convolutional_dense_forward, sweep_knossos)
+    m = faithless_unet3d()
+    m.set_convdense_impl(upconv="d2s", zfold=True)
+    for Z in (24, 22):                        # divisible and pad_z=2
+        vols = jnp.asarray(rng.randn(2, 1, Z, 21, 23).astype(np.float32))
+        ref = np.asarray(convolutional_dense_forward(m, vols, batch=True))
+        mesh = make_mesh({"data": 2, "space": 4})
+        got = np.asarray(m.predict_dense_sharded_batch(vols, mesh))
+        np.testing.assert_allclose(got[:, :, :ref.shape[2]], ref,
+                                   atol=1e-5, err_msg=f"Z={Z}")
+    # SP-only (B=1 veneer) + pad_raw
+    vol = jnp.asarray(rng.randn(1, 24, 21, 23).astype(np.float32))
+    ref1 = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    mesh_sp = make_mesh({"space": 4}, n_devices=4)
+    got1 = np.asarray(m.predict_dense_sharded(vol, mesh_sp, pad_raw=True))
+    np.testing.assert_allclose(got1, ref1, atol=1e-5)
+    # whole sweep under a mesh
+    karr = rng.randn(24, 40, 44).astype(np.float32)
+    out = sweep_knossos(m, karr, step=(12, 20, 22), mesh=mesh_sp)
+    whole = np.asarray(m.predict_dense_device(jnp.asarray(karr[None]),
+                                              pad_raw=True))
+    np.testing.assert_allclose(out, whole, atol=1e-4)
+
+
+def test_convdense_sharded_guards(rng):
+    """Graphs the input-level z halo cannot serve exactly are rejected
+    with named reasons: z-pooled decoders, too-small local z shards,
+    dynamic-scale int8."""
+    from elektronn2_tpu.parallel import make_mesh
+    from elektronn2_tpu.neuromancer.inference import UnsupportedGraphError
+    mesh = make_mesh({"space": 4}, n_devices=4)
+    # z-pooling decoder: M_z=2
+    inp = nm.Input([1, 1, 12, 16, 16], "b,f,z,x,y", name="raw")
+    e0 = nm.Conv(inp, 4, (1, 3, 3), (1, 1, 1), name="e0")
+    e1 = nm.Conv(e0, 6, (3, 3, 3), (2, 2, 2), name="e1")
+    up = nm.UpConv(e1, 4, (2, 2, 2), activation_func="relu", name="up")
+    mg = nm.FaithlessMerge(up, e0, name="mg")
+    probs = nm.Softmax(nm.Conv(mg, 2, 1, 1, activation_func="lin"))
+    mz = model_manager.getmodel()
+    mz.designate_nodes(input_node=inp, prediction_node=probs)
+    vol = jnp.asarray(rng.randn(1, 1, 24, 24, 24).astype(np.float32))
+    with pytest.raises(UnsupportedGraphError, match="M_z"):
+        mz.predict_dense_sharded_batch(vol, mesh, batch_axis=None)
+    # local shard smaller than the z patch
+    m = faithless_unet3d()        # patch z=8, fov z=5
+    tiny = jnp.asarray(rng.randn(1, 1, 12, 21, 23).astype(np.float32))
+    with pytest.raises(ValueError, match="local z shard"):
+        m.predict_dense_sharded_batch(tiny, mesh,
+                                      batch_axis=None)  # 12/4+4 < 8
+    # int8 with dynamic scales
+    m.set_compute_dtype("int8")
+    vols = jnp.asarray(rng.randn(1, 1, 24, 21, 23).astype(np.float32))
+    with pytest.raises(ValueError, match="calibrate"):
+        m.predict_dense_sharded_batch(vols, mesh, batch_axis=None)
+
+
 def test_int8_sharded_exact_adversarial_scale_pollution(rng):
     """Review r2 s5 repro: cancelling z-taps + z-constant input make the
     zero-halo tail rows LARGER than any valid activation; with the
