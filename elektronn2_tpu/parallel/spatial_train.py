@@ -110,6 +110,27 @@ def _build_spatial_parts(model, mesh, data_axis, space_axis, model_axis):
             raise ValueError(f"node {node.name}: MFP training under "
                              "z-sharding is unsupported (train plain, "
                              "infer with predict_dense_sharded)")
+        if type(node).__name__ == "FaithlessMerge":
+            za = int(node.parents[0].shape.spatial_shape[0])
+            zb = int(node.parents[1].shape.spatial_shape[0])
+            if za != zb:
+                # under z-sharding every halo-exchanged branch keeps
+                # z_local rows, so the runtime centre-crop (which pairs
+                # rows offset by (za-zb)//2 in the unsharded graph)
+                # degenerates to a no-op and silently merges MISALIGNED
+                # z rows
+                raise ValueError(
+                    f"node {node.name}: FaithlessMerge crops z (parent z "
+                    f"extents {za} vs {zb}) — z-sharded training would "
+                    "pair misaligned skip rows; train unsharded "
+                    "(z-sharded SERVING of decoder graphs is supported: "
+                    "predict_dense_sharded)")
+        if type(node).__name__ == "Crop" \
+                and tuple(node.crop[0]) != (0, 0):
+            raise ValueError(
+                f"node {node.name}: explicit z crop {node.crop[0]} is "
+                "unsupported under z-sharding (per-rank crops remove "
+                "z_local rows, not the global border)")
         if getattr(node, "batch_normalisation", False) \
                 or type(node).__name__ == "BatchNorm":
             # train-mode BN statistics would include the last rank's

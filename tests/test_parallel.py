@@ -223,6 +223,46 @@ def test_spatial_dp_training_rejects_z_pool_and_mfp(rng):
         make_spatial_dp_trainstep(m, make_mesh({"data": 2, "space": 4}))
 
 
+def test_spatial_dp_training_rejects_z_cropping_merge(rng):
+    """A FaithlessMerge whose parents differ in z centre-crops z in the
+    unsharded graph; under z-sharding the crop degenerates and would pair
+    MISALIGNED skip rows — must be rejected with a named reason (serving
+    such graphs sharded is supported; training is not)."""
+    from elektronn2_tpu.parallel.spatial_train import \
+        make_spatial_dp_trainstep
+    inp = nm.Input([2, 1, 8, 16, 16], "b,f,z,x,y", name="raw")
+    e0 = nm.Conv(inp, 4, (1, 3, 3), (1, 1, 1), name="e0")
+    e1 = nm.Conv(e0, 6, (3, 3, 3), (1, 2, 2), name="e1")
+    up = nm.UpConv(e1, 4, (1, 2, 2), activation_func="relu", name="up")
+    mg = nm.FaithlessMerge(up, e0, name="mg")            # z 6 vs 8
+    probs = nm.Softmax(nm.Conv(mg, 2, 1, 1, activation_func="lin"))
+    tgt = nm.Input([2, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                              target_is_sparse=True))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                      prediction_node=probs)
+    m.set_opt("SGD", lr=0.01)
+    with pytest.raises(ValueError, match="misaligned skip rows"):
+        make_spatial_dp_trainstep(m, make_mesh({"data": 2, "space": 4}))
+    # explicit z crop: same hazard class
+    inp2 = nm.Input([2, 1, 8, 9, 9], "b,f,z,x,y", name="raw")
+    c = nm.Conv(inp2, 2, (1, 3, 3), (1, 1, 1), name="c")
+    cr = nm.Crop(c, [(1, 1), (0, 0), (0, 0)], name="cr")
+    probs2 = nm.Softmax(nm.Conv(cr, 2, 1, 1, activation_func="lin"))
+    tgt2 = nm.Input([2, *probs2.shape.spatial_shape], "b,z,x,y",
+                    dtype="int32", name="target")
+    loss2 = nm.AggregateLoss(nm.MultinoulliNLL(probs2, tgt2,
+                                               target_is_sparse=True))
+    m2 = model_manager.getmodel()
+    m2.designate_nodes(input_node=inp2, target_node=tgt2, loss_node=loss2,
+                       prediction_node=probs2)
+    m2.set_opt("SGD", lr=0.01)
+    with pytest.raises(ValueError, match="z crop"):
+        make_spatial_dp_trainstep(m2, make_mesh({"data": 2, "space": 4}))
+
+
 # -------------------------------------------------- tensor parallelism (TP)
 
 def test_dp_tp_training_matches_single_device(rng):
