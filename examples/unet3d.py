@@ -5,6 +5,12 @@ inverting a pooling), skip connections via ``FaithlessMerge`` (centre-crop +
 concat, the reference's merge node for shape-drifted feature maps).
 
 Run:  elektronn2-train examples/unet3d.py --cpu --n-steps 100
+
+Serving: decoder graphs take the whole-volume convolutional dense path;
+the measured v5e champion config is
+``model.set_convdense_impl(upconv='d2s', zfold=True)`` (92.9 → 181.3
+Mvox/s f32 at 96×512×512 slabs — docs/tpu_performance.md r2 s13), or
+``elektronn2-predict --convdense d2s,zfold`` / ``--tune``.
 """
 
 import numpy as np
