@@ -26,7 +26,8 @@ from elektronn2_tpu.log import logger
 # flagship net on v5e (BASELINE.md r2; 112x496x496 is the r2 s9 Pallas
 # tail-conv champion geometry — 496-xy keeps the kernel's conv lanes at
 # exact 128 multiples)
-DEFAULT_TUNE_STEPS_3D = ((64, 384, 384), (96, 512, 512), (112, 496, 496))
+DEFAULT_TUNE_STEPS_3D = ((64, 384, 384), (96, 512, 512), (112, 496, 496),
+                         (128, 512, 512))
 
 
 class UnsupportedGraphError(ValueError):
@@ -952,6 +953,15 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     ctx.convdense_upconv_d2s = \
         getattr(model, "_convdense_upconv", "dilate") == "d2s"
     ctx.convdense_zfold = bool(getattr(model, "_convdense_zfold", False))
+    # Pallas tail-conv kernel for eligible (3,3,3) relu Convs — f32
+    # serving only (the kernel's f32 is the measured champion; int8/bf16
+    # traces keep the XLA convs), 3D graphs only. Node-level eligibility
+    # lives in neural.Conv._compute.
+    ctx.convdense_ptail = (
+        getattr(model, "_convdense_ptail", False)
+        if (nsp == 3 and getattr(model, "_compute_dtype", None) is None
+            and quant_calibrate is None)
+        else False)
     y = ctx.get(pred)
     y = y[(slice(None), slice(None)) + tuple(slice(0, w)
                                              for w in want_out)]
@@ -1238,13 +1248,25 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
         if st is not None and len(st) == 3:
             M = [max(m, int(s)) for m, s in zip(M, st)]
     if step is None:
-        # ptail models default to the measured champion slab (496-xy keeps
-        # the Pallas kernel's conv lanes at exact 128 multiples; 120-z
-        # fits v5e HBM — BASELINE.md r2 s9); otherwise the conservative
-        # ~8 Mvox slab. Explicit ``step`` (or ``tune_sweep``) overrides.
-        default = ((112, 496, 496)
-                   if getattr(model, "_dilated_ptail", False)
-                   else (64, 384, 384))
+        # ptail models default to the measured champion slab (dilated:
+        # 496-xy keeps the Pallas kernel's conv lanes at exact 128
+        # multiples, 120-z fits v5e HBM — BASELINE.md r2 s9; conv-dense
+        # decoder champion: 128x512x512, r2 s14 frontier); otherwise the
+        # conservative ~8 Mvox slab. Explicit ``step`` (or ``tune_sweep``)
+        # overrides.
+        is_convdense = False
+        if getattr(model, "_convdense_ptail", False):
+            try:
+                check_conv_dense_supported(model.prediction_node)
+                is_convdense = True
+            except ValueError:
+                pass
+        if is_convdense:
+            default = (128, 512, 512)
+        elif getattr(model, "_dilated_ptail", False):
+            default = (112, 496, 496)
+        else:
+            default = (64, 384, 384)
         step = [min(r, s) for r, s in zip(rshape, default)]
     if any(int(s) % m for s, m in zip(step, M)):
         step = [min(r, -(-int(s) // m) * m)
@@ -1440,9 +1462,9 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
     """``tune_sweep``'s decoder-graph leg: measure the conv-dense serving
     contenders (``Model.set_convdense_impl`` upconv/zfold lowerings ×
     serving dtype × slab geometry × slab batch) with the same sustained
-    protocol. ``lowerings``: (upconv, zfold, dtype) triples. int8 runs
-    with the default op lowerings (the quantised conv manages its own
-    kernels — upconv/zfold knobs don't apply there)."""
+    protocol. ``lowerings``: (upconv, zfold, dtype[, act[, ptail]])
+    tuples. int8 runs with the default op lowerings (the quantised conv
+    manages its own kernels — upconv/zfold knobs don't apply there)."""
     import time as _time
 
     import jax
@@ -1450,16 +1472,21 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
 
     f_in = int(model.input_node.shape["f"])
 
-    def _cfg(upconv, zfold, dtype, act=False):
+    def _cfg(upconv, zfold, dtype, act=False, ptail=False):
         return {"path": "convdense", "upconv": upconv,
-                "zfold": bool(zfold), "dtype": dtype, "act": bool(act)}
+                "zfold": bool(zfold), "dtype": dtype, "act": bool(act),
+                "ptail": (dict(ptail) if isinstance(ptail, dict)
+                          else bool(ptail))}
 
     if lowerings is None:
         # the r2 s13 study grid (docs/tpu_performance.md): d2s+zfold is
-        # the measured v5e champion; default and single-knob rows kept so
-        # regressions on other toolchains surface in the table
+        # the measured v5e champion (+ the s14 Pallas tail-conv contender,
+        # measured 2.6-2.9x per-op over lax at decoder shapes); default
+        # and single-knob rows kept so regressions on other toolchains
+        # surface in the table
         configs = [_cfg("dilate", False, None), _cfg("dilate", True, None),
-                   _cfg("d2s", True, None)]
+                   _cfg("d2s", True, None),
+                   _cfg("d2s", True, None, ptail=True)]
         if include_bf16:
             configs += [_cfg("d2s", True, "bfloat16")]
         if include_int8:
@@ -1469,7 +1496,8 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
     saved = _cfg(getattr(model, "_convdense_upconv", "dilate"),
                  getattr(model, "_convdense_zfold", False),
                  getattr(model, "_compute_dtype", None),
-                 act=getattr(model, "_compute_act", False))
+                 act=getattr(model, "_compute_act", False),
+                 ptail=getattr(model, "_convdense_ptail", False))
     saved_scales = getattr(model, "_quant_scales", None)
     if saved not in configs:
         configs.insert(0, saved)
@@ -1492,7 +1520,8 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
                     try:
                         model.set_compute_dtype(None)
                         model.set_convdense_impl(cfg["upconv"],
-                                                 zfold=cfg["zfold"])
+                                                 zfold=cfg["zfold"],
+                                                 ptail=cfg["ptail"])
                         model.set_compute_dtype(cfg["dtype"],
                                                 activations=cfg["act"])
                         fn = jax.jit(lambda p, s, v:
@@ -1528,13 +1557,15 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
                         logger.info(
                             f"tune_sweep[convdense]: upconv={cfg['upconv']}"
                             f"{'+zfold' if cfg['zfold'] else ''}"
+                            f"{'+ptail' if cfg['ptail'] else ''}"
                             f"{'+' + cfg['dtype'] if cfg['dtype'] else ''}"
                             f"{'+act' if cfg['act'] else ''} "
                             f"slab_batch={sb} step={step}: "
                             f"{row['mvox_s']} Mvox/s")
     finally:
         model.set_compute_dtype(None)
-        model.set_convdense_impl(saved["upconv"], zfold=saved["zfold"])
+        model.set_convdense_impl(saved["upconv"], zfold=saved["zfold"],
+                                 ptail=saved["ptail"])
         model.set_compute_dtype(saved["dtype"], activations=saved["act"])
         if saved["dtype"] == "int8":
             model._quant_scales = saved_scales
@@ -1544,7 +1575,8 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
     best = max(ok, key=lambda r: r["mvox_s"])
     if apply:
         model.set_compute_dtype(None)
-        model.set_convdense_impl(best["upconv"], zfold=best["zfold"])
+        model.set_convdense_impl(best["upconv"], zfold=best["zfold"],
+                                 ptail=best["ptail"])
         model.set_compute_dtype(best["dtype"], activations=best["act"])
         if best["dtype"] == "int8":
             model._quant_scales = saved_scales

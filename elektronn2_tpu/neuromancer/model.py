@@ -205,7 +205,7 @@ class Model:
         self._dilated_fns = {}
         return self
 
-    def set_convdense_impl(self, upconv="dilate", zfold=False):
+    def set_convdense_impl(self, upconv="dilate", zfold=False, ptail=False):
         """Choose op lowerings for the CONVOLUTIONAL dense path (decoder /
         U-Net graphs, ``inference.py::convolutional_dense_forward``) — the
         conv-dense sibling of ``set_dilated_impl``.
@@ -218,15 +218,29 @@ class Model:
         ``zfold``: lower kz=1 convs as 2D convs with z folded into the
         conv batch dim (``ops.conv.conv_zfold2d``) — exactly equivalent;
         measured ~1.6× at whole-volume shapes. 3D graphs only (ignored
-        for 2D). Both knobs affect the whole-volume conv-dense trace
-        only; training, patch predict and the tiled fallback keep the
-        default lowerings.
+        for 2D).
+
+        ``ptail``: route eligible (3,3,3) relu Convs through the Pallas
+        MXU tail-conv kernel (``ops.pallas_tailconv.conv3x3_dilated`` at
+        dil=(1,1,1)) — the decoder siblings of the dilated path's
+        ``set_dilated_impl(pallas_tail=...)``. Eligible: 3D graphs, f32
+        serving (int8/bf16 traces keep the XLA convs), no BN, relu
+        activation; max-pooled Convs are eligible (the kernel's fused
+        relu commutes exactly with max pooling). ``True`` or a dict of
+        kernel knobs (``variant``/``z_block``/``prefetch``). Exact at
+        float-reassociation level (tests).
+
+        All knobs affect the whole-volume conv-dense trace only;
+        training, patch predict and the tiled fallback keep the default
+        lowerings.
         """
         if upconv not in ("dilate", "d2s"):
             raise ValueError(f"upconv={upconv!r}: expected 'dilate' "
                              "or 'd2s'")
         self._convdense_upconv = upconv
         self._convdense_zfold = bool(zfold)
+        self._convdense_ptail = (dict(ptail) if isinstance(ptail, dict)
+                                 else bool(ptail))
         self._dilated_fns = {}    # conv-dense jits live in this cache
         return self
 
@@ -1144,6 +1158,7 @@ def rebuild_model(model, override_mfp_to_active=False,
     new._dilated_ptail = getattr(model, "_dilated_ptail", False)
     new._convdense_upconv = getattr(model, "_convdense_upconv", "dilate")
     new._convdense_zfold = getattr(model, "_convdense_zfold", False)
+    new._convdense_ptail = getattr(model, "_convdense_ptail", False)
     # calibrated int8 scales are per-conv-INPUT maxima: params carry over
     # unchanged, but an imposed patch/mfp change alters the activation
     # distribution geometry only, not its magnitudes — still valid

@@ -284,9 +284,49 @@ class Conv(Node, _BNMixin):
             return conv_zfold2d
         return ops_conv
 
+    def _ptail_eligible(self, ctx, x):
+        """Node-level eligibility for the conv-dense Pallas tail-conv
+        kernel (``Model.set_convdense_impl(ptail=...)``): a plain (3,3,3)
+        relu Conv of a 3D volume trace. Max pooling is allowed — the
+        kernel's fused relu commutes exactly with max (both monotone, so
+        ``max(relu(z)) == relu(max(z))`` element-for-element); BN is not
+        (it sits between pool and activation). MFP stays on the XLA conv
+        (conv-dense serves stride-1 decoder graphs; fragment bookkeeping
+        is never exercised here and stays conservative)."""
+        return (getattr(ctx, "convdense_ptail", False)
+                and x.ndim == 5
+                and tuple(self.filter_shape) == (3, 3, 3)
+                and self.activation_func == "relu"
+                and not self.batch_normalisation
+                and not self.mfp
+                and "alpha" not in self.params)
+
     def _compute(self, ctx, x):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
+        if self._ptail_eligible(ctx, x):
+            import jax
+            from elektronn2_tpu.ops.pallas_tailconv import conv3x3_dilated
+            ptk = ctx.convdense_ptail
+            ptk = ptk if isinstance(ptk, dict) else {}
+            kw = dict(dil=(1, 1, 1), relu=True,
+                      variant=ptk.get("variant", "mstack"),
+                      z_block=int(ptk.get("z_block", 8)),
+                      prefetch=int(ptk.get("prefetch", 1)),
+                      # Mosaic is TPU-only; CPU (tests) runs the kernel's
+                      # interpreter (exact, slow)
+                      interpret=jax.default_backend() == "cpu")
+            # the kernel is single-volume: slab batches run in a static
+            # in-jit loop (one dispatch per chunk is what batching buys;
+            # the kernels execute sequentially inside it — same policy as
+            # the dilated path's batched serving)
+            ys = [conv3x3_dilated(x[i:i + 1], w, b, **kw)
+                  for i in range(int(x.shape[0]))]
+            y = jnp.concatenate(ys, 0) if len(ys) > 1 else ys[0]
+            # bias + relu are fused in the kernel; pool commutes (max)
+            if any(p > 1 for p in self.pool_shape):
+                y = ops_pooling(y, self.pool_shape)
+            return _apply_dropout(y, self.dropout_rate, ctx, self)
         halo_axis = getattr(ctx, "halo_axis", None)
         if halo_axis is not None and len(self.filter_shape) == 3 \
                 and self.filter_shape[0] > 1:

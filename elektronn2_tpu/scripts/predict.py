@@ -51,10 +51,11 @@ def main(argv=None):
                     "+61%% over the bf16 champion measured same-run)")
     ap.add_argument("--convdense", default=None, metavar="KNOBS",
                     help="decoder (U-Net) graphs: conv-dense serving "
-                    "lowerings as 'd2s', 'zfold' or 'd2s,zfold' "
-                    "(set_convdense_impl; exactly equivalent, measured "
-                    "92.9->181.3 Mvox/s f32 on v5e — the s13 champion "
-                    "is 'd2s,zfold')")
+                    "lowerings as a comma list of 'd2s', 'zfold', "
+                    "'ptail' (set_convdense_impl; exactly equivalent; "
+                    "the measured v5e champion is 'd2s,zfold,ptail' — "
+                    "ptail routes (3,3,3) relu convs through the Pallas "
+                    "MXU kernel, 2.6-2.9x per-op over the XLA conv)")
     ap.add_argument("--tune", action="store_true",
                     help="KNOSSOS sweeps: autotune lowering/slab size/"
                     "slab batch on the live device first "
@@ -114,13 +115,17 @@ def main(argv=None):
         model.set_dilated_impl("direct", zfold=True, pallas_tail=True)
     if args.convdense:
         knobs = {k.strip() for k in args.convdense.split(",") if k.strip()}
-        bad = knobs - {"d2s", "zfold"}
+        bad = knobs - {"d2s", "zfold", "ptail"}
         if bad:
             ap.error(f"--convdense: unknown knob(s) {sorted(bad)} "
-                     "(expected 'd2s' and/or 'zfold')")
+                     "(expected 'd2s', 'zfold' and/or 'ptail')")
+        if "ptail" in knobs and (args.bf16 or args.int8):
+            ap.error("--convdense ptail is a parity-grade f32 mode; "
+                     "drop --bf16/--int8")
         model.set_convdense_impl(
             upconv=("d2s" if "d2s" in knobs else "dilate"),
-            zfold=("zfold" in knobs))
+            zfold=("zfold" in knobs),
+            ptail=("ptail" in knobs))
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)

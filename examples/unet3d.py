@@ -8,9 +8,11 @@ Run:  elektronn2-train examples/unet3d.py --cpu --n-steps 100
 
 Serving: decoder graphs take the whole-volume convolutional dense path;
 the measured v5e champion config is
-``model.set_convdense_impl(upconv='d2s', zfold=True)`` (92.9 → 181.3
-Mvox/s f32 at 96×512×512 slabs — docs/tpu_performance.md r2 s13), or
-``elektronn2-predict --convdense d2s,zfold`` / ``--tune``.
+``model.set_convdense_impl(upconv='d2s', zfold=True, ptail=True)``
+(92.9 → 231 Mvox/s f32 at 128×512×512 slabs: zfold/d2s lowerings + the
+Pallas tail-conv kernel on the (3,3,3) convs — docs/tpu_performance.md
+r2 s13/s14), or ``elektronn2-predict --convdense d2s,zfold,ptail`` /
+``--tune``.
 """
 
 import numpy as np

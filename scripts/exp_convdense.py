@@ -68,8 +68,14 @@ def main():
                                  jnp.float32)
         float(jnp.sum(vol))
         for dtype in (None, "bfloat16"):
-            for kw in ({}, {"zfold": True}, {"upconv": "d2s"},
-                       {"upconv": "d2s", "zfold": True}):
+            kws = [{}, {"zfold": True}, {"upconv": "d2s"},
+                   {"upconv": "d2s", "zfold": True}]
+            if dtype is None:
+                # the s14 Pallas tail-conv contenders (f32-only: the knob
+                # gates itself off under bf16/int8 serving)
+                kws += [{"ptail": True},
+                        {"upconv": "d2s", "zfold": True, "ptail": True}]
+            for kw in kws:
                 model.set_compute_dtype(dtype)
                 model.set_convdense_impl(**kw)
                 tag = (f"{'f32' if dtype is None else dtype}"

@@ -318,6 +318,71 @@ def test_convdense_impl_knobs_exact(rng):
     np.testing.assert_allclose(got2d, base2d, atol=2e-5)
 
 
+def test_convdense_ptail_exact(rng):
+    """``set_convdense_impl(ptail=...)`` routes eligible (3,3,3) relu
+    convs through the Pallas tail-conv kernel (CPU: interpret mode) ==
+    the default conv-dense trace at float-reassociation tolerance —
+    alone, composed with d2s+zfold, pad_raw, dict knobs, batch=True,
+    z-sharded, and rebuild carry. The fixture's enc1 is a POOLED
+    (3,3,3) conv, locking the kernel's fused-relu/max-pool commute.
+    bf16/int8 serving and 2D graphs gate the knob off."""
+    from elektronn2_tpu.neuromancer.inference import \
+        convolutional_dense_forward
+    m = faithless_unet3d()
+    vol = jnp.asarray(rng.randn(1, 11, 21, 23).astype(np.float32))
+    base = np.asarray(m.predict_dense_device(vol))
+    for kw in ({"ptail": True},
+               {"upconv": "d2s", "zfold": True, "ptail": True},
+               {"ptail": {"z_block": 4, "variant": "mstack"}}):
+        m.set_convdense_impl(**kw)
+        got = np.asarray(m.predict_dense_device(vol))
+        np.testing.assert_allclose(got, base, atol=2e-5, err_msg=str(kw))
+    pr = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    assert pr.shape == (2, 11, 21, 23)
+    m.set_convdense_impl()
+    prb = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+    np.testing.assert_allclose(pr, prb, atol=2e-5)
+    # batch=True == stacked per-slab runs
+    m.set_convdense_impl(upconv="d2s", zfold=True, ptail=True)
+    vols = rng.randn(2, 1, 11, 21, 23).astype(np.float32)
+    gotb = np.asarray(convolutional_dense_forward(
+        m, jnp.asarray(vols), batch=True))
+    for j in range(2):
+        one = np.asarray(convolutional_dense_forward(
+            m, jnp.asarray(vols[j])))
+        np.testing.assert_allclose(gotb[j], one, atol=1e-6)
+    # rebuild carries the knob (incl. dict form)
+    from elektronn2_tpu.neuromancer.model import rebuild_model
+    m.set_convdense_impl(ptail={"z_block": 4})
+    m2 = rebuild_model(m)
+    assert m2._convdense_ptail == {"z_block": 4}
+    np.testing.assert_allclose(np.asarray(m2.predict_dense_device(vol)),
+                               base, atol=2e-5)
+    # z-sharded serving runs the kernel per shard == unsharded
+    from elektronn2_tpu.parallel import make_mesh
+    m.set_convdense_impl(ptail=True)
+    vtall = jnp.asarray(rng.randn(1, 24, 21, 23).astype(np.float32))
+    ref_sp = np.asarray(m.predict_dense_device(vtall, pad_raw=True))
+    mesh = make_mesh({"space": 4}, n_devices=4)
+    got_sp = np.asarray(m.predict_dense_sharded(vtall, mesh, pad_raw=True))
+    np.testing.assert_allclose(got_sp, ref_sp, atol=1e-5)
+    # bf16 serving gates the knob off: identical to bf16 without it
+    m.set_compute_dtype("bfloat16")
+    a = np.asarray(m.predict_dense_device(vol))
+    m.set_convdense_impl()
+    m.set_compute_dtype("bfloat16")
+    b = np.asarray(m.predict_dense_device(vol))
+    np.testing.assert_array_equal(a, b)
+    m.set_compute_dtype(None)
+    # 2D decoder graph: nsp != 3 gates the knob off; path still runs
+    m2d = crop_concat_unet()
+    vol2d = jnp.asarray(rng.randn(1, 27, 29).astype(np.float32))
+    base2d = np.asarray(m2d.predict_dense_device(vol2d))
+    m2d.set_convdense_impl(ptail=True)
+    np.testing.assert_array_equal(
+        np.asarray(m2d.predict_dense_device(vol2d)), base2d)
+
+
 def test_upconv_d2s_op_exact(rng):
     """ops.conv.upconv_d2s == ops.conv.upconv for 2D/3D pools incl.
     pz>1 and asymmetric pools, at HIGHEST precision (bit-level check of
