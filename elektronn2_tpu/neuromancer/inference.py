@@ -37,6 +37,20 @@ class UnsupportedGraphError(ValueError):
     arrive, a bigger volume comes in)."""
 
 
+def _valid_period(pred, nsp):
+    """Valid-size period per spatial dim: the largest cumulative stride
+    anywhere in ``pred``'s graph. Input extents are shift-equivariantly
+    valid in steps of M, so slab staging, pad_raw front pads and tuner
+    step grids must all stay M-phase-aligned (one shared definition —
+    a desynchronised copy silently phase-shifts the pooling grid)."""
+    M = [1] * nsp
+    for node in pred.all_parents():
+        st = getattr(node.shape, "strides", None)
+        if st is not None and len(st) == nsp:
+            M = [max(m, int(s)) for m, s in zip(M, st)]
+    return M
+
+
 def _check_dense_geometry(pred):
     """Nodes whose alignment TaggedShape cannot express (padding makes the
     centred-fov model lie) are rejected for dense sweeps."""
@@ -588,8 +602,9 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                           and len(kids) == 1
                           and (_ptail_node_ok(kids[0])
                                or _xzcy_1x1_ok(kids[0])))
-                ptk = model._dilated_ptail
-                ptk = ptk if isinstance(ptk, dict) else {}
+                from elektronn2_tpu.ops.pallas_tailconv import \
+                    tail_kernel_kwargs
+                ptkw = tail_kernel_kwargs(model._dilated_ptail)
 
                 def _pt_one(x1):
                     return conv3x3_dilated(
@@ -599,14 +614,7 @@ def dilated_dense_forward(model, vol, batch=False, halo_axis=None,
                         out_layout="xzcy" if out_xz else "nczxy",
                         valid_y=(int(vext[node.parents[0].name][-1])
                                  if in_xz else None),
-                        variant=ptk.get("variant", "mstack"),
-                        z_block=int(ptk.get("z_block", 8)),
-                        prefetch=int(ptk.get("prefetch", 1)),
-                        # Mosaic is TPU-only: CPU (tests) runs the
-                        # kernel's interpreter, which is exact but slow
-                        # (the sandbox TPU platform is named 'axon',
-                        # hence the cpu check)
-                        interpret=jax.default_backend() == "cpu")
+                        **ptkw)
 
                 # slab_batch > 1 (batched multi-slab serving): the kernel
                 # is single-volume, so run it per slab in a STATIC loop —
@@ -888,11 +896,7 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     out0 = [int(s) for s in pred.shape.spatial_shape]
     fov = [int(f) for f in pred.shape.fov]
     # valid-size period per dim: the largest cumulative stride in the graph
-    M = [1] * nsp
-    for node in pred.all_parents():
-        st = getattr(node.shape, "strides", None)
-        if st is not None and len(st) == nsp:
-            M = [max(m, int(s)) for m, s in zip(M, st)]
+    M = _valid_period(pred, nsp)
 
     V = [int(s) for s in vol.shape[2:]]
     if pad_raw:
@@ -993,12 +997,7 @@ def predict_dense_sharded(model, vol, mesh, axis_name="space",
             # conv-dense pad_raw leg — an unrounded pad phase-shifts the
             # pooling grid and decoheres every voxel)
             check_conv_dense_supported(pred)
-            nsp = len(fov)
-            M = [1] * nsp
-            for node in pred.all_parents():
-                st = getattr(node.shape, "strides", None)
-                if st is not None and len(st) == nsp:
-                    M = [max(m, int(s)) for m, s in zip(M, st)]
+            M = _valid_period(pred, len(fov))
             lo = [-(-o // m) * m for o, m in zip(off, M)]
         except (ValueError, TypeError):
             pass      # dilated graphs: phase-exact, centred pad suffices
@@ -1047,11 +1046,7 @@ def _sharded_batch_convdense(model, vols, mesh, axis_name, batch_axis):
     fov = [int(f) for f in pred.shape.fov]
     patch0 = [int(s) for s in inp.shape.spatial_shape]
     out0 = [int(s) for s in pred.shape.spatial_shape]
-    M_z = 1
-    for node in pred.all_parents():
-        st = getattr(node.shape, "strides", None)
-        if st is not None and len(st) == nsp:
-            M_z = max(M_z, int(st[0]))
+    M_z = _valid_period(pred, nsp)[0]
     delta_z = max(0, (patch0[0] - fov[0] + 1) - out0[0])
     if M_z != 1 or delta_z:
         raise UnsupportedGraphError(
@@ -1242,11 +1237,7 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     # rounded to M-multiples; write_back trims the delta. Dilated-path
     # graphs are phase-exact by construction — the extra ≤M-1 halo rows
     # are harmless there.
-    M = [1] * 3
-    for node in model.prediction_node.all_parents():
-        st = getattr(node.shape, "strides", None)
-        if st is not None and len(st) == 3:
-            M = [max(m, int(s)) for m, s in zip(M, st)]
+    M = _valid_period(model.prediction_node, 3)
     if step is None:
         # ptail models default to the measured champion slab (dilated:
         # 496-xy keeps the Pallas kernel's conv lanes at exact 128
@@ -1259,7 +1250,7 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
             try:
                 check_conv_dense_supported(model.prediction_node)
                 is_convdense = True
-            except ValueError:
+            except (ValueError, TypeError):
                 pass
         if is_convdense:
             default = (128, 512, 512)
@@ -1456,6 +1447,83 @@ def sweep_knossos(model, karr, region=None, step=None, out=None,
     return out
 
 
+def _tune_measure_grid(model, steps, halo, slab_batches, K, configs,
+                       apply_cfg, make_fn, row_tag, log_prefix, verbose):
+    """The tuner's sustained-measurement scaffolding, shared by BOTH
+    ``tune_sweep`` legs (dilated and conv-dense): staging volume
+    (OOM-graceful), DOUBLE warm-up, K-dispatch checksum window closed by
+    one float() sync, non-finite guard, failure rows. One protocol
+    definition — a fix applied to one leg used to silently miss the
+    other (review r2 s15).
+
+    Why double warm-up: the first heavy dispatch after a compile carries
+    a large one-off runtime/allocator penalty that ONE warm-up call does
+    not flush (measured: the first-timed contender read 3-5 Mvox/s where
+    its steady state was 40+, systematically penalising whichever config
+    ran first — usually the incumbent). Why float() and not an assert:
+    the sync that closes the timed region must survive ``python -O``.
+
+    Returns ``(table, structural_stop)`` — ``structural_stop=True`` when
+    an UnsupportedGraphError proved no contender can ever run.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    f_in = int(model.input_node.shape["f"])
+    table = []
+    for step in steps:
+        ext = tuple(s + h for s, h in zip(step, halo))
+        for sb in slab_batches:
+            sb = max(1, int(sb))
+            try:
+                vol = jax.random.uniform(jax.random.PRNGKey(0),
+                                         (sb, f_in) + ext, jnp.float32)
+                float(jnp.sum(vol))
+            except Exception as e:   # noqa: BLE001 — OOM-graceful
+                table.append({"step": step, "slab_batch": sb,
+                              "failed": f"staging: {e}"[:120]})
+                continue
+            for cfg in configs:
+                row = dict(cfg, slab_batch=sb, step=step)
+                try:
+                    apply_cfg(cfg)
+                    fn = make_fn(cfg)
+                    out = fn(model.params, model.state, vol)
+                    float(jnp.sum(jnp.asarray(out, jnp.float32)))
+                    float(jnp.sum(jnp.asarray(          # 2nd warm-up
+                        fn(model.params, model.state, vol), jnp.float32)))
+                    t0 = _time.perf_counter()
+                    acc = jnp.float32(0)
+                    for _ in range(K):
+                        acc = acc + jnp.sum(jnp.asarray(
+                            fn(model.params, model.state, vol),
+                            jnp.float32))
+                    checksum = float(acc)   # sync closes the window
+                    dt = _time.perf_counter() - t0
+                    if not np.isfinite(checksum):
+                        raise FloatingPointError(
+                            f"non-finite checksum ({checksum}) from "
+                            f"contender {row}")
+                except UnsupportedGraphError:
+                    return table, True
+                except Exception as e:   # noqa: BLE001 — skip contender
+                    row["failed"] = str(e)[:120]
+                    table.append(row)
+                    continue
+                # count VALID output voxels per second (what the sweep
+                # writes into ``out`` per slab: the step volume)
+                row["mvox_s"] = round(
+                    float(np.prod(step)) * sb * K / dt / 1e6, 2)
+                table.append(row)
+                if verbose:
+                    logger.info(f"{log_prefix}: {row_tag(cfg)} "
+                                f"slab_batch={sb} step={step}: "
+                                f"{row['mvox_s']} Mvox/s")
+    return table, False
+
+
 def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
                           include_bf16=True, include_int8=True,
                           lowerings=None, apply=False, verbose=True):
@@ -1465,12 +1533,7 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
     protocol. ``lowerings``: (upconv, zfold, dtype[, act[, ptail]])
     tuples. int8 runs with the default op lowerings (the quantised conv
     manages its own kernels — upconv/zfold knobs don't apply there)."""
-    import time as _time
-
     import jax
-    import jax.numpy as jnp
-
-    f_in = int(model.input_node.shape["f"])
 
     def _cfg(upconv, zfold, dtype, act=False, ptail=False):
         return {"path": "convdense", "upconv": upconv,
@@ -1501,85 +1564,43 @@ def _tune_sweep_convdense(model, steps, halo, slab_batches=(1, 2), K=4,
     saved_scales = getattr(model, "_quant_scales", None)
     if saved not in configs:
         configs.insert(0, saved)
-    table = []
-    try:
-        for step in steps:
-            ext = tuple(s + h for s, h in zip(step, halo))
-            for sb in slab_batches:
-                sb = max(1, int(sb))
-                try:
-                    vol = jax.random.uniform(jax.random.PRNGKey(0),
-                                             (sb, f_in) + ext, jnp.float32)
-                    float(jnp.sum(vol))
-                except Exception as e:   # noqa: BLE001 — OOM-graceful
-                    table.append({"step": step, "slab_batch": sb,
-                                  "failed": f"staging: {e}"[:120]})
-                    continue
-                for cfg in configs:
-                    row = dict(cfg, slab_batch=sb, step=step)
-                    try:
-                        model.set_compute_dtype(None)
-                        model.set_convdense_impl(cfg["upconv"],
-                                                 zfold=cfg["zfold"],
-                                                 ptail=cfg["ptail"])
-                        model.set_compute_dtype(cfg["dtype"],
-                                                activations=cfg["act"])
-                        fn = jax.jit(lambda p, s, v:
-                                     convolutional_dense_forward(
-                                         model, v, batch=True,
-                                         params=p, state=s))
-                        out = fn(model.params, model.state, vol)
-                        float(jnp.sum(jnp.asarray(out, jnp.float32)))
-                        # double warm-up — see the dilated leg's rationale
-                        float(jnp.sum(jnp.asarray(
-                            fn(model.params, model.state, vol),
-                            jnp.float32)))
-                        t0 = _time.perf_counter()
-                        acc = jnp.float32(0)
-                        for _ in range(K):
-                            acc = acc + jnp.sum(jnp.asarray(
-                                fn(model.params, model.state, vol),
-                                jnp.float32))
-                        checksum = float(acc)   # sync closes the window
-                        dt = _time.perf_counter() - t0
-                        if not np.isfinite(checksum):
-                            raise FloatingPointError(
-                                f"non-finite checksum ({checksum}) from "
-                                f"contender {row}")
-                    except Exception as e:   # noqa: BLE001 — skip
-                        row["failed"] = str(e)[:120]
-                        table.append(row)
-                        continue
-                    row["mvox_s"] = round(
-                        float(np.prod(step)) * sb * K / dt / 1e6, 2)
-                    table.append(row)
-                    if verbose:
-                        logger.info(
-                            f"tune_sweep[convdense]: upconv={cfg['upconv']}"
-                            f"{'+zfold' if cfg['zfold'] else ''}"
-                            f"{'+ptail' if cfg['ptail'] else ''}"
-                            f"{'+' + cfg['dtype'] if cfg['dtype'] else ''}"
-                            f"{'+act' if cfg['act'] else ''} "
-                            f"slab_batch={sb} step={step}: "
-                            f"{row['mvox_s']} Mvox/s")
-    finally:
+
+    def _apply_cfg(cfg, with_scales=False):
+        # dtype cleared FIRST (cross-guards in the setters). Contenders
+        # measure with DYNAMIC int8 scales (with_scales=False — the
+        # set_compute_dtype call clears calibration); restore/apply
+        # reinstate the user's calibration, which stays valid (same
+        # params, same graph).
         model.set_compute_dtype(None)
-        model.set_convdense_impl(saved["upconv"], zfold=saved["zfold"],
-                                 ptail=saved["ptail"])
-        model.set_compute_dtype(saved["dtype"], activations=saved["act"])
-        if saved["dtype"] == "int8":
+        model.set_convdense_impl(cfg["upconv"], zfold=cfg["zfold"],
+                                 ptail=cfg["ptail"])
+        model.set_compute_dtype(cfg["dtype"], activations=cfg["act"])
+        if with_scales and cfg["dtype"] == "int8":
             model._quant_scales = saved_scales
+
+    def _make_fn(cfg):
+        return jax.jit(lambda p, s, v: convolutional_dense_forward(
+            model, v, batch=True, params=p, state=s))
+
+    def _tag(cfg):
+        return (f"upconv={cfg['upconv']}"
+                f"{'+zfold' if cfg['zfold'] else ''}"
+                f"{'+ptail' if cfg['ptail'] else ''}"
+                f"{'+' + cfg['dtype'] if cfg['dtype'] else ''}"
+                f"{'+act' if cfg['act'] else ''}")
+
+    try:
+        table, _ = _tune_measure_grid(
+            model, steps, halo, slab_batches, K, configs, _apply_cfg,
+            _make_fn, _tag, "tune_sweep[convdense]", verbose)
+    finally:
+        _apply_cfg(saved, with_scales=True)
     ok = [r for r in table if "mvox_s" in r]
     if not ok:
         return {"best": None, "table": table}
     best = max(ok, key=lambda r: r["mvox_s"])
     if apply:
-        model.set_compute_dtype(None)
-        model.set_convdense_impl(best["upconv"], zfold=best["zfold"],
-                                 ptail=best["ptail"])
-        model.set_compute_dtype(best["dtype"], activations=best["act"])
-        if best["dtype"] == "int8":
-            model._quant_scales = saved_scales
+        _apply_cfg(best, with_scales=True)
     if verbose:
         logger.info(f"tune_sweep[convdense]: best {best}")
     return {"best": best, "table": table}
@@ -1626,13 +1647,9 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     with ``path='convdense'``. Returns ``best=None`` if no contender ran
     (a graph only the tiled fallback can serve has no lowering knobs).
     """
-    import time as _time
-
     import jax
-    import jax.numpy as jnp
 
     fov = [int(f) for f in model.prediction_node.shape.fov]
-    f_in = int(model.input_node.shape["f"])
     if steps is None:
         steps = (list(DEFAULT_TUNE_STEPS_3D) if len(fov) == 3
                  else [(256,) * len(fov), (512,) * len(fov)])
@@ -1645,11 +1662,7 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     # period M and the front halo is M-aligned — otherwise the tuner
     # times programs of different shapes than the sweep will dispatch
     # (review r2 s6)
-    Mv = [1] * len(fov)
-    for node in model.prediction_node.all_parents():
-        st = getattr(node.shape, "strides", None)
-        if st is not None and len(st) == len(fov):
-            Mv = [max(m, int(s)) for m, s in zip(Mv, st)]
+    Mv = _valid_period(model.prediction_node, len(fov))
     steps = list(dict.fromkeys(
         tuple(-(-v // m) * m for v, m in zip(s, Mv)) for s in steps))
     halo = [-(-((f - 1) // 2) // m) * m + (f - 1 - (f - 1) // 2)
@@ -1717,102 +1730,47 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     # being silently displaced by apply=True
     if saved not in configs:
         configs.insert(0, saved)
-    table = []
-    try:
-        for step in steps:
-            ext = tuple(s + h for s, h in zip(step, halo))
-            for sb in slab_batches:
-                sb = max(1, int(sb))
-                try:
-                    vol = jax.random.uniform(jax.random.PRNGKey(0),
-                                             (sb, f_in) + ext, jnp.float32)
-                    float(jnp.sum(vol))
-                except Exception as e:   # noqa: BLE001 — OOM-graceful
-                    table.append({"step": step, "slab_batch": sb,
-                                  "failed": f"staging: {e}"[:120]})
-                    continue
-                for cfg in configs:
-                    row = dict(cfg, slab_batch=sb, step=step)
-                    try:
-                        # dtype cleared FIRST: the int8↔ztap/zmajor
-                        # cross-guards in the setters would otherwise
-                        # reject valid transitions between contenders
-                        model.set_compute_dtype(None)
-                        model.set_dilated_impl(
-                            cfg["impl"], zfold=cfg["zfold"],
-                            ztap=cfg["ztap"], zmajor=cfg["zmajor"],
-                            poolslice=cfg["poolslice"],
-                            pallas_tail=cfg.get("ptail", False))
-                        model.set_compute_dtype(cfg["dtype"],
-                                                activations=cfg["act"])
-                        fn = jax.jit(lambda p, s, v, _i=cfg["impl"]:
-                                     dilated_dense_forward(
-                                         model, v, batch=True, params=p,
-                                         state=s, impl=_i))
-                        out = fn(model.params, model.state, vol)
-                        float(jnp.sum(jnp.asarray(out, jnp.float32)))
-                        # second warm-up: the first heavy dispatch after a
-                        # compile carries a large one-off runtime/allocator
-                        # penalty that ONE warm-up call does not flush
-                        # (measured: the first-timed contender reads 3-5
-                        # Mvox/s where its steady state is 40+, which
-                        # systematically penalised whichever config ran
-                        # first — usually the incumbent)
-                        float(jnp.sum(jnp.asarray(
-                            fn(model.params, model.state, vol),
-                            jnp.float32)))
-                        t0 = _time.perf_counter()
-                        acc = jnp.float32(0)
-                        for _ in range(K):
-                            acc = acc + jnp.sum(jnp.asarray(
-                                fn(model.params, model.state, vol),
-                                jnp.float32))
-                        # float() is the device sync that closes the timed
-                        # region — must NOT live inside an assert (stripped
-                        # under python -O, which would time async enqueue
-                        # only)
-                        checksum = float(acc)
-                        dt = _time.perf_counter() - t0
-                        if not np.isfinite(checksum):
-                            raise FloatingPointError(
-                                f"non-finite checksum ({checksum}) from "
-                                f"contender {row}")
-                    except UnsupportedGraphError:
-                        # structural: no contender can run — stop early
-                        if verbose:
-                            logger.info(
-                                "tune_sweep: graph unsupported by the "
-                                "dilated path — nothing to tune (the "
-                                "tiled fallback has no lowering knobs)")
-                        return {"best": None, "table": table}
-                    except Exception as e:   # noqa: BLE001 — skip contender
-                        row["failed"] = str(e)[:120]
-                        table.append(row)
-                        continue
-                    # count VALID output voxels per second (what the sweep
-                    # writes into ``out`` per slab: the step volume)
-                    row["mvox_s"] = round(
-                        float(np.prod(step)) * sb * K / dt / 1e6, 2)
-                    table.append(row)
-                    if verbose:
-                        extras = "".join(
-                            f"+{k}" for k in ("zfold", "ztap", "zmajor",
-                                              "poolslice", "act", "ptail")
-                            if cfg[k])
-                        logger.info(
-                            f"tune_sweep: {cfg['impl']}{extras}"
-                            f"{'+' + cfg['dtype'] if cfg['dtype'] else ''} "
-                            f"slab_batch={sb} step={step}: "
-                            f"{row['mvox_s']} Mvox/s")
-    finally:
-        model.set_compute_dtype(None)       # see cross-guard note above
-        model.set_dilated_impl(saved["impl"], zfold=saved["zfold"],
-                               ztap=saved["ztap"], zmajor=saved["zmajor"],
-                               poolslice=saved["poolslice"],
-                               pallas_tail=saved.get("ptail", False))
-        model.set_compute_dtype(saved["dtype"], activations=saved["act"])
-        if saved["dtype"] == "int8":
+
+    def _apply_cfg(cfg, with_scales=False):
+        # dtype cleared FIRST: the int8↔ztap/zmajor cross-guards in the
+        # setters would otherwise reject valid transitions between
+        # contenders. Contenders measure with DYNAMIC int8 scales
+        # (with_scales=False); restore/apply reinstate the user's
+        # calibration, which stays valid (same params, same graph).
+        model.set_compute_dtype(None)
+        model.set_dilated_impl(cfg["impl"], zfold=cfg["zfold"],
+                               ztap=cfg["ztap"], zmajor=cfg["zmajor"],
+                               poolslice=cfg["poolslice"],
+                               pallas_tail=cfg.get("ptail", False))
+        model.set_compute_dtype(cfg["dtype"], activations=cfg["act"])
+        if with_scales and cfg["dtype"] == "int8":
             model._quant_scales = saved_scales
+
+    def _make_fn(cfg):
+        return jax.jit(lambda p, s, v, _i=cfg["impl"]:
+                       dilated_dense_forward(model, v, batch=True,
+                                             params=p, state=s, impl=_i))
+
+    def _tag(cfg):
+        extras = "".join(f"+{k}" for k in ("zfold", "ztap", "zmajor",
+                                           "poolslice", "act", "ptail")
+                         if cfg[k])
+        return (f"{cfg['impl']}{extras}"
+                f"{'+' + cfg['dtype'] if cfg['dtype'] else ''}")
+
+    try:
+        table, structural = _tune_measure_grid(
+            model, steps, halo, slab_batches, K, configs, _apply_cfg,
+            _make_fn, _tag, "tune_sweep", verbose)
+        if structural:
+            # no contender can ever run on this graph — stop early
+            if verbose:
+                logger.info("tune_sweep: graph unsupported by the "
+                            "dilated path — nothing to tune (the tiled "
+                            "fallback has no lowering knobs)")
+            return {"best": None, "table": table}
+    finally:
+        _apply_cfg(saved, with_scales=True)
     ok = [r for r in table if "mvox_s" in r]
     if not ok:
         return {"best": None, "table": table}
@@ -1820,16 +1778,7 @@ def tune_sweep(model, steps=None, slab_batches=(1, 2), K=4,
     if apply:
         # apply EXACTLY the measured winner's knob set (the incumbent was
         # a contender, so this never regresses the model as measured)
-        model.set_compute_dtype(None)       # see cross-guard note above
-        model.set_dilated_impl(best["impl"], zfold=best["zfold"],
-                               ztap=best["ztap"], zmajor=best["zmajor"],
-                               poolslice=best["poolslice"],
-                               pallas_tail=best.get("ptail", False))
-        model.set_compute_dtype(best["dtype"], activations=best["act"])
-        if best["dtype"] == "int8":
-            # an int8 winner keeps the user's calibration (still valid:
-            # same params, same graph)
-            model._quant_scales = saved_scales
+        _apply_cfg(best, with_scales=True)
     if verbose:
         logger.info(f"tune_sweep: best {best}")
     return {"best": best, "table": table}

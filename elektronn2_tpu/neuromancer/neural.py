@@ -305,17 +305,10 @@ class Conv(Node, _BNMixin):
         w = ctx.param(self, "w")
         b = ctx.param(self, "b")
         if self._ptail_eligible(ctx, x):
-            import jax
-            from elektronn2_tpu.ops.pallas_tailconv import conv3x3_dilated
-            ptk = ctx.convdense_ptail
-            ptk = ptk if isinstance(ptk, dict) else {}
+            from elektronn2_tpu.ops.pallas_tailconv import (
+                conv3x3_dilated, tail_kernel_kwargs)
             kw = dict(dil=(1, 1, 1), relu=True,
-                      variant=ptk.get("variant", "mstack"),
-                      z_block=int(ptk.get("z_block", 8)),
-                      prefetch=int(ptk.get("prefetch", 1)),
-                      # Mosaic is TPU-only; CPU (tests) runs the kernel's
-                      # interpreter (exact, slow)
-                      interpret=jax.default_backend() == "cpu")
+                      **tail_kernel_kwargs(ctx.convdense_ptail))
             # the kernel is single-volume: slab batches run in a static
             # in-jit loop (one dispatch per chunk is what batching buys;
             # the kernels execute sequentially inside it — same policy as

@@ -293,6 +293,23 @@ class _SwapRef:
         self._ref[zero, zz, :, 0: self._vy] = val
 
 
+def tail_kernel_kwargs(knobs):
+    """Map a model-level ptail knobs value (``Model.set_dilated_impl`` /
+    ``set_convdense_impl`` ``ptail=`` — True or a dict) to
+    ``conv3x3_dilated`` kwargs. ONE definition of the knob names and
+    defaults for every call site (the dilated trace in inference.py and
+    the conv-dense trace in neural.Conv) — a desynchronised copy gives
+    the two paths silently different kernel defaults."""
+    k = knobs if isinstance(knobs, dict) else {}
+    return dict(variant=k.get("variant", "mstack"),
+                z_block=int(k.get("z_block", 8)),
+                prefetch=int(k.get("prefetch", 1)),
+                # Mosaic is TPU-only; CPU (tests) runs the kernel's
+                # interpreter — exact, slow. (The sandbox TPU platform is
+                # named 'axon', hence the cpu check.)
+                interpret=jax.default_backend() == "cpu")
+
+
 @functools.partial(jax.jit, static_argnames=("dil", "relu", "out_layout",
                                              "in_layout", "interpret",
                                              "compute_dtype", "z_block",

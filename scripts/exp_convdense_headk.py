@@ -8,6 +8,11 @@ its output is xzcy, so the honest comparison INCLUDES the transpose back
 to nczxy (the conv-dense trace consumes nczxy).
 
 Usage: python scripts/exp_convdense_headk.py   (on a live chip)
+
+RESULT (v5e, 2026-08-19, sustained K=8): measured REJECTION — the head
+kernel loses at every decoder kz=1 shape once the xzcy->nczxy transpose
+is included (0.52-0.77x vs conv_zfold2d; maxdev ~2e-6). Recorded in
+docs/tpu_performance.md "s15 follow-up".
 """
 
 import os

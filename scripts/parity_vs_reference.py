@@ -102,9 +102,19 @@ def make_self_golden(path, cpu=True, family="mfp"):
         model = _build_unet(nm, patch, weights)
         probs = np.asarray(model.predict_dense(raw, prefer_device=False),
                            np.float32)
+        # SECOND dataset: the whole-volume convolutional dense path —
+        # the lowering this family lock exists for. The tiled-oracle
+        # dataset above does not execute convolutional_dense_forward at
+        # all, so without this leg a regression confined to the
+        # conv-dense trace would pass the lock (review r2 s15).
+        from elektronn2_tpu.neuromancer.inference import \
+            convolutional_dense_forward
+        probs_cd = np.asarray(convolutional_dense_forward(model, raw),
+                              np.float32)
         with h5py.File(path, "w") as f:
             f.create_dataset("raw", data=raw)
             f.create_dataset("probs", data=probs)
+            f.create_dataset("probs_convdense", data=probs_cd)
             f.attrs["spec"] = json.dumps({"family": "unet",
                                           "patch": patch})
             for i, (w, b) in enumerate(weights):
@@ -185,6 +195,8 @@ def main(argv=None):
     with h5py.File(args.golden, "r") as f:
         raw = f["raw"][()]
         want = f["probs"][()]
+        want_cd = (f["probs_convdense"][()] if "probs_convdense" in f
+                   else None)
         spec = json.loads(f.attrs["spec"])
         n_layers = (len(_UNET_WSHAPES) if spec.get("family") == "unet"
                     else len(spec["filters"]))
@@ -207,8 +219,22 @@ def main(argv=None):
         print(f"shapes: ours {got.shape} reference {want.shape}; "
               f"compared {n}; max |diff| = {maxdiff:.3e} "
               f"(tol {args.tol})")
-        print("PARITY: PASS" if maxdiff <= args.tol else "PARITY: FAIL")
-        return 0 if maxdiff <= args.tol else 1
+        ok = maxdiff <= args.tol
+        if want_cd is not None:
+            # the conv-dense (whole-volume) lowering's own lock — the
+            # lowering this golden family exists for
+            from elektronn2_tpu.neuromancer.inference import \
+                convolutional_dense_forward
+            got_cd = np.asarray(convolutional_dense_forward(model, raw),
+                                np.float32)
+            cd_diff = float(np.abs(got_cd - want_cd).max()) \
+                if got_cd.shape == want_cd.shape else float("inf")
+            print(f"conv-dense leg: ours {got_cd.shape} golden "
+                  f"{want_cd.shape}; max |diff| = {cd_diff:.3e} "
+                  f"(tol {args.tol})")
+            ok = ok and cd_diff <= args.tol
+        print("PARITY: PASS" if ok else "PARITY: FAIL")
+        return 0 if ok else 1
 
     nm.model_manager.reset()
     ndim = raw.ndim - 1

@@ -60,6 +60,25 @@ def test_self_golden_unet_catches_drift(tmp_path):
     assert _harness().main([bad, "--cpu"]) == 1
 
 
+def test_self_golden_unet_convdense_leg_catches_drift(tmp_path):
+    """The conv-dense dataset is checked through its OWN lowering
+    (convolutional_dense_forward), not the tiled oracle: perturbing only
+    probs_convdense must fail even though the tiled leg still passes
+    (review r2 s15 — previously the lock never executed the conv-dense
+    path at all)."""
+    import h5py
+    import shutil
+    bad = str(tmp_path / "drifted_cd.h5")
+    shutil.copy(GOLDEN_UNET, bad)
+    with h5py.File(bad, "r+") as f:
+        assert "probs_convdense" in f, "golden missing the conv-dense leg"
+        p = f["probs_convdense"][()]
+        p[0, 0, 0, 0] += 0.25
+        del f["probs_convdense"]
+        f.create_dataset("probs_convdense", data=p)
+    assert _harness().main([bad, "--cpu"]) == 1
+
+
 def test_self_golden_catches_drift(tmp_path):
     """The harness actually fails when voxels drift (guards against a
     vacuous pass): perturb one weight in a copy of the golden."""
