@@ -10,7 +10,10 @@ and background prefetch.
 
 TPU-first change vs the reference: prefetch uses *threads* (IO-bound reads
 release the GIL) feeding a plain cache, instead of forked worker processes
-with shared ctypes memory (SURVEY.md do-not-mirror list).
+with shared ctypes memory (SURVEY.md do-not-mirror list). The per-cube hot
+path (pread + the (z,y,x)->(z,x,y) transpose) runs in a native C++ core
+(``knossos_core.cpp``, built on first use, numpy fallback) so cache misses
+in ``__getitem__`` are filled by one GIL-free multi-threaded batch call.
 
 Axis convention: this class exposes (z, x, y) indexing to match the rest of
 the framework; KNOSSOS files are laid out x-fastest (z, y, x within a cube).
@@ -33,7 +36,8 @@ class KnossosArray:
     """Lazily-loaded KNOSSOS dataset with cube cache + thread prefetch."""
 
     def __init__(self, path, max_ram=512, n_preload=2, fixed_mag=1,
-                 cube_edge=128, exp_name=None, dtype=np.uint8):
+                 cube_edge=128, exp_name=None, dtype=np.uint8,
+                 native="auto"):
         self.path = os.path.abspath(path)
         self.mag = int(fixed_mag)
         self.cube_edge = int(cube_edge)
@@ -47,6 +51,35 @@ class KnossosArray:
         self._pool = (ThreadPoolExecutor(max_workers=n_preload)
                       if n_preload else None)
         self._pending = {}
+        # native C++ cube core: "auto" = use if it builds (numpy fallback),
+        # True = require, False = numpy path only. Resolved lazily so
+        # importing this module never triggers a g++ build.
+        if native not in ("auto", True, False):
+            raise ValueError(f"native must be 'auto'/True/False: {native!r}")
+        self._native_pref = native
+        self._native = False if native is False else None
+
+    def _native_ok(self):
+        if self._native is None:
+            from elektronn2_tpu.data import _knossos_native
+            if not _knossos_native.supports(self.dtype):
+                if self._native_pref is True:
+                    raise TypeError(
+                        f"native KNOSSOS core does not support dtype "
+                        f"{self.dtype} (u8/u16/f32 only)")
+                self._native = False
+            else:
+                try:
+                    _knossos_native.get_lib()
+                    self._native = True
+                except Exception as e:
+                    if self._native_pref is True:
+                        raise
+                    logger.warning(
+                        f"native KNOSSOS core unavailable ({e}); "
+                        f"using the numpy cube path")
+                    self._native = False
+        return self._native
 
     def _read_conf(self):
         """Parse knossos.conf for extents/experiment name if present."""
@@ -124,13 +157,17 @@ class KnossosArray:
         cx, cy, cz = key
         p = self._cube_path(cx, cy, cz)
         e = self.cube_edge
+        if self._native_ok():
+            from elektronn2_tpu.data import _knossos_native
+            return _knossos_native.load_cubes([p], e, self.dtype,
+                                              n_threads=1)[0]
         if not os.path.exists(p):
             return np.zeros((e, e, e), self.dtype)  # missing cube → zeros
         buf = np.fromfile(p, dtype=self.dtype)
         if buf.size != e ** 3:
             raise IOError(f"cube {p} has {buf.size} voxels, expected {e**3}")
         # KNOSSOS stores x-fastest: (z, y, x) → transpose to (z, x, y)
-        return buf.reshape(e, e, e).transpose(0, 2, 1)
+        return np.ascontiguousarray(buf.reshape(e, e, e).transpose(0, 2, 1))
 
     def _get_cube(self, key):
         with self._lock:
@@ -198,13 +235,50 @@ class KnossosArray:
             bounds.append((lo, hi))
         (z0, z1), (x0, x1), (y0, y1) = bounds
         e = self.cube_edge
-        out = np.zeros((z1 - z0, x1 - x0, y1 - y0), self.dtype)
+        # np.empty, not zeros: every voxel is covered by exactly one cube
+        # region below (missing cubes contribute explicit zeros)
+        out = np.empty((z1 - z0, x1 - x0, y1 - y0), self.dtype)
         keys = [(cx, cy, cz)
                 for cz in range(z0 // e, max(z0 // e + 1, -(-z1 // e)))
                 for cx in range(x0 // e, max(x0 // e + 1, -(-x1 // e)))
                 for cy in range(y0 // e, max(y0 // e + 1, -(-y1 // e)))]
+        # fill all cache misses with ONE native batch call (parallel
+        # GIL-free reads + cache-blocked transposes); cubes with an
+        # in-flight prefetch future are left to _get_cube below.
+        loaded = {}
+        direct = frozenset()
+        if self._native_ok():
+            with self._lock:
+                missing = [k for k in keys
+                           if k not in self._cache and k not in self._pending]
+            from elektronn2_tpu.data import _knossos_native
+            if len(missing) > self._max_cubes:
+                # streaming read larger than the cache could ever hold:
+                # assemble straight into `out` (one read + one transposed
+                # write per cube, no per-cube buffers, no cache thrash)
+                _knossos_native.assemble(
+                    [self._cube_path(*k) for k in missing],
+                    [(k[2] * e - z0, k[0] * e - x0, k[1] * e - y0)
+                     for k in missing],
+                    e, out)
+                direct = frozenset(missing)
+            elif missing:
+                cubes = _knossos_native.load_cubes(
+                    [self._cube_path(*k) for k in missing], e, self.dtype)
+                with self._lock:
+                    for k, c in zip(missing, cubes):
+                        # a racing thread may have inserted it meanwhile;
+                        # first insertion wins so both scatter one object
+                        loaded[k] = self._cache.setdefault(k, c)
+                        self._cache.move_to_end(k)
+                    while len(self._cache) > self._max_cubes:
+                        self._cache.popitem(last=False)
         for (cx, cy, cz) in keys:
-            cube = self._get_cube((cx, cy, cz))
+            if (cx, cy, cz) in direct:
+                continue
+            cube = loaded.get((cx, cy, cz))
+            if cube is None:
+                cube = self._get_cube((cx, cy, cz))
             gz0, gz1 = max(z0, cz * e), min(z1, (cz + 1) * e)
             gx0, gx1 = max(x0, cx * e), min(x1, (cx + 1) * e)
             gy0, gy1 = max(y0, cy * e), min(y1, (cy + 1) * e)

@@ -342,6 +342,99 @@ def test_knossos_missing_cube_is_zeros(rng, tmp_path):
     np.testing.assert_array_equal(out, 0)
 
 
+def test_knossos_native_matches_numpy(rng, tmp_path):
+    """The C++ cube core is value-identical to the numpy path, including
+    the missing-cube zero fill (the numpy path is the oracle)."""
+    pytest.importorskip("elektronn2_tpu.data._knossos_native")
+    from elektronn2_tpu.data import KnossosArray
+    from elektronn2_tpu.data import _knossos_native
+    try:
+        _knossos_native.get_lib()
+    except Exception:
+        pytest.skip("no compiler for the native KNOSSOS core")
+    vol = (rng.rand(24, 16, 24) * 255).astype(np.uint8)
+    path = write_knossos(tmp_path, vol)
+    ka_py = KnossosArray(path, cube_edge=8, native=False)
+    ka_nat = KnossosArray(path, cube_edge=8, native=True)
+    # pretend an extra z-cube exists -> exercises missing-cube zero fill
+    for ka in (ka_py, ka_nat):
+        ka.shape = (32, 16, 24)
+    for sl in [np.s_[:, :, :], np.s_[3:19, 2:14, 5:21], np.s_[5],
+               np.s_[20:30, :, :]]:
+        np.testing.assert_array_equal(ka_nat[sl], ka_py[sl])
+
+
+def test_knossos_native_direct_assembly(rng, tmp_path):
+    """Reads larger than the cube cache stream through the C++ direct
+    assembler (no caching) — value-identical to the numpy path, including
+    unaligned bounds and missing-cube zero fill."""
+    from elektronn2_tpu.data import _knossos_native
+    try:
+        _knossos_native.get_lib()
+    except Exception:
+        pytest.skip("no compiler for the native KNOSSOS core")
+    from elektronn2_tpu.data import KnossosArray
+    vol = (rng.rand(24, 16, 24) * 255).astype(np.uint8)
+    path = write_knossos(tmp_path, vol)
+    ka_py = KnossosArray(path, cube_edge=8, native=False)
+    # max_ram=0 -> _max_cubes floor of 8; 3x2x3=18 cubes + the extra
+    # missing z-layer exceed it, forcing the direct path for big reads
+    ka_nat = KnossosArray(path, cube_edge=8, native=True, max_ram=0)
+    assert ka_nat._max_cubes < 18
+    for ka in (ka_py, ka_nat):
+        ka.shape = (32, 16, 24)
+    for sl in [np.s_[:, :, :], np.s_[1:31, 3:15, 2:23]]:
+        np.testing.assert_array_equal(ka_nat[sl], ka_py[sl])
+    assert len(ka_nat._cache) == 0    # streamed, not cached
+
+
+def test_knossos_native_u16_f32(rng, tmp_path):
+    from elektronn2_tpu.data import _knossos_native
+    try:
+        _knossos_native.get_lib()
+    except Exception:
+        pytest.skip("no compiler for the native KNOSSOS core")
+    e = 8
+    for dtype in (np.uint16, np.float32):
+        cube = (rng.rand(e, e, e) * 100).astype(dtype)   # (z, x, y)
+        p = tmp_path / f"cube_{np.dtype(dtype).name}.raw"
+        cube.transpose(0, 2, 1).tofile(str(p))           # stored (z, y, x)
+        out = _knossos_native.load_cubes([str(p)], e, dtype)[0]
+        np.testing.assert_array_equal(out, cube)
+
+
+def test_knossos_native_size_mismatch_raises(rng, tmp_path):
+    from elektronn2_tpu.data import _knossos_native
+    try:
+        _knossos_native.get_lib()
+    except Exception:
+        pytest.skip("no compiler for the native KNOSSOS core")
+    p = tmp_path / "bad.raw"
+    p.write_bytes(b"\x00" * (8 ** 3 - 1))   # one byte short
+    with pytest.raises(IOError, match="size mismatch"):
+        _knossos_native.load_cubes([str(p)], 8, np.uint8)
+    p.write_bytes(b"\x00" * (8 ** 3 + 1))   # one byte long
+    with pytest.raises(IOError, match="size mismatch"):
+        _knossos_native.load_cubes([str(p)], 8, np.uint8)
+
+
+def test_knossos_native_unsupported_dtype_falls_back(rng, tmp_path):
+    """auto mode silently uses numpy for dtypes the core doesn't cover;
+    native=True raises a clear error."""
+    from elektronn2_tpu.data import KnossosArray
+    vol = (rng.rand(8, 8, 8) * 255).astype(np.int64)
+    path = write_knossos(tmp_path, vol.astype(np.uint8))
+    # rewrite the one cube as int64 so the numpy path reads it back
+    cube_p = os.path.join(path, "mag1", "x0000", "y0000", "z0000",
+                          "testds_mag1_x0000_y0000_z0000.raw")
+    vol.transpose(0, 2, 1).tofile(cube_p)
+    ka = KnossosArray(path, cube_edge=8, dtype=np.int64)
+    np.testing.assert_array_equal(ka[:, :, :], vol)
+    with pytest.raises(TypeError, match="does not support dtype"):
+        KnossosArray(path, cube_edge=8, dtype=np.int64,
+                     native=True)[:, :, :]
+
+
 def test_knossos_backed_warp(rng, tmp_path):
     """warp_slice over a KnossosArrayMulti: lazy cube reads end-to-end."""
     from elektronn2_tpu.data import KnossosArray
