@@ -243,3 +243,70 @@ class TaggedShape:
     def from_dict(cls, d):
         return cls(d["shape"], d["tags"], d.get("strides"), d.get("fov"),
                    d.get("mfp_offsets"))
+
+
+def make_func(inputs, outputs, name="func", profile_execution=False,
+              train=False):
+    """Compile a callable evaluating ``outputs`` from fed ``inputs``.
+
+    Reference: ``graphutils.py::make_func`` wraps ``theano.function`` with
+    lazy compilation + optional profiling. Here the equivalent is a
+    ``jax.jit``-traced evaluation of the node graph: parameters are
+    gathered from the ancestor nodes' registered initial values and passed
+    as a jit argument (so the compiled program is reusable after parameter
+    updates via the ``params`` keyword).
+
+    Returns a callable ``f(*arrays, params=None)``; with
+    ``profile_execution=True`` wall-clock per call (device-synchronised)
+    accumulates in ``f.exec_times``.
+    """
+    import time
+
+    import jax
+
+    from elektronn2_tpu.neuromancer.node_basic import Node, TraceCtx
+
+    single = isinstance(outputs, Node)
+    outs = [outputs] if single else list(outputs)
+    ins = [inputs] if isinstance(inputs, Node) else list(inputs)
+    for n in ins + outs:
+        if not isinstance(n, Node):
+            raise TypeError(f"make_func takes Nodes, got {n!r}")
+    # ancestor closure over all outputs, parents-before-children
+    seen, order = set(), []
+    for o in outs:
+        for n in o.all_parents():
+            if n.name not in seen:
+                seen.add(n.name)
+                order.append(n)
+    missing = [n.name for n in ins if n.name not in seen]
+    if missing:
+        raise ValueError(f"inputs {missing} are not ancestors of the "
+                         f"requested outputs")
+    init_params = {n.name: {k: np.asarray(v) for k, v in n.params.items()}
+                   for n in order if n.params}
+    node_index = {n.name: i for i, n in enumerate(order)}
+
+    @jax.jit
+    def _compiled(params, *feed):
+        ctx = TraceCtx(params, {n.name: a for n, a in zip(ins, feed)},
+                       train=train, node_index=node_index)
+        vals = [ctx.get(o) for o in outs]
+        return vals[0] if single else tuple(vals)
+
+    def f(*arrays, params=None):
+        if len(arrays) != len(ins):
+            raise TypeError(f"{name} expects {len(ins)} input(s) "
+                            f"({[n.name for n in ins]}), got {len(arrays)}")
+        t0 = time.perf_counter() if profile_execution else None
+        out = _compiled(init_params if params is None else params, *arrays)
+        if profile_execution:
+            jax.block_until_ready(out)
+            f.exec_times.append(time.perf_counter() - t0)
+        return out
+
+    f.__name__ = name
+    f.exec_times = []
+    f.input_nodes = ins
+    f.output_nodes = outs
+    return f

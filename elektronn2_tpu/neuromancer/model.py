@@ -1033,6 +1033,14 @@ def params_from_model_file(fname):
     return params
 
 
+def kernel_lists(model):
+    """Module-level alias of :attr:`Model.kernel_lists` —
+    ``(filter_shapes, pool_shapes, mfp_flags)`` of the model's Conv chain,
+    the triplet ``utils.cnncalculator.cnncalculator`` consumes.
+    Reference: ``model.py::kernel_lists`` (a free function there)."""
+    return model.kernel_lists
+
+
 def rebuild_model(model, override_mfp_to_active=False,
                   imposed_patch_size=None):
     """Rebuild a model's graph from its own spec (e.g. to change patch size

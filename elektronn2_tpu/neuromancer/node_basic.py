@@ -136,6 +136,11 @@ class Node:
     # -- params ----------------------------------------------------------------
     def register_param(self, pname, value, trainable=True, lr_mult=1.0,
                        wd_mult=1.0):
+        from elektronn2_tpu.neuromancer.variables import VariableParam
+        if isinstance(value, VariableParam):   # container carries the flags
+            trainable, lr_mult, wd_mult = (value.trainable, value.lr_mult,
+                                           value.wd_mult)
+            value = value.value
         self.params[pname] = np.asarray(value, dtype=floatX)
         self.param_flags[pname] = {"trainable": bool(trainable),
                                    "lr_mult": float(lr_mult),

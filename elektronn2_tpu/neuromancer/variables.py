@@ -51,3 +51,71 @@ def init_bias(shape, activation_func="relu", value=None):
         value = 0.1 if (isinstance(activation_func, str)
                         and activation_func in RELU_LIKE) else 0.0
     return np.full(shape, value, dtype=floatX)
+
+
+class VariableParam:
+    """Parameter container with layerwise lr/weight-decay flags.
+
+    Reference: ``variables.py::VariableParam`` — a Theano shared variable
+    with ``apply_train``/``apply_reg`` flags. Functionally rebuilt: holds a
+    plain array plus the flags; ``Node.register_param`` accepts one and
+    unwraps it, and the shared-variable surface (``get_value`` /
+    ``set_value``) is kept for reference-style code.
+    """
+
+    trainable_default = True
+
+    def __init__(self, value, name=None, trainable=None, lr_mult=1.0,
+                 wd_mult=1.0, apply_train=None, apply_reg=None,
+                 dtype=floatX):
+        if apply_train is not None and trainable is None:
+            trainable = apply_train        # reference flag name
+        if trainable is None:
+            trainable = self.trainable_default
+        if apply_reg is not None and not apply_reg:
+            wd_mult = 0.0                  # reference: excluded from L2
+        self.value = np.asarray(value, dtype=dtype)
+        self.name = name
+        self.trainable = bool(trainable)
+        self.lr_mult = float(lr_mult)
+        self.wd_mult = float(wd_mult)
+
+    # Theano shared-variable surface
+    def get_value(self):
+        return self.value
+
+    def set_value(self, v):
+        self.value = np.asarray(v, dtype=self.value.dtype)
+
+    @property
+    def shape(self):
+        return self.value.shape
+
+    def __repr__(self):
+        flag = "trainable" if self.trainable else "frozen"
+        return (f"<{type(self).__name__} {self.name or ''} "
+                f"{self.value.shape} {flag}>")
+
+
+class VariableWeight(VariableParam):
+    """Weight parameter; initialises via :func:`init_weight` when given a
+    shape instead of values. Reference: ``variables.py::VariableWeight``."""
+
+    def __init__(self, value=None, shape=None, init_kwargs=None, **kwargs):
+        if value is None:
+            if shape is None:
+                raise ValueError("VariableWeight needs value or shape")
+            ik = dict(init_kwargs or {})
+            rng = ik.pop("rng", None) or np.random.RandomState(0)
+            value = init_weight(rng, shape, **ik)
+        super().__init__(value, **kwargs)
+
+
+class ConstantParam(VariableParam):
+    """Non-trainable parameter (reference: ``variables.py::ConstantParam``)."""
+
+    trainable_default = False
+
+    def __init__(self, value, name=None, dtype=floatX):
+        super().__init__(value, name=name, trainable=False, wd_mult=0.0,
+                         dtype=dtype)

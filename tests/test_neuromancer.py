@@ -712,3 +712,80 @@ def test_repair_fuckup_rolls_back(rng):
     # training continues finitely from the restored state
     lv, _ = m.trainingstep(d, t)
     assert np.isfinite(float(lv))
+
+
+def test_make_func_evaluates_subgraph(rng):
+    """graphutils.make_func compiles an arbitrary node-subset evaluation
+    (reference: graphutils.py::make_func wrapping theano.function)."""
+    from elektronn2_tpu.neuromancer.graphutils import make_func
+    nm.model_manager.reset(seed=0)
+    inp = nm.Input([2, 3, 9, 9], "b,f,x,y", name="raw")
+    h = nm.Conv(inp, 4, (3, 3), (1, 1), name="c0")
+    out = nm.Conv(h, 2, (3, 3), (1, 1), name="c1")
+    f = make_func(inp, [h, out], profile_execution=True)
+    x = rng.randn(2, 3, 9, 9).astype(np.float32)
+    vh, vo = f(x)
+    assert vh.shape == (2, 4, 7, 7) and vo.shape == (2, 2, 5, 5)
+    assert len(f.exec_times) == 1
+    # matches Model-built prediction for the same graph/params
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=out)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(m.predict(x)),
+                               atol=1e-6)
+    # updated params flow through the `params` keyword without recompile
+    import jax.tree_util as jtu
+    p2 = jtu.tree_map(lambda a: a * 0.0, dict(m.params))
+    vo2 = f(x, params=p2)[1]
+    np.testing.assert_array_equal(np.asarray(vo2), 0.0)
+    # single-output / arity-error surfaces
+    fs = make_func(inp, out)
+    assert np.asarray(fs(x)).shape == (2, 2, 5, 5)
+    with pytest.raises(TypeError, match="expects 1 input"):
+        fs(x, x)
+    other = nm.Input([1, 1], "b,f", name="stranger")
+    with pytest.raises(ValueError, match="not ancestors"):
+        make_func(other, out)
+
+
+def test_variable_param_containers(rng):
+    """VariableParam/VariableWeight/ConstantParam carry flags into
+    Node.register_param (reference: variables.py containers)."""
+    from elektronn2_tpu.neuromancer.variables import (
+        VariableParam, VariableWeight, ConstantParam, init_weight)
+    nm.model_manager.reset(seed=0)
+    inp = nm.Input([1, 3], "b,f", name="raw")
+    n = nm.ApplyFunc(inp, lambda x: x, name="holder")
+    w = VariableWeight(shape=(3, 2), init_kwargs={"rng": rng},
+                       lr_mult=0.5, name="w")
+    c = ConstantParam(np.ones(2), name="c")
+    p = VariableParam(np.zeros(2), apply_train=False, apply_reg=False)
+    n.register_param("w", w)
+    n.register_param("c", c)
+    n.register_param("p", p)
+    assert n.param_flags["w"] == {"trainable": True, "lr_mult": 0.5,
+                                  "wd_mult": 1.0}
+    assert n.param_flags["c"]["trainable"] is False
+    assert n.param_flags["p"] == {"trainable": False, "lr_mult": 1.0,
+                                  "wd_mult": 0.0}
+    np.testing.assert_array_equal(n.params["w"], w.get_value())
+    # shared-variable surface round-trips
+    p.set_value(np.full(2, 7.0))
+    np.testing.assert_array_equal(p.get_value(), 7.0)
+    assert p.shape == (2,)
+    # VariableWeight with explicit rng reproduces init_weight
+    w2 = VariableWeight(shape=(3, 2),
+                        init_kwargs={"rng": np.random.RandomState(5)})
+    np.testing.assert_array_equal(
+        w2.value, init_weight(np.random.RandomState(5), (3, 2)))
+    with pytest.raises(ValueError, match="value or shape"):
+        VariableWeight()
+
+
+def test_kernel_lists_module_function():
+    from elektronn2_tpu.neuromancer.model import kernel_lists
+    nm.model_manager.reset(seed=0)
+    inp = nm.Input([1, 1, 10, 10], "b,f,x,y", name="raw")
+    out = nm.Conv(inp, 2, (3, 3), (2, 2), name="c0")
+    m = nm.model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=out)
+    assert kernel_lists(m) == m.kernel_lists
