@@ -142,3 +142,74 @@ def test_reference_deep_module_paths():
     assert callable(fragmentpool) and callable(fragments2dense)
     assert callable(softmax) and callable(seg_to_affgraph)
     assert callable(compute_V_rand_N2) and callable(pretty_string_time)
+
+
+SURFACE = {
+    "elektronn2.neuromancer": [
+        "Input", "Input_like", "Conv", "UpConv", "Crop", "Concat", "Pool",
+        "Perceptron", "Dot", "GRU", "LSTM", "FragmentsToDense",
+        "FaithlessMerge", "GaussianRV", "ScanN", "SkelLoss", "SkelPrior",
+        "SkelGetBatch", "MultinoulliNLL", "BinaryNLL", "GaussianNLL",
+        "SquaredLoss", "AbsLoss", "AggregateLoss", "Softmax", "Errors",
+        "MalisNLL", "ApplyFunc", "ValueNode", "MultMerge",
+        "InitialState_like", "GenericInput", "FromTensor", "split",
+        "model_manager"],
+    "elektronn2.neuromancer.model": [
+        "Model", "modelload", "rebuild_model", "simple_cnn",
+        "params_from_model_file", "kernel_lists"],
+    "elektronn2.neuromancer.optimiser": [
+        "SGD", "Adam", "AdaGrad", "AdaDelta", "Optimiser"],
+    "elektronn2.neuromancer.graphutils": [
+        "TaggedShape", "make_func", "as_floatX", "floatX"],
+    "elektronn2.neuromancer.variables": [
+        "VariableParam", "VariableWeight", "ConstantParam"],
+    "elektronn2.data.cnndata": ["BatchCreatorImage", "GridData",
+                                "AgentData"],
+    "elektronn2.data.transformations": [
+        "warp_slice", "get_tracing_slice", "map_coordinates_nearest",
+        "map_coordinates_linear", "WarpingOOBError"],
+    "elektronn2.data.image": ["greyAugment", "ids2barriers",
+                              "smearbarriers", "center_cubes"],
+    "elektronn2.data.knossos_array": ["KnossosArray", "KnossosArrayMulti"],
+    "elektronn2.data.skeleton": ["SkeletonMFK", "Trace", "trace_to_kzip"],
+    "elektronn2.data.tracing_utils": ["Tracer", "CubeShape",
+                                      "ShotgunRegistry"],
+    "elektronn2.data.traindata": ["Data"],
+    "elektronn2.training.trainer": ["Trainer", "TracingTrainer",
+                                    "TracingTrainerRNN"],
+    "elektronn2.training.parallelisation": ["BackgroundProc", "SharedQ",
+                                            "SharedMem"],
+    "elektronn2.training.trainutils": ["HistoryTracker", "Schedule",
+                                       "user_input", "pretty_string_time"],
+    "elektronn2.malis": ["malis_weights"],
+    "elektronn2.malis.malis_utils": ["seg_to_affgraph", "mknhood3d",
+                                     "bmap_to_affgraph"],
+    "elektronn2.utils": ["h5save", "h5load", "picklesave", "pickleload",
+                         "timeit", "cache", "AccumulationArray",
+                         "DynamicKDT"],
+    "elektronn2.utils.cnncalculator": [
+        "cnncalculator", "get_cloesest_valid_patch_size",
+        "get_valid_patch_sizes"],
+    "elektronn2.utils.plotting": ["scroll_plot", "embedfilters", "sma",
+                                  "add_timeticks", "plot_hist"],
+    "elektronn2.utils.locking": ["FileLock"],
+    "elektronn2.utils.gpu": ["initgpu", "get_free_gpu"],
+    "elektronn2.config": ["config"],
+}
+
+
+def test_reference_public_surface_complete():
+    """Locks the reference's public import surface (SURVEY.md section 3
+    symbol anchors) through the compat shim: every module path and symbol
+    a reference user imports must resolve. New gaps fail here instead of
+    at a user's import site."""
+    import importlib
+    missing = []
+    for mod, syms in SURFACE.items():
+        try:
+            m = importlib.import_module(mod)
+        except Exception as e:      # noqa: BLE001 - collect, report all
+            missing.append(f"{mod}: import failed ({e})")
+            continue
+        missing += [f"{mod}.{s}" for s in syms if not hasattr(m, s)]
+    assert not missing, f"reference surface gaps: {missing}"
