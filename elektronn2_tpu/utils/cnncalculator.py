@@ -210,3 +210,24 @@ def get_cloesest_valid_patch_size(filters, poolings, desired_patch_size=100,
 
 # correctly-spelled alias (new)
 get_closest_valid_patch_size = get_cloesest_valid_patch_size
+
+
+# The package re-exports the *function* ``cnncalculator`` from
+# ``elektronn2_tpu.utils``; any later ``import elektronn2_tpu.utils.
+# cnncalculator`` (e.g. through the ``elektronn2.*`` alias surface) rebinds
+# that package attribute to this *module*, silently shadowing the function.
+# Make the module itself callable so both import forms keep working
+# regardless of import order.
+def _make_module_callable():
+    import sys
+    import types
+
+    class _CallableModule(types.ModuleType):
+        def __call__(self, *args, **kwargs):
+            return cnncalculator(*args, **kwargs)
+
+    sys.modules[__name__].__class__ = _CallableModule
+
+
+_make_module_callable()
+del _make_module_callable

@@ -213,3 +213,17 @@ def test_reference_public_surface_complete():
             continue
         missing += [f"{mod}.{s}" for s in syms if not hasattr(m, s)]
     assert not missing, f"reference surface gaps: {missing}"
+
+
+def test_cnncalculator_callable_after_submodule_import():
+    """Importing the ``...utils.cnncalculator`` *module* (as the surface
+    lock above does) rebinds the package attribute from the re-exported
+    function to the module; the module is made callable so both import
+    forms keep working in any order (regression: r2 s17)."""
+    import importlib
+    importlib.import_module("elektronn2.utils.cnncalculator")
+    from elektronn2_tpu.utils import cnncalculator as maybe_mod
+    calc = maybe_mod([3, 3], [2, 2], desired_patch_size=21, mfp=True, ndim=1)
+    assert calc.input == 21
+    from elektronn2.utils import cnncalculator as alias_side
+    assert alias_side([3], [2], desired_patch_size=16, ndim=1).input == 16
