@@ -18,6 +18,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 SRC = os.path.join(REPO, "elektronn2_tpu", "malis", "malis_core.cpp")
 WARP_SRC = os.path.join(REPO, "elektronn2_tpu", "data", "warp_core.cpp")
+KNOSSOS_SRC = os.path.join(REPO, "elektronn2_tpu", "data", "knossos_core.cpp")
 
 CHILD = r"""
 import ctypes, sys
@@ -76,6 +77,63 @@ print("warp sanitized cross-check OK")
 """
 
 
+KNOSSOS_CHILD = r"""
+import ctypes, os, sys, tempfile
+import numpy as np
+sys.path.insert(0, {repo!r})
+import elektronn2_tpu.data._knossos_native as kn
+kn._SO = {so!r}
+kn._lib = None
+kn._build = lambda: None          # use the sanitized build as-is
+
+e = 8
+rng = np.random.RandomState(2)
+td = tempfile.mkdtemp()
+paths, raws = [], []
+for i in range(5):
+    raw = (rng.rand(e, e, e) * 255).astype(np.uint8)   # (z, y, x) on disk
+    p = os.path.join(td, "cube%d.raw" % i)
+    raw.tofile(p)
+    paths.append(p); raws.append(raw)
+paths.append(os.path.join(td, "missing.raw"))          # zero-fill path
+raws.append(np.zeros((e, e, e), np.uint8))
+
+cubes = kn.load_cubes(paths, e, np.uint8, n_threads=3)
+for got, raw in zip(cubes, raws):
+    want = raw.transpose(0, 2, 1)                      # -> (z, x, y)
+    assert (got == want).all(), "knossos load != numpy (sanitized)"
+
+out = np.zeros((11, 13, 9), np.uint8)
+# disjoint (grid-aligned) placements with clipping/overhang on every edge;
+# real KNOSSOS cubes never overlap, and overlapping writes would be
+# thread-order-dependent
+offsets = [(-3, 0, 0), (-3, 8, 0), (5, 0, 0), (5, 8, 0), (-3, 0, 8),
+           (5, 0, 8)]
+want = np.zeros_like(out)
+for raw, (dz, dx, dy) in zip(raws, offsets):
+    cube = raw.transpose(0, 2, 1)
+    z0, x0, y0 = max(dz, 0), max(dx, 0), max(dy, 0)
+    z1 = min(dz + e, out.shape[0]); x1 = min(dx + e, out.shape[1])
+    y1 = min(dy + e, out.shape[2])
+    if z1 > z0 and x1 > x0 and y1 > y0:
+        want[z0:z1, x0:x1, y0:y1] = cube[z0 - dz:z1 - dz, x0 - dx:x1 - dx,
+                                         y0 - dy:y1 - dy]
+kn.assemble(paths, offsets, e, out, n_threads=3)
+assert (out == want).all(), "knossos assemble != numpy (sanitized)"
+
+# error path: short file must raise, not overrun
+short = os.path.join(td, "short.raw")
+np.zeros(e ** 3 - 1, np.uint8).tofile(short)
+try:
+    kn.load_cubes([short], e, np.uint8)
+except IOError:
+    pass
+else:
+    raise AssertionError("short cube did not raise under sanitizers")
+print("knossos sanitized cross-check OK")
+"""
+
+
 def main():
     with tempfile.TemporaryDirectory() as td:
         asan_rt = subprocess.run(
@@ -87,7 +145,8 @@ def main():
                    )
         for src, name, child_tpl in (
                 (SRC, "_malis_asan.so", CHILD),
-                (WARP_SRC, "_warp_asan.so", WARP_CHILD)):
+                (WARP_SRC, "_warp_asan.so", WARP_CHILD),
+                (KNOSSOS_SRC, "_knossos_asan.so", KNOSSOS_CHILD)):
             so = os.path.join(td, name)
             cmd = ["g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
                    "-pthread",
