@@ -1,0 +1,364 @@
+#!/usr/bin/env python
+"""Graph-space fuzzer: random neuromancer graphs, cross-checked across
+every dense-serving path and the persistence round-trips.
+
+Why this exists: the per-config equality tests lock the exact graphs they
+were written for; the bug class that review keeps finding (r2 s15: the
+sweep-slab pooling-grid phase shift, the decoder pad_raw M-rounding) lives
+in the *interaction* of graph geometry with the serving paths — exactly
+what a randomized generator covers and hand-written configs don't.
+
+Per seed this builds a random valid model (encoder chains with optional
+anisotropic MFP pooling, crops, grouped softmax heads; or U-Net-style
+decoder graphs with UpConv + FaithlessMerge), then asserts:
+
+  1. fused device sweep (dilated or conv-dense) == overlap-tiled host
+     oracle (``predict_dense(prefer_device=False)``), full-array, since
+     every generated graph has residual stride 1;
+  2. same with ``pad_raw=True`` (probabilistic);
+  3. a randomly drawn equivalent lowering (``set_dilated_impl`` s2bg/zfold
+     or ``set_convdense_impl`` d2s/zfold/ptail) == the default lowering;
+  4. ``save`` -> ``modelload`` replay predicts identically;
+  5. ``rebuild_model`` predicts identically (probabilistic).
+
+Generator-invalid seeds (graph can't be built at any probed patch size)
+are *skipped*, never silently passed; any exception past construction is
+a FAILURE.
+
+Usage:
+    python scripts/fuzz_graphs.py --start 0 --count 50 [--stop-on-fail]
+
+CI runs a fixed slice through tests/test_fuzz_graphs.py; this CLI is for
+longer offline sweeps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ACTIVATIONS = ["relu", "lin", "tanh", "sigmoid"]
+
+
+# --------------------------------------------------------------------------
+# pure shape simulation (per spatial dim) — mirrors the node arithmetic so
+# the generator can probe valid patch sizes without building graphs
+# --------------------------------------------------------------------------
+
+def _sim_dim(ops, size):
+    """Return the output size for one spatial dim, or None if invalid.
+    ops: list of ("conv", f, p, mfp) | ("crop", lo, hi) | ("upconv", p)
+    | ("merge", ops_of_skip_branch_from_fork)."""
+    sizes = {"main": size}
+
+    def run(seq, s):
+        for op in seq:
+            if op[0] == "conv":
+                _, f, p, mfp = op
+                s = s - f + 1
+                if s < 1:
+                    return None
+                if p > 1:
+                    if mfp:
+                        if (s + 1) % p:
+                            return None
+                        s = (s + 1) // p - 1
+                    else:
+                        if s % p:
+                            return None
+                        s //= p
+            elif op[0] == "crop":
+                s = s - op[1] - op[2]
+                if s < 1:
+                    return None
+            elif op[0] == "upconv":
+                s *= op[1]
+            elif op[0] == "merge":
+                skip = run(op[1], sizes["fork"])
+                if skip is None:
+                    return None
+                s = min(s, skip)
+            elif op[0] == "fork":
+                sizes["fork"] = s
+            else:
+                raise AssertionError(op)
+        return s
+
+    return run(ops, size)
+
+
+def _probe_patch(ops_per_dim, lo=1, hi=48):
+    """Smallest valid input size per dim (independent dims), or None."""
+    out = []
+    for ops in ops_per_dim:
+        for s in range(lo, hi + 1):
+            r = _sim_dim(ops, s)
+            if r is not None and r >= 1:
+                out.append(s)
+                break
+        else:
+            return None
+    return out
+
+
+# --------------------------------------------------------------------------
+# generator
+# --------------------------------------------------------------------------
+
+class SkipSeed(Exception):
+    """Generator produced an unbuildable genotype — skip, don't fail."""
+
+
+def build_random_model(seed):
+    """Build a random valid model. Returns (model, info) or raises
+    SkipSeed. All generated graphs have residual output stride 1 (every
+    decimating pool is either MFP'd or undone by an UpConv), so dense
+    outputs are directly comparable across all serving paths."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+
+    rng = np.random.RandomState(seed)
+    ndim = int(rng.choice([2, 3]))
+    tags = "b,f,z,x,y" if ndim == 3 else "b,f,x,y"
+    n_ch = int(rng.randint(1, 3))
+    decoder = bool(rng.rand() < 0.4)
+
+    # ---- genotype: per-layer specs + per-dim op lists for the size probe
+    layers = []          # ("conv", n_f, filt(list), pool(list), mfp, act)
+    ops_dims = [[] for _ in range(ndim)]
+
+    def add_conv(n_f, filt, pool, mfp, act):
+        layers.append(("conv", n_f, filt, pool, mfp, act))
+        for d in range(ndim):
+            ops_dims[d].append(("conv", filt[d], pool[d], mfp))
+
+    n_enc = int(rng.randint(1, 4))
+    pooled = False
+    for i in range(n_enc):
+        filt = [int(rng.randint(1, 4)) for _ in range(ndim)]
+        if ndim == 3 and rng.rand() < 0.5:
+            filt[0] = 1                         # anisotropic EM-style layer
+        pool = [1] * ndim
+        want_pool = rng.rand() < 0.5 and not (decoder and pooled)
+        if want_pool:
+            pool = [2] * ndim
+            if ndim == 3 and rng.rand() < 0.5:
+                pool[0] = 1                     # anisotropic pooling
+            pooled = True
+        mfp = bool(any(p > 1 for p in pool) and not decoder)
+        act = ACTIVATIONS[rng.randint(len(ACTIVATIONS))]
+        add_conv(int(rng.randint(2, 6)), filt, pool, mfp, act)
+        if not decoder and rng.rand() < 0.2:
+            lo, hi = int(rng.randint(0, 2)), int(rng.randint(0, 2))
+            if lo or hi:
+                layers.append(("crop", lo, hi))
+                for d in range(ndim):
+                    ops_dims[d].append(("crop", lo, hi))
+
+    up_pool = None
+    if decoder:
+        if not pooled:                          # force exactly one pooling
+            filt = [int(rng.randint(1, 3)) for _ in range(ndim)]
+            pool = [2] * ndim
+            if ndim == 3 and rng.rand() < 0.5:
+                pool[0] = 1
+            add_conv(int(rng.randint(2, 6)), filt, pool, False, "relu")
+            pooled = True
+        # fork point = input side; skip arm is everything before the first
+        # pooled conv; merge after UpConv. Simplest faithful structure:
+        # skip = output of the last pre-pool layer. Rebuild the op lists
+        # with an explicit fork marker before the first pooled conv.
+        new_ops = [[] for _ in range(ndim)]
+        fork_placed = False
+        for li, spec in enumerate(layers):
+            if (spec[0] == "conv" and any(p > 1 for p in spec[3])
+                    and not fork_placed):
+                for d in range(ndim):
+                    new_ops[d].append(("fork",))
+                fork_placed = True
+                fork_layer = li
+            for d in range(ndim):
+                if spec[0] == "conv":
+                    new_ops[d].append(("conv", spec[2][d], spec[3][d],
+                                       spec[4]))
+                else:
+                    new_ops[d].append(("crop", spec[1], spec[2]))
+        ops_dims = new_ops
+        up_pool = layers[fork_layer][3]         # undo exactly that pooling
+        for d in range(ndim):
+            ops_dims[d].append(("upconv", up_pool[d]))
+            ops_dims[d].append(("merge", []))   # skip arm: identity at fork
+        # post-merge conv head (kz may be >1)
+        post_filt = [int(rng.randint(1, 3)) for _ in range(ndim)]
+        layers.append(("postconv", int(rng.randint(2, 6)), post_filt))
+        for d in range(ndim):
+            ops_dims[d].append(("conv", post_filt[d], 1, False))
+
+    # head: 1x1 conv to n_out (+ optional grouped softmax)
+    n_groups = 2 if rng.rand() < 0.2 else 1
+    n_out = n_groups * int(rng.randint(2, 4))
+    for d in range(ndim):
+        ops_dims[d].append(("conv", 1, 1, False))
+
+    patch = _probe_patch(ops_dims)
+    if patch is None:
+        raise SkipSeed(f"no valid patch size for seed {seed}")
+    # a little headroom above the minimum (keeps runtime bounded but
+    # exercises non-minimal geometry)
+    patch = [p + int(rng.randint(0, 3)) * (2 if pooled else 1)
+             for p in patch]
+    if any(_sim_dim(ops_dims[d], patch[d]) is None for d in range(ndim)):
+        patch = _probe_patch(ops_dims)          # headroom broke validity
+
+    # ---- build
+    model_manager.reset(seed=seed)
+    try:
+        inp = nm.Input([1, n_ch] + list(patch), tags, name="raw")
+        x = inp
+        fork_node = None
+        li = 0
+        for spec in layers:
+            if spec[0] == "conv":
+                _, n_f, filt, pool, mfp, act = spec
+                if decoder and fork_node is None \
+                        and any(p > 1 for p in pool):
+                    fork_node = x
+                x = nm.Conv(x, n_f, filt, pool, mfp=mfp,
+                            activation_func=act, name=f"c{li}")
+            elif spec[0] == "crop":
+                x = nm.Crop(x, [(spec[1], spec[2])] * ndim, name=f"crop{li}")
+            elif spec[0] == "postconv":
+                pass                            # handled after merge below
+            li += 1
+        if decoder:
+            x = nm.UpConv(x, int(rng.randint(2, 6)), up_pool,
+                          activation_func="relu", name="up")
+            x = nm.FaithlessMerge(x, fork_node, name="mg")
+            post = [s for s in layers if s[0] == "postconv"][0]
+            x = nm.Conv(x, post[1], post[2], 1, activation_func="relu",
+                        name="post")
+        x = nm.Conv(x, n_out, 1, 1, activation_func="lin", name="head")
+        probs = nm.Softmax(x, n_indep=n_groups, name="probs")
+        m = model_manager.getmodel(f"fuzz{seed}")
+        m.designate_nodes(input_node=inp, prediction_node=probs)
+    except ValueError as e:
+        raise SkipSeed(f"seed {seed} build rejected: {e}")
+
+    info = {"seed": seed, "ndim": ndim, "decoder": decoder, "patch": patch,
+            "n_ch": n_ch, "layers": len(layers), "pooled": pooled}
+    return m, info
+
+
+# --------------------------------------------------------------------------
+# per-seed check
+# --------------------------------------------------------------------------
+
+def check_seed(seed, verbose=False):
+    """Run all cross-checks for one seed. Returns a list of failure
+    strings (empty = pass). Raises SkipSeed for unbuildable genotypes."""
+    import jax.numpy as jnp
+    from elektronn2_tpu.neuromancer.model import modelload, rebuild_model
+
+    m, info = build_random_model(seed)
+    rng = np.random.RandomState(seed + 1)
+    ndim, patch = info["ndim"], info["patch"]
+    extra = [int(rng.randint(0, 4)) for _ in range(ndim)]
+    # the device sweep requires V >= fov (documented, raises otherwise);
+    # the host oracle requires V >= patch — generate volumes valid for both
+    fov = [int(f) for f in m.prediction_node.shape.fov]
+    V = [max(p, f) + e for p, f, e in zip(patch, fov, extra)]
+    raw = rng.rand(info["n_ch"], *V).astype(np.float32)
+    if verbose:
+        print(f"seed {seed}: {info}  V={V}", flush=True)
+
+    fails = []
+
+    def record(name, a, b, atol):
+        if a.shape != b.shape:
+            fails.append(f"seed {seed} [{name}]: shape {a.shape} vs "
+                         f"{b.shape} ({info})")
+            return
+        d = float(np.max(np.abs(a - b))) if a.size else 0.0
+        if not np.allclose(a, b, atol=atol):
+            fails.append(f"seed {seed} [{name}]: max|diff|={d:.3e} "
+                         f"(atol {atol}) ({info})")
+
+    host = m.predict_dense(raw, prefer_device=False)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    record("device vs host oracle", dev, host, 1e-5)
+
+    if rng.rand() < 0.6:
+        host_p = m.predict_dense(raw, pad_raw=True, prefer_device=False)
+        dev_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
+                                                  pad_raw=True))
+        record("pad_raw device vs host", dev_p, host_p, 1e-5)
+
+    # an equivalent lowering, drawn at random
+    if info["decoder"]:
+        m.set_convdense_impl(upconv="d2s", zfold=bool(rng.rand() < 0.7),
+                             ptail=bool(rng.rand() < 0.5))
+        alt = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+        record("convdense d2s/zfold/ptail vs default", alt, dev, 1e-5)
+        m.set_convdense_impl()                      # restore defaults
+    elif ndim == 3:
+        impl = ["s2b", "s2bg", "direct"][rng.randint(3)]
+        zfold = bool(rng.rand() < 0.5)
+        m.set_dilated_impl(impl, zfold=zfold)
+        alt = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+        record(f"dilated {impl} zfold={zfold} vs direct", alt, dev, 1e-5)
+        m.set_dilated_impl("direct")
+
+    # persistence round-trips
+    with tempfile.TemporaryDirectory() as td:
+        f = os.path.join(td, "m.mdl")
+        m.save(f)
+        m2 = modelload(f)
+        dev2 = np.asarray(m2.predict_dense_device(jnp.asarray(raw)))
+        record("modelload replay", dev2, dev, 1e-6)
+    if rng.rand() < 0.5:
+        m3 = rebuild_model(m)
+        dev3 = np.asarray(m3.predict_dense_device(jnp.asarray(raw)))
+        record("rebuild_model", dev3, dev, 1e-6)
+
+    return fails
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--count", type=int, default=50)
+    ap.add_argument("--stop-on-fail", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    n_pass = n_skip = 0
+    all_fails = []
+    for seed in range(args.start, args.start + args.count):
+        try:
+            fails = check_seed(seed, verbose=args.verbose)
+        except SkipSeed as e:
+            n_skip += 1
+            if args.verbose:
+                print(f"SKIP {e}", flush=True)
+            continue
+        if fails:
+            all_fails += fails
+            for f in fails:
+                print(f"FAIL {f}", flush=True)
+            if args.stop_on_fail:
+                break
+        else:
+            n_pass += 1
+            print(f"pass seed {seed}", flush=True)
+    print(f"\n{n_pass} passed, {n_skip} skipped, {len(all_fails)} failures")
+    sys.exit(1 if all_fails else 0)
+
+
+if __name__ == "__main__":
+    main()
