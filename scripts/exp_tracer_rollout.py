@@ -89,7 +89,10 @@ def main():
         t0 = time.perf_counter()
         traj, alive = fn(model.params, model.state, tracer.volume, seeds)
         traj.block_until_ready()
-        compile_s = time.perf_counter() - t0
+        # first call = compile + one full K-step rollout; label it as such
+        # (fn is a plain jitted callable; lower().compile() would skip the
+        # rollout but the combined number is what a cold user pays anyway)
+        first_call_s = time.perf_counter() - t0
         # double warm-up (first window after compile reads low — bench.py)
         for _ in range(2):
             traj, alive = fn(model.params, model.state, tracer.volume,
@@ -105,27 +108,50 @@ def main():
             dt = (time.perf_counter() - t0) / args.repeats
             best = dt if best is None else min(best, dt)
         sps = B * K / best
-        results.append((B, best, sps))
+        # `alive` marks agents still in bounds at the final step; agents
+        # that left the volume early stop contributing useful steps, so
+        # report the alive fraction and an alive-scaled effective rate —
+        # the raw sps alone would overstate rollout throughput.
+        alive_frac = float(jnp.mean(alive.astype(jnp.float32)))
+        eff_sps = sps * alive_frac
+        results.append((B, best, sps, alive_frac, eff_sps))
         assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectory"
         print(f"B={B:5d}  K={K}  rollout {best * 1e3:8.2f} ms  "
-              f"{sps / 1e3:10.1f} K agent-steps/s  "
-              f"({best / K * 1e6:7.1f} us/step/batch; compile {compile_s:.1f}s)")
+              f"{sps / 1e3:10.1f} K agent-steps/s  alive {alive_frac:4.2f}  "
+              f"eff {eff_sps / 1e3:10.1f} K/s  "
+              f"({best / K * 1e6:7.1f} us/step/batch; "
+              f"first call {first_call_s:.1f}s)")
 
-    # host Tracer floor: one program dispatch per voxel step
+    # host Tracer floor: one program dispatch per voxel step.  An untrained
+    # model can emit |step| < 1e-4 and terminate after one step, which would
+    # make ms/agent-step a one-dispatch noisy sample — so average over
+    # several seeds and only count traces that actually ran.
     vol_np = np.asarray(vol)
     ht = Tracer(model, vol_np, max_steps=args.host_steps)
-    seed = np.full((3,), args.vol / 2.0)
-    ht.trace(seed)                       # warm-up/compile
-    t0 = time.perf_counter()
-    tr = ht.trace(seed)
-    host_dt = (time.perf_counter() - t0) / max(len(tr.coords) - 1, 1)
-    print(f"host Tracer: {host_dt * 1e3:.1f} ms/agent-step "
-          f"({1.0 / host_dt:.1f} agent-steps/s, single agent)")
+    ht.trace(np.full((3,), args.vol / 2.0))      # warm-up/compile
+    tot_t, tot_steps = 0.0, 0
+    for s in range(4):
+        seed = np.asarray(rng.uniform(args.vol * 0.3, args.vol * 0.7, (3,)))
+        t0 = time.perf_counter()
+        tr = ht.trace(seed)
+        dt = time.perf_counter() - t0
+        steps = len(tr.coords) - 1
+        if steps >= max(args.host_steps // 2, 1):
+            tot_t += dt
+            tot_steps += steps
+    assert tot_steps > 0, (
+        "every host trace terminated early (|step| < threshold); "
+        "host floor sample would be meaningless")
+    host_dt = tot_t / tot_steps
+    print(f"host Tracer: {host_dt * 1e3:.1f} ms/agent-step over "
+          f"{tot_steps} steps ({1.0 / host_dt:.1f} agent-steps/s, "
+          f"single agent)")
 
-    bB, _, bsps = max(results, key=lambda r: r[2])
-    print(f"\nbest fused: {bsps / 1e6:.2f} M agent-steps/s at B={bB} "
+    bB, _, bsps, bal, beff = max(results, key=lambda r: r[4])
+    print(f"\nbest fused: {bsps / 1e6:.2f} M agent-steps/s raw, "
+          f"{beff / 1e6:.2f} M effective (alive {bal:.2f}) at B={bB} "
           f"(vs host floor {1.0 / host_dt:.1f}/s -> "
-          f"{bsps * host_dt:.0f}x per-chip)")
+          f"{beff * host_dt:.0f}x per-chip effective)")
 
 
 if __name__ == "__main__":
