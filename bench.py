@@ -27,9 +27,26 @@ import numpy as np
 
 WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "900"))
 _done = threading.Event()
-_best_so_far = {"value": 0.0, "impl": None}     # updated as impls complete
+_best_so_far = {"value": 0.0, "impl": None,     # updated as impls complete
+                "train_it_s": None, "train_impl": None,
+                "train_Mvox_in_s": None}
 _emit_lock = threading.Lock()
 _emitted = False
+
+
+def _git_sha():
+    """Short SHA of the measured tree, stamped into .bench_last_good.json
+    so a stale fallback names WHICH code produced its number (r2's stale
+    capture could not be tied to a commit)."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
 
 
 def _emit(payload):
@@ -78,12 +95,16 @@ def _stale_payload(reason):
         "stale": True,
         "note": f"{reason}; value is the last recorded on-chip "
                 f"measurement ({lg.get('when', 'unknown date')}, "
-                f".bench_last_good.json) — the tunnel outage is the "
-                f"environment, not the framework (ROUND2_NOTES.md)",
+                f"git {lg.get('git_sha', '?')}, .bench_last_good.json) — "
+                f"the tunnel outage is the environment, not the framework "
+                f"(ROUND2_NOTES.md)",
     }
     if lg.get("f32_impl"):
         payload["f32_value"] = lg["f32_value"]
         payload["f32_impl"] = lg["f32_impl"]
+    for k in ("train_it_s", "train_impl", "train_Mvox_in_s"):
+        if lg.get(k) is not None:
+            payload[k] = lg[k]
     return payload
 
 
@@ -98,12 +119,17 @@ def _watchdog():
         return
     v = _best_so_far["value"]
     if v:
-        _emit({
+        payload = {
             "metric": "mfp_dense_inference", "value": round(v, 2),
             "unit": "Mvox/s/chip", "vs_baseline": round(v, 2),
             "note": f"watchdog fired after {WATCHDOG_S}s — reporting "
                     f"completed impl={_best_so_far['impl']}",
-        })
+        }
+        if _best_so_far["train_it_s"]:
+            payload["train_it_s"] = _best_so_far["train_it_s"]
+            payload["train_impl"] = _best_so_far["train_impl"]
+            payload["train_Mvox_in_s"] = _best_so_far["train_Mvox_in_s"]
+        _emit(payload)
     else:
         _emit(_stale_payload(
             f"tunnel wedged: watchdog fired after {WATCHDOG_S}s with no "
@@ -149,6 +175,51 @@ def _sustained(call, K):
         assert _np.isfinite(checksum)
         best_dt = dt if best_dt is None else min(best_dt, dt)
     return out, best_dt
+
+
+def _train_metric():
+    """Measure fused-training throughput; returns the train_* fields.
+
+    Mirrors the reference's second headline (``elektronn2-profile`` times
+    trainingstep as well as predict — SURVEY §7): it/s over the
+    neuro3d-class model at batch 4 with ``fused_steps=16`` and device
+    augmentation, best-of-2 sustained windows after a double warm-up.
+    """
+    import time as _time
+
+    from elektronn2_tpu.ops.warp import DeviceBatchAugmenter
+    from elektronn2_tpu.training.fused_loop import FusedTrainLoop
+    from scripts.bench_tpu_pending import _neuro3d_model
+
+    rng = np.random.RandomState(0)
+    raws = [rng.rand(1, 48, 128, 128).astype(np.float32) for _ in range(2)]
+    labs = [(rng.rand(48, 128, 128) > 0.5).astype(np.int16)
+            for _ in range(2)]
+    B = int(os.environ.get("BENCH_TRAIN_B", "4"))
+    n_inner = int(os.environ.get("BENCH_TRAIN_K", "16"))
+    chunks = int(os.environ.get("BENCH_TRAIN_CHUNKS", "4"))
+    model, pin, pout, stride = _neuro3d_model(B, bf16=False)
+    aug = DeviceBatchAugmenter(raws, labs, patch_size=pin,
+                               target_size=pout, target_strides=stride,
+                               grey_channels=[0], seed=0)
+    loop = FusedTrainLoop(model, aug, batch_size=B, n_inner=n_inner,
+                          warp=0.5, seed=0)
+    losses, _ = loop.run_chunk()             # compile + first dispatch
+    losses, _ = loop.run_chunk()             # second warm-up (reads low)
+    best_dt = None
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        for _ in range(chunks):
+            losses, _ = loop.run_chunk()
+        dt = (_time.perf_counter() - t0) / (chunks * n_inner)
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    assert np.isfinite(np.asarray(losses)).all()
+    return {
+        "train_it_s": round(1.0 / best_dt, 1),
+        "train_impl": f"fused{n_inner},b{B},f32,devaug",
+        "train_Mvox_in_s": round(
+            B * float(np.prod(pin)) / best_dt / 1e6, 2),
+    }
 
 
 def main():
@@ -319,6 +390,23 @@ def main():
             _best_so_far.update(value=mvox, impl=best[1])
     except Exception:
         pass
+
+    # --- second driver metric: 3D-CNN fused-training iters/sec ---------
+    # BASELINE.json names train it/s co-equal with dense inference; until
+    # r3 it never reached a BENCH artifact. neuro3d-class net (reference
+    # examples/neuro3d.py shape math), batch 4, fused_steps=16 (one
+    # dispatch + one host sync per 16 optimiser steps — the production
+    # FusedTrainLoop), device warp+grey augmentation in the loop,
+    # parity-grade f32 (bf16 measured a wash for this regime:
+    # docs/tpu_performance.md "training is dispatch/fusion-bound").
+    # Protocol mirrors _sustained: compile chunk, second warm-up chunk,
+    # best-of-2 timed windows of `chunks` back-to-back chunks.
+    try:
+        train_payload = _train_metric()
+        _best_so_far.update(train_payload)
+    except Exception:
+        train_payload = None
+
     _done.set()
     payload = {
         "metric": "mfp_dense_inference",
@@ -332,6 +420,14 @@ def main():
         # alongside the bf16 serving-mode headline
         payload["f32_value"] = round(best_f32[0], 2)
         payload["f32_impl"] = best_f32[1]
+    if train_payload:
+        payload.update(train_payload)
+    elif (lg := _load_last_good()) and lg.get("train_it_s"):
+        # train leg failed this run (e.g. watchdog margin) — carry the
+        # last measured value, labelled
+        payload["train_it_s"] = lg["train_it_s"]
+        payload["train_impl"] = lg["train_impl"] + ",stale"
+        payload["train_Mvox_in_s"] = lg.get("train_Mvox_in_s")
     if best[0] == 0.0:
         payload = _stale_payload("all contenders failed (tunnel/"
                                  "compile-helper outage)") or dict(
@@ -340,12 +436,21 @@ def main():
             "(131 Mvox/s measured)")
     else:
         # persist for the wedged-tunnel fallback paths above (incl. the
-        # parity-grade f32 number so a stale report keeps both)
+        # parity-grade f32 number so a stale report keeps both), stamped
+        # with the git SHA the measurement came from
         lg = {"value": round(best[0], 2), "impl": best[1],
-              "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}
+              "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+              "git_sha": _git_sha()}
         if best_f32[1] is not None:
             lg["f32_value"] = round(best_f32[0], 2)
             lg["f32_impl"] = best_f32[1]
+        if train_payload:
+            lg.update(train_payload)
+        else:
+            prev = _load_last_good() or {}
+            for k in ("train_it_s", "train_impl", "train_Mvox_in_s"):
+                if prev.get(k) is not None:
+                    lg[k] = prev[k]
         _save_last_good(lg)
     _emit(payload)
 
