@@ -76,6 +76,7 @@ class GraphManager:
         self.node_count = 0
         self._rng = np.random.RandomState(0)
         self.designations = {}
+        self._models = []        # weakrefs to Models built on this graph
 
     # -- construction-time services ----------------------------------------
     def reset(self, seed=0):
@@ -84,6 +85,21 @@ class GraphManager:
         self.node_count = 0
         self.designations = {}
         self._rng = np.random.RandomState(seed)
+        self._models = []
+
+    def register_model(self, model):
+        import weakref
+        self._models.append(weakref.ref(model))
+
+    def last_model(self):
+        """Most recently constructed still-alive Model on this graph (used
+        by ``Node.predict_dense`` to delegate node-level inference —
+        reference hangs that method off ``node_basic.py::Node``)."""
+        for ref in reversed(self._models):
+            m = ref()
+            if m is not None:
+                return m
+        return None
 
     def unique_name(self, name):
         if name not in self.nodes and name not in self._name_counters:

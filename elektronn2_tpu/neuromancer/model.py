@@ -90,6 +90,7 @@ class Model:
         self._rng_key = jax.random.PRNGKey(0)
         self._step_count = 0
         self._node_index = {name: i for i, name in enumerate(self.nodes)}
+        graph_manager.register_model(self)
 
     # ------------------------------------------------------------ designation
     def designate_nodes(self, input_node=None, target_node=None,

@@ -179,6 +179,43 @@ class Node:
             "Nodes are declarative specs; build a Model and use "
             "model.predict / model.trainingstep (reference semantics)")
 
+    def predict_dense(self, raw_img, pad_raw=False, as_uint8=False,
+                      tile_batch=1, verbose=False, prefer_device=True,
+                      device_budget=4 << 30):
+        """Dense prediction with THIS node as the output map.
+
+        Reference surface: ``node_basic.py::Node.predict_dense`` hangs
+        dense inference off the output node (SURVEY §4.B). Here the
+        machinery lives on the owning :class:`Model` (params/state are
+        functional model attributes, not graph state) — this shim finds
+        the most recent live model on the node's graph and delegates,
+        temporarily presenting this node as the dense output when it is
+        not the designated prediction node.
+        """
+        model = self._gm.last_model()
+        if model is None:
+            raise RuntimeError(
+                f"no Model has been built on the graph of node "
+                f"{self.name!r}; call model_manager.getmodel() (and "
+                f"designate_nodes) before node-level predict_dense")
+        kw = dict(pad_raw=pad_raw, as_uint8=as_uint8,
+                  tile_batch=tile_batch, verbose=verbose,
+                  prefer_device=prefer_device, device_budget=device_budget)
+        if model.prediction_node is self:
+            return model.predict_dense(raw_img, **kw)
+        # swap this node in as the dense output; the compiled-fn caches
+        # are keyed on the designated graph, so stash and restore them
+        # rather than invalidating the model's real serving caches
+        prev = model.prediction_node
+        prev_pred, prev_dil = model._predict_fns, model._dilated_fns
+        model.prediction_node = self
+        model._predict_fns, model._dilated_fns = {}, {}
+        try:
+            return model.predict_dense(raw_img, **kw)
+        finally:
+            model.prediction_node = prev
+            model._predict_fns, model._dilated_fns = prev_pred, prev_dil
+
     def __repr__(self):
         sh = tuple(self.shape) if self.shape is not None else "?"
         return (f"<{type(self).__name__} {self.name!r} shape={sh} "

@@ -166,6 +166,27 @@ def test_predict_dense_pad_raw_full_coverage(rng):
     assert out2.shape == (2, 40 - fov + 1, 40 - fov + 1)
 
 
+def test_node_level_predict_dense(rng):
+    """Reference surface: ``Node.predict_dense`` (node_basic.py) — the
+    designated prediction node delegates to the model path verbatim, and
+    an INTERMEDIATE node serves its own dense feature map while the
+    model's designation and serving caches stay untouched."""
+    model = build_seg_model(batch=1, patch=(16, 16))
+    raw = rng.randn(1, 40, 40).astype(np.float32)
+    want = np.asarray(model.predict_dense(raw, pad_raw=True))
+    pred = model.prediction_node
+    got = np.asarray(pred.predict_dense(raw, pad_raw=True))
+    np.testing.assert_array_equal(want, got)
+    # intermediate node: its dense map has that node's channel count
+    mid = model.nodes["c1"]
+    mid_map = np.asarray(mid.predict_dense(raw))
+    assert mid_map.shape[0] == mid.shape["f"]
+    # the model is untouched: designation restored, original output again
+    assert model.prediction_node is pred
+    np.testing.assert_array_equal(
+        want, np.asarray(model.predict_dense(raw, pad_raw=True)))
+
+
 def test_predict_dense_tile_batching_identical(rng):
     model = build_seg_model(batch=1, patch=(16, 16))
     raw = rng.randn(1, 40, 40).astype(np.float32)
