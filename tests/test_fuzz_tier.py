@@ -1,0 +1,58 @@
+"""Fuzz + sanitizer cross-checks as collected suite members.
+
+SURVEY §5 names property/fuzz coverage as a test-strategy gap the rebuild
+fills; until r3 the graph-space fuzzer (``scripts/fuzz_graphs.py``) and the
+native-core sanitizer harness (``scripts/check_native_sanitized.py``) were
+manual scripts outside the pytest gate. This module makes a deterministic
+short tier of each a permanent member, so "tests green" implies the
+cross-checks ran.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def test_graph_fuzz_deterministic_tier():
+    """Fixed-seed slice of the graph-space fuzzer: random node graphs
+    (conv/pool/mfp/decoder families, 1-3D) cross-checked device-vs-host,
+    across equivalent lowerings, and through save/load + rebuild replay.
+    Seeds are FIXED so the gate is deterministic; the long-budget campaign
+    stays in scripts/fuzz_graphs.py (run with --count for hundreds)."""
+    from scripts.fuzz_graphs import SkipSeed, check_seed
+
+    fails, n_run = [], 0
+    for seed in range(10):
+        try:
+            fails += check_seed(seed)
+            n_run += 1
+        except SkipSeed:
+            continue
+    # the genotype space intentionally produces some unbuildable seeds;
+    # the tier must still exercise a real sample of buildable ones
+    assert n_run >= 5, f"only {n_run}/10 seeds buildable — generator drift?"
+    assert not fails, "\n".join(fails)
+
+
+@pytest.mark.slow
+def test_native_cores_under_sanitizers():
+    """Build all three C++ cores (malis, warp, knossos) with
+    ASan+UBSan and run their numpy-oracle cross-checks in a child
+    interpreter (LD_PRELOAD'd runtime). Wraps
+    scripts/check_native_sanitized.py so the 'tests green' gate includes
+    memory-safety coverage of the native code."""
+    if not subprocess.run(["g++", "--version"], capture_output=True).returncode == 0:
+        pytest.skip("g++ unavailable")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "check_native_sanitized.py")],
+        capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, (
+        f"sanitizer harness failed (rc {r.returncode}):\n"
+        f"{r.stdout[-4000:]}\n{r.stderr[-4000:]}")
