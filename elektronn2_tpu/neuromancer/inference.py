@@ -118,29 +118,113 @@ def _functor_spatially_elementwise(node, n_ch):
     return ok
 
 
-def _tile_geometry(V, tile_in, g, dense_sp, fov, nsp):
+def _tile_geometry(V, tile_in, g, dense_sp, fov, nsp, L=None):
     """Shared overlap-tiling arithmetic for the host (``predict_dense``)
     and device (``predict_dense_device`` fallback) tiled sweeps. Kept in
     ONE place on purpose: the device path is the oracle-equivalent of the
     host path only while this geometry stays bit-identical (review r2
     s5 — the two previously carried near-verbatim copies).
 
+    ``L`` is the tile-ORIGIN alignment period (default ``g``): decoder
+    (UpConv) graphs are shift-equivariant only modulo the valid-size
+    period M, so their tile origins must stay on the lcm(g, M) grid — a
+    clamped last tile at an off-grid origin phase-shifts its pooling grid
+    and disagrees with the whole-volume conv-dense run (found by the r3
+    graph fuzzer, seed 6: 5.9e-2 divergence). See ``_origin_period``.
+
     Returns ``(pad_r, out_total, origins)``: right-alignment padding per
-    dim (so the last tile lands on the dense grid), total dense output
-    extents, and the g-aligned, volume-clamped tile input origins."""
-    pad_r = [(g[d] - (V[d] - tile_in[d]) % g[d]) % g[d] for d in range(nsp)]
+    dim (so the last, clamped tile lands on the L grid — which embeds the
+    dense grid, L being a g-multiple), total dense output extents, and
+    the volume-clamped tile input origins."""
+    L = list(g) if L is None else L
+    span = []
+    for d in range(nsp):
+        s = dense_sp[d] * g[d]          # input-units dense extent per tile
+        if s >= L[d]:
+            # step on the L grid, never past the tile's own coverage
+            s = (s // L[d]) * L[d]
+        else:
+            # degenerate: the tile emits less than one period of outputs —
+            # L-aligned origins cannot cover the volume; keep the legacy
+            # g-aligned stepping (best-effort, documented approximation)
+            L[d] = g[d]
+        span.append(s)
+    pad_r = [(L[d] - (V[d] - tile_in[d]) % L[d]) % L[d] for d in range(nsp)]
     Vp = [v + p for v, p in zip(V, pad_r)]
+    # coverage guarantee: the farthest tile (origin Vp - tile_in) covers
+    # outputs up to (Vp - tile_in)/g + dense_sp - 1, which must reach the
+    # extent REQUIRED from the volume as given, R = (V - fov)/g + 1.
+    # Merge-crop-deficit graphs (per-tile dense output smaller than the
+    # per-tile valid extent) violate this without extra right padding —
+    # the stitch buffer's np.empty tail then leaks garbage (latent
+    # pre-r3 bug, exposed by the r3 verify drive). Pad right (reflect,
+    # L-aligned) until the last tile reaches R.
+    for d in range(nsp):
+        R = (V[d] - fov[d]) // g[d] + 1
+        lack = (R - dense_sp[d]) * g[d] - (Vp[d] - tile_in[d])
+        if lack > 0:
+            extra = -(-lack // L[d]) * L[d]
+            pad_r[d] += extra
+            Vp[d] += extra
     out_total = [(Vp[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
-    span = [dense_sp[d] * g[d] for d in range(nsp)]
-    n_tiles = [max(1, -(-out_total[d] // dense_sp[d])) for d in range(nsp)]
+    n_tiles = [1 + max(0, -(-(Vp[d] - tile_in[d]) // span[d]))
+               if span[d] else 1 for d in range(nsp)]
     origins = []
     for idx in itertools.product(*[range(n) for n in n_tiles]):
         o = []
         for d in range(nsp):
+            # the clamp lands on the L grid because pad_r aligned
+            # Vp - tile_in to it; interior origins are span (L-multiple)
+            # steps, so every origin keeps the whole-volume pooling phase
             i0 = min(idx[d] * span[d], Vp[d] - tile_in[d])
             o.append((i0 // g[d]) * g[d])
         origins.append(tuple(o))
-    return pad_r, out_total, origins
+    # drop duplicate origins (clamping can repeat the last tile)
+    seen, uniq = set(), []
+    for o in origins:
+        if o not in seen:
+            seen.add(o)
+            uniq.append(o)
+    return pad_r, out_total, uniq
+
+
+def _origin_period(pred, g, nsp):
+    """Per-dim tile-origin alignment period for the tiled sweeps.
+
+    MFP graphs (``n_frag > 1``) restitch EVERY pooling phase, so the
+    fragment output is fully shift-equivariant and any g-aligned origin is
+    exact. Decoder graphs (stride restored by UpConv, ``n_frag == 1``)
+    compute one pooling phase only: they are shift-equivariant modulo the
+    valid-size period M (max cumulative stride — ``_valid_period``), so
+    origins must sit on the lcm(g, M) grid to agree with the whole-volume
+    conv-dense program. Plain strided graphs have g == M, where this is a
+    no-op."""
+    import math
+    if pred.shape.n_frag > 1:
+        return list(g)
+    M = _valid_period(pred, nsp)
+    return [math.lcm(int(gd), int(md)) for gd, md in zip(g, M)]
+
+
+def _pad_raw_front(pred, g, fov, nsp):
+    """Front/back reflect-pad extents for the tiled ``pad_raw`` legs, plus
+    the post-stitch front trim.
+
+    The natural front pad is the output centre offset ``(fov-1)//2`` — but
+    decoder graphs are phase-sensitive (``_origin_period``): an unrounded
+    front pad shifts the whole padded volume off the pooling grid and
+    decoheres every voxel against the conv-dense ``pad_raw`` leg (which
+    already rounds — r3 fuzzer follow-up). So the front pad is rounded UP
+    to the origin period where that exceeds the output stride, and the
+    surplus ``delta`` is trimmed off the stitched output (``delta`` is
+    nonzero only where g == 1, so voxel units == output-grid units)."""
+    off = [(f - 1) // 2 for f in fov]
+    hi = [f - 1 - o for f, o in zip(fov, off)]
+    L = _origin_period(pred, g, nsp)
+    lo = [-(-o // l) * l if l > gd else o
+          for o, l, gd in zip(off, L, g)]
+    delta = [l - o for l, o in zip(lo, off)]
+    return lo, hi, delta
 
 
 def _dense_geometry(pred_shape):
@@ -967,6 +1051,19 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
             and quant_calibrate is None)
         else False)
     y = ctx.get(pred)
+    if any(int(y.shape[2 + d]) < w for d, w in enumerate(want_out)):
+        # the delta pad above assumed the merge-crop deficit is input-size
+        # invariant; graphs that merge across scales (e.g. FaithlessMerge
+        # of an UpConv with a still-strided encoder map) lose MORE voxels
+        # the bigger the input, so the whole-volume run cannot cover the
+        # dense-output convention. Raising (at trace time — shapes are
+        # static) routes predict_dense_device to the exact tiled fallback
+        # instead of silently returning an under-sized map (r3 verify).
+        raise ValueError(
+            f"convolutional dense path under-produces "
+            f"{tuple(int(s) for s in y.shape[2:])} vs the required "
+            f"{want_out}: this graph's merge-crop deficit grows with "
+            f"input size — use the tiled path")
     y = y[(slice(None), slice(None)) + tuple(slice(0, w)
                                              for w in want_out)]
     return y if batch else y[0]
@@ -1881,17 +1978,18 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             "overlap-TILED fallback, which runs f32 (per-tile dynamic "
             "scales would seam the stitched output)")
     V_orig = list(vol.shape[1:])
+    delta_lo = [0] * nsp
     if pad_raw:
-        pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
-        vol = jnp.pad(vol, pads, mode="reflect")
+        lo, hi, delta_lo = _pad_raw_front(pred, g, fov, nsp)
+        vol = jnp.pad(vol, [(0, 0)] + list(zip(lo, hi)), mode="reflect")
     V = list(vol.shape[1:])
     for d in range(nsp):
         if V[d] < tile_in[d]:
             raise ValueError(
                 f"volume dim {d} ({V[d]}) smaller than model patch "
                 f"{tile_in[d]}; pad_raw=True may help")
-    pad_r, out_total, origins = _tile_geometry(V, tile_in, g, dense_sp,
-                                               fov, nsp)
+    pad_r, out_total, origins = _tile_geometry(
+        V, tile_in, g, dense_sp, fov, nsp, L=_origin_period(pred, g, nsp))
     if any(pad_r):
         vol = jnp.pad(vol, [(0, 0)] + [(0, p) for p in pad_r],
                       mode="reflect")
@@ -1954,10 +2052,12 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
     for d in range(nsp):
         if g[d] > 1:   # align with predict_dense: repeat-upsample strided out
             out = jnp.repeat(out, g[d], axis=1 + d)
-    # crop the alignment padding back off (parity with predict_dense)
+    # crop the alignment padding back off (parity with predict_dense);
+    # delta_lo trims the phase-rounding surplus of the pad_raw front pad
     keep = [V_orig[d] if pad_raw else V_orig[d] - fov[d] + 1
             for d in range(nsp)]
-    return out[(slice(None),) + tuple(slice(0, k) for k in keep)]
+    return out[(slice(None),) + tuple(slice(dl, dl + k)
+                                      for dl, k in zip(delta_lo, keep))]
 
 
 def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
@@ -2027,9 +2127,10 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
     f_out = pred.shape["f"]
 
     V_orig = list(raw.shape[1:])
+    delta_lo = [0] * nsp
     if pad_raw:
-        pads = [(0, 0)] + [((f - 1) // 2, f - 1 - (f - 1) // 2) for f in fov]
-        raw = np.pad(raw, pads, mode="reflect")
+        lo, hi, delta_lo = _pad_raw_front(pred, g, fov, nsp)
+        raw = np.pad(raw, [(0, 0)] + list(zip(lo, hi)), mode="reflect")
     V = list(raw.shape[1:])
     for d in range(nsp):
         if V[d] < tile_in[d]:
@@ -2039,8 +2140,8 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
 
     # right-align the last tile on the dense grid + enumerate origins
     # (shared with the device tiled path — _tile_geometry)
-    pad_r, out_total, origins = _tile_geometry(V, tile_in, g, dense_sp,
-                                               fov, nsp)
+    pad_r, out_total, origins = _tile_geometry(
+        V, tile_in, g, dense_sp, fov, nsp, L=_origin_period(pred, g, nsp))
     if any(pad_r):
         raw = np.pad(raw, [(0, 0)] + [(0, p) for p in pad_r], mode="reflect")
         V = list(raw.shape[1:])
@@ -2079,10 +2180,12 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
             if g[d] > 1:
                 out = np.repeat(out, g[d], axis=1 + d)
     # crop the alignment padding back off: the output must cover exactly the
-    # original volume (pad_raw) or its valid interior (no padding)
+    # original volume (pad_raw) or its valid interior (no padding);
+    # delta_lo trims the phase-rounding surplus of the pad_raw front pad
     keep = [V_orig[d] if pad_raw else V_orig[d] - fov[d] + 1
             for d in range(nsp)]
-    out = out[(slice(None),) + tuple(slice(0, k) for k in keep)]
+    out = out[(slice(None),) + tuple(slice(dl, dl + k)
+                                     for dl, k in zip(delta_lo, keep))]
     if as_uint8:
         out = np.clip(out * 255.0, 0, 255).astype(np.uint8)
     return out

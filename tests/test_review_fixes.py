@@ -1344,3 +1344,33 @@ def test_sweep_slab_batch_oom_falls_back(rng):
     m._dilated_fns[("sweep_batch", "direct", 2)] = boom2
     with pytest.raises(RuntimeError, match="genuine bug"):
         m.sweep_knossos(vol, step=[12, 16, 16], slab_batch=2)
+
+
+def test_decoder_tiled_origins_phase_aligned(rng):
+    """r3 fuzzer find (seed 6): a decoder (UpConv) graph served over a
+    volume whose extent puts the CLAMPED last tile at an origin off the
+    valid-size-period grid must agree with the whole-volume conv-dense
+    program — decoders are shift-equivariant only modulo M, so tile
+    origins are now lcm(g, M)-aligned (inference._origin_period). Pinned
+    to the exact genotype + volume the fuzzer failed on."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.fuzz_graphs import build_random_model
+
+    m, info = build_random_model(6)
+    assert info["decoder"] and info["patch"] == [13, 8]
+    fov = [int(f) for f in m.prediction_node.shape.fov]
+    # V - patch odd in z: the old g(=1)-aligned clamp landed the last
+    # tile at origin 3, off the M(=2) pooling-phase grid
+    V = [16, 8]
+    raw = rng.rand(info["n_ch"], *V).astype(np.float32)
+    host = m.predict_dense(raw, prefer_device=False)
+    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=1e-5)
+    # pad_raw leg too (front pad interacts with the origin grid)
+    host_p = m.predict_dense(raw, pad_raw=True, prefer_device=False)
+    dev_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
+                                              pad_raw=True))
+    np.testing.assert_allclose(host_p, dev_p, atol=1e-5)
