@@ -65,6 +65,15 @@ def main(argv=None):
                     "those contenders join the grid and the measured "
                     "winner's dtype is applied (possibly overriding "
                     "the flag)")
+    ap.add_argument("--trace", default=None, metavar="SEEDS",
+                    help="tracing mode: roll out the (recurrent) tracing "
+                         "model from seed positions 'z,x,y[;z,x,y...]' "
+                         "(fused DeviceTracer — one dispatch per batch) "
+                         "and write the trajectories as a KNOSSOS "
+                         "skeleton (.k.zip/.nml) to --out instead of a "
+                         "dense map")
+    ap.add_argument("--trace-steps", type=int, default=256,
+                    help="tracing mode: maximum rollout length per agent")
     ap.add_argument("--mesh", default=None, metavar="AXES",
                     help="pod-scale KNOSSOS sweeps: device-mesh axes as "
                     "'space=8' (z-sharded slabs, halo exchange) or "
@@ -126,6 +135,39 @@ def main(argv=None):
             upconv=("d2s" if "d2s" in knobs else "dilate"),
             zfold=("zfold" in knobs),
             ptail=("ptail" in knobs))
+    if args.trace:
+        # deployment tracing loop: volume → fused rollout → .k.zip
+        # (reference workflow: tracing_utils.py::Tracer + trace_to_kzip,
+        # SURVEY §3.2/§4.D — here one DeviceTracer dispatch per batch)
+        from elektronn2_tpu.data.tracing_utils import DeviceTracer
+        try:
+            seeds = np.asarray(
+                [[float(v) for v in s.split(",")]
+                 for s in args.trace.split(";") if s.strip()], np.float32)
+            if seeds.ndim != 2 or seeds.shape[1] != 3:
+                raise ValueError
+        except ValueError:
+            ap.error(f"--trace {args.trace!r}: expected "
+                     "'z,x,y[;z,x,y...]' float seed positions")
+        if os.path.isdir(args.input):
+            from elektronn2_tpu.data import KnossosArray
+            ka = KnossosArray(args.input)
+            vol = ka[tuple(slice(0, s) for s in ka.shape[-3:])]
+            vol = np.asarray(vol, np.float32)[None]
+        else:
+            path, _, key = args.input.partition(":")
+            vol = np.asarray(h5load(path, key or None), np.float32)
+            if vol.ndim == 3:
+                vol = vol[None]
+        tracer = DeviceTracer(model, vol, max_steps=args.trace_steps)
+        out_name = args.out
+        if out_name.endswith(".h5"):        # default --out is a dense name
+            out_name = out_name[:-3] + ".k.zip"
+        traces = tracer.trace_batch(seeds, save_kzip=out_name)
+        logger.info(f"traced {len(traces)} agent(s) "
+                    f"({[len(t) for t in traces]} nodes) -> {out_name}")
+        return 0
+
     if os.path.isdir(args.input):
         from elektronn2_tpu.data import KnossosArray
         ka = KnossosArray(args.input)

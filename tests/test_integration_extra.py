@@ -475,3 +475,97 @@ def test_neuro3d_fast_example_config(tmp_path, monkeypatch):
     assert (tmp_path / "neuro3d_fast-LAST.mdl").exists()
     assert main([cfg_path, "--cpu", "--n-steps", "4",
                  "--save-path", str(tmp_path)]) in (0, None)
+
+
+# ------------------------------------------------ deployment-loop chains
+
+def test_knossos_dense_deployment_chain(rng, tmp_path):
+    """VERDICT r2 item 8: the FULL dense deployment loop as one test —
+    generated KNOSSOS dataset on disk → ``sweep_knossos`` over a lazily
+    loaded ``KnossosArray`` → ``save_knossos`` of the uint8 prediction
+    maps → reload → byte equality against ``predict_dense`` of the same
+    raw volume (SURVEY §4.B deployment workflow)."""
+    from elektronn2_tpu.data import KnossosArray
+    from elektronn2_tpu.data.knossos_array import save_knossos
+
+    raw_u8 = (rng.rand(12, 24, 24) * 255).astype(np.uint8)
+    in_ds = str(tmp_path / "inds")
+    save_knossos(raw_u8, in_ds, exp_name="inds", cube_edge=8)
+
+    inp = nm.Input([1, 1, 5, 9, 9], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (1, 3, 3), (1, 2, 2), mfp=True, name="c1")
+    c2 = nm.Conv(c1, 2, (3, 3, 3), 1, activation_func="lin", name="c2")
+    probs = nm.Softmax(c2, name="probs")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=probs)
+
+    ka = KnossosArray(in_ds, cube_edge=8)
+    out = m.sweep_knossos(ka, step=[8, 12, 12])
+    assert out.shape == (2, 12, 24, 24)
+
+    # write each channel as a KNOSSOS uint8 dataset, reload, compare
+    u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+    for c in range(2):
+        out_ds = str(tmp_path / f"pred_c{c}")
+        save_knossos(u8[c], out_ds, exp_name=f"pred_c{c}", cube_edge=8)
+        back = KnossosArray(out_ds, cube_edge=8)[:, :, :]
+        np.testing.assert_array_equal(back, u8[c])
+
+    # voxel equality vs predict_dense on the raw volume (the sweep stages
+    # uint8 cubes; predict_dense normalises uint8 to [0,1] the same way)
+    ref = m.predict_dense(raw_u8[None], pad_raw=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_tracing_deployment_chain_cli(rng, tmp_path):
+    """VERDICT r2 item 8: the tracing deployment loop in ONE CLI
+    invocation — saved recurrent tracing model + volume →
+    ``elektronn2-predict --trace`` (fused DeviceTracer rollout) →
+    ``.k.zip`` → ``SkeletonMFK.load`` round-trip, coordinates equal to a
+    direct ``DeviceTracer`` rollout (SURVEY §3.2 ``trace_to_kzip``)."""
+    from elektronn2_tpu.data.skeleton import SkeletonMFK
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    from elektronn2_tpu.scripts.predict import main as predict_main
+    from elektronn2_tpu.utils.basic import h5save
+
+    T, B = 2, 1
+    seq = nm.Input([T, B, 1, 5, 5, 5], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([B, 1, 5, 5, 5], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step_v = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    tgt = nm.Input([T, B, 3], "s,b,f", name="target")
+    loss = nm.AggregateLoss(nm.SquaredLoss(step_v, tgt))
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=seq, target_node=tgt, loss_node=loss,
+                      prediction_node=step_v)
+    mdl = str(tmp_path / "tracer.mdl")
+    m.save(mdl)
+
+    vol = rng.rand(16, 16, 16).astype(np.float32)
+    h5f = str(tmp_path / "vol.h5")
+    h5save({"raw": vol}, h5f)
+
+    kzip = str(tmp_path / "trace.k.zip")
+    rc = predict_main([mdl, h5f + ":raw", "--cpu", "--trace",
+                       "8,8,8;9.5,8.5,8", "--trace-steps", "6",
+                       "-o", kzip])
+    assert rc == 0 and os.path.exists(kzip)
+
+    # reference rollout through the API on the SAME saved model
+    from elektronn2_tpu.neuromancer.model import modelload
+    m2 = modelload(mdl)
+    tracer = DeviceTracer(m2, vol[None], max_steps=6)
+    traces = tracer.trace_batch(np.asarray([[8, 8, 8], [9.5, 8.5, 8]],
+                                           np.float32))
+
+    sk = SkeletonMFK.load(kzip)
+    want = np.concatenate([t.coords for t in traces], axis=0)
+    assert len(sk.positions) == len(want)
+    np.testing.assert_allclose(
+        np.sort(sk.positions, axis=0), np.sort(want, axis=0), atol=1e-3)
+    # edges chain consecutive nodes within each trace
+    assert len(sk.edges) == sum(max(len(t) - 1, 0) for t in traces)
