@@ -27,9 +27,12 @@ import numpy as np
 
 WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "900"))
 _done = threading.Event()
+# secondary metric fields (train + tracing legs) carried through every
+# emission path: normal, watchdog-partial, and stale fallback
+_SECONDARY = ("train_it_s", "train_impl", "train_Mvox_in_s",
+              "trace_sps", "trace_alive", "trace_impl")
 _best_so_far = {"value": 0.0, "impl": None,     # updated as impls complete
-                "train_it_s": None, "train_impl": None,
-                "train_Mvox_in_s": None}
+                **{k: None for k in _SECONDARY}}
 _emit_lock = threading.Lock()
 _emitted = False
 
@@ -102,7 +105,7 @@ def _stale_payload(reason):
     if lg.get("f32_impl"):
         payload["f32_value"] = lg["f32_value"]
         payload["f32_impl"] = lg["f32_impl"]
-    for k in ("train_it_s", "train_impl", "train_Mvox_in_s"):
+    for k in _SECONDARY:
         if lg.get(k) is not None:
             payload[k] = lg[k]
     return payload
@@ -125,10 +128,9 @@ def _watchdog():
             "note": f"watchdog fired after {WATCHDOG_S}s — reporting "
                     f"completed impl={_best_so_far['impl']}",
         }
-        if _best_so_far["train_it_s"]:
-            payload["train_it_s"] = _best_so_far["train_it_s"]
-            payload["train_impl"] = _best_so_far["train_impl"]
-            payload["train_Mvox_in_s"] = _best_so_far["train_Mvox_in_s"]
+        for k in _SECONDARY:
+            if _best_so_far[k] is not None:
+                payload[k] = _best_so_far[k]
         _emit(payload)
     else:
         _emit(_stale_payload(
@@ -219,6 +221,51 @@ def _train_metric():
         "train_impl": f"fused{n_inner},b{B},f32,devaug",
         "train_Mvox_in_s": round(
             B * float(np.prod(pin)) / best_dt / 1e6, 2),
+    }
+
+
+def _trace_metric():
+    """Tracing-deployment throughput (SURVEY §4.D): fused DeviceTracer
+    rollout, B=256 agents x K=256 steps over a device-generated 256^3
+    volume — the champion config of scripts/exp_tracer_rollout.py (r3
+    study: 327.8 k raw agent-steps/s; saturates past B=256). Returns the
+    trace_* secondary fields (raw rate + mean alive fraction, per the
+    ADVICE r2 interpretability note)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    from scripts.exp_tracer_rollout import build_model
+
+    B = int(os.environ.get("BENCH_TRACE_B", "256"))
+    K = int(os.environ.get("BENCH_TRACE_K", "256"))
+    model = build_model((16, 16, 16))
+    vol = jax.random.uniform(jax.random.PRNGKey(0), (1, 256, 256, 256),
+                             jnp.float32)
+    vol.block_until_ready()
+    tracer = DeviceTracer(model, vol, max_steps=K, min_step=0.0)
+    rng = np.random.RandomState(1)
+    seeds = jnp.asarray(rng.uniform(10, 246, (B, 3)), jnp.float32)
+    fn = tracer._build()
+    for _ in range(2):                       # compile + double warm-up
+        traj, alive = fn(model.params, model.state, tracer.volume, seeds)
+        traj.block_until_ready()
+    best = None
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        for _ in range(2):
+            traj, alive = fn(model.params, model.state, tracer.volume,
+                             seeds)
+        traj.block_until_ready()
+        dt = (_time.perf_counter() - t0) / 2
+        best = dt if best is None else min(best, dt)
+    assert bool(jnp.all(jnp.isfinite(traj)))
+    return {
+        "trace_sps": round(B * K / best, 0),
+        "trace_alive": round(float(jnp.mean(alive.astype(jnp.float32))),
+                             2),
+        "trace_impl": f"device_rollout,b{B},k{K}",
     }
 
 
@@ -407,6 +454,13 @@ def main():
     except Exception:
         train_payload = None
 
+    # --- third metric: fused tracing rollout (deployment-scale) --------
+    try:
+        trace_payload = _trace_metric()
+        _best_so_far.update(trace_payload)
+    except Exception:
+        trace_payload = None
+
     _done.set()
     payload = {
         "metric": "mfp_dense_inference",
@@ -428,6 +482,12 @@ def main():
         payload["train_it_s"] = lg["train_it_s"]
         payload["train_impl"] = lg["train_impl"] + ",stale"
         payload["train_Mvox_in_s"] = lg.get("train_Mvox_in_s")
+    if trace_payload:
+        payload.update(trace_payload)
+    elif (lg := _load_last_good()) and lg.get("trace_sps"):
+        payload["trace_sps"] = lg["trace_sps"]
+        payload["trace_alive"] = lg.get("trace_alive")
+        payload["trace_impl"] = lg["trace_impl"] + ",stale"
     if best[0] == 0.0:
         payload = _stale_payload("all contenders failed (tunnel/"
                                  "compile-helper outage)") or dict(
@@ -444,13 +504,18 @@ def main():
         if best_f32[1] is not None:
             lg["f32_value"] = round(best_f32[0], 2)
             lg["f32_impl"] = best_f32[1]
-        if train_payload:
-            lg.update(train_payload)
-        else:
-            prev = _load_last_good() or {}
-            for k in ("train_it_s", "train_impl", "train_Mvox_in_s"):
-                if prev.get(k) is not None:
-                    lg[k] = prev[k]
+        prev = _load_last_good() or {}
+        for fresh, keys in (
+                (train_payload, ("train_it_s", "train_impl",
+                                 "train_Mvox_in_s")),
+                (trace_payload, ("trace_sps", "trace_alive",
+                                 "trace_impl"))):
+            if fresh:
+                lg.update(fresh)
+            else:
+                for k in keys:
+                    if prev.get(k) is not None:
+                        lg[k] = prev[k]
         _save_last_good(lg)
     _emit(payload)
 
