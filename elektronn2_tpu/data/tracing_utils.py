@@ -402,16 +402,46 @@ class DeviceTracer(_AgentStepper):
 
         return jax.jit(rollout)
 
-    def trace_batch(self, seeds, save_kzip=None):
+    def trace_batch(self, seeds, save_kzip=None, mesh=None,
+                    axis_name="data"):
         """Roll out a batch of agents; returns a list of ``Trace``.
         ``save_kzip``: also write the traces as a KNOSSOS annotation
-        (``skeleton.trace_to_kzip``)."""
+        (``skeleton.trace_to_kzip``).
+
+        ``mesh``: shard the AGENT batch over ``axis_name`` of a device
+        mesh (pod-scale tracing). Agents are embarrassingly parallel and
+        the single-chip rollout saturates at B≈256
+        (docs/tpu_performance.md r3 study), so DP over agents is the
+        scale-out lever: the volume and params replicate, seeds shard,
+        one program runs on every chip with zero collectives in the
+        rollout. The batch is padded to a multiple of the axis size
+        (surplus trimmed) and results are identical to the unsharded
+        rollout."""
+        import jax
         import jax.numpy as jnp
         seeds = np.asarray(seeds, np.float32).reshape(-1, 3)
         if self._fn is None:
             self._fn = self._build()
-        traj, alive = self._fn(self.model.params, self.model.state,
-                               self.volume, jnp.asarray(seeds))
+        n_real = len(seeds)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = int(mesh.shape[axis_name])
+            pad = (-n_real) % n
+            seeds_dev = np.concatenate(
+                [seeds, np.repeat(seeds[-1:], pad, axis=0)]) \
+                if pad else seeds
+            seeds_dev = jax.device_put(
+                jnp.asarray(seeds_dev), NamedSharding(mesh, P(axis_name)))
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(self.model.params, repl)
+            state = jax.device_put(self.model.state, repl)
+            vol = jax.device_put(self.volume, repl)
+            traj, alive = self._fn(params, state, vol, seeds_dev)
+            traj = jax.device_get(traj)[:, :n_real]
+            alive = jax.device_get(alive)[:, :n_real]
+        else:
+            traj, alive = self._fn(self.model.params, self.model.state,
+                                   self.volume, jnp.asarray(seeds))
         traj = np.asarray(traj).transpose(1, 0, 2)      # (B, K, 3)
         alive = np.asarray(alive).T                     # (B, K)
         traces = []

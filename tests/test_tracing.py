@@ -954,3 +954,27 @@ def test_tracer_rotated_rollout_goes_straight(rng):
     # moved along +x (the initial heading) only
     assert d[1] > 4.0
     np.testing.assert_allclose([d[0], d[2]], [0.0, 0.0], atol=1e-4)
+
+
+def test_device_tracer_mesh_sharded_batch_equals_unsharded(rng):
+    """Pod-scale tracing (r3): ``trace_batch(mesh=...)`` shards the agent
+    batch over a mesh axis (volume/params replicated, zero collectives —
+    the scale-out lever, the single-chip rollout saturating at B≈256).
+    Results must equal the unsharded rollout exactly; B=10 on an 8-way
+    axis additionally exercises the divisibility padding."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    from elektronn2_tpu.parallel import make_mesh
+
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.25, -0.15, 0.3], np.float32))
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=6)
+    seeds = rng.uniform(10, 16, (10, 3)).astype(np.float32)
+    plain = dt.trace_batch(seeds)
+    mesh = make_mesh({"data": 8})
+    sharded = dt.trace_batch(seeds, mesh=mesh)
+    assert len(plain) == len(sharded) == 10
+    for a, b in zip(plain, sharded):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.coords, b.coords, atol=1e-6)
