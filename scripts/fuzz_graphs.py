@@ -256,6 +256,148 @@ def build_random_model(seed):
 
 
 # --------------------------------------------------------------------------
+# tracing family: random recurrent/feedforward step-predictor models
+# --------------------------------------------------------------------------
+
+def build_random_tracing_model(seed):
+    """Random tracing-family model (SURVEY §3.2/§4.D): a step predictor
+    mapping a patch (+ carried recurrent state for ScanN graphs) to a
+    3-vector step. Returns (model, info) or raises SkipSeed."""
+    import elektronn2_tpu.neuromancer as nm
+    from elektronn2_tpu.neuromancer import model_manager
+
+    rng = np.random.RandomState(10_000 + seed)
+    p = int(rng.choice([3, 5, 7]))
+    patch = (p, p, p)
+    recurrent = bool(rng.rand() < 0.7)
+    enc_w = int(rng.choice([4, 8, 16]))
+    cell = "GRU" if rng.rand() < 0.5 else "LSTM"
+    cell_w = int(rng.choice([4, 8]))
+    T, B = int(rng.choice([2, 3])), 1
+
+    model_manager.reset(seed=seed)
+    try:
+        if recurrent:
+            seq = nm.Input([T, B, 1, *patch], "s,b,f,z,x,y", name="seq")
+            x_t = nm.Input([B, 1, *patch], "b,f,z,x,y", name="x_t")
+            enc = nm.Perceptron(x_t, enc_w, flatten=True, name="enc")
+            if cell == "GRU":
+                h0 = nm.InitialState_like(enc, override_f=cell_w,
+                                          name="h0")
+                rec = nm.GRU(enc, h0, n_f=cell_w, name="cell")
+                in_mem = h0
+            else:
+                # LSTM carries [h, c] concatenated in ONE state (2*n_f)
+                s0 = nm.InitialState_like(enc, override_f=2 * cell_w,
+                                          name="s0")
+                rec = nm.LSTM(enc, s0, n_f=cell_w, name="cell")
+                in_mem = s0
+            scan = nm.ScanN(rec, in_memory=in_mem, in_iterate=x_t,
+                            in_iterate_0=seq, n_steps=T, name="scan")
+            head = nm.Perceptron(scan, 3, activation_func="lin",
+                                 name="step")
+            tgt = nm.Input([T, B, 3], "s,b,f", name="target")
+            loss = nm.AggregateLoss(nm.SquaredLoss(head, tgt))
+            m = model_manager.getmodel(f"tfuzz{seed}")
+            m.designate_nodes(input_node=seq, target_node=tgt,
+                              loss_node=loss, prediction_node=head)
+        else:
+            x_t = nm.Input([B, 1, *patch], "b,f,z,x,y", name="x_t")
+            h = nm.Perceptron(x_t, enc_w, flatten=True, name="enc")
+            if rng.rand() < 0.5:
+                h = nm.Perceptron(h, enc_w, name="enc2")
+            head = nm.Perceptron(h, 3, activation_func="lin", name="step")
+            tgt = nm.Input([B, 3], "b,f", name="target")
+            loss = nm.AggregateLoss(nm.SquaredLoss(head, tgt))
+            m = model_manager.getmodel(f"tfuzz{seed}")
+            m.designate_nodes(input_node=x_t, target_node=tgt,
+                              loss_node=loss, prediction_node=head)
+    except ValueError as e:
+        raise SkipSeed(f"tracing seed {seed} build rejected: {e}")
+    info = {"seed": seed, "recurrent": recurrent, "cell": cell,
+            "patch": patch, "enc_w": enc_w, "cell_w": cell_w}
+    return m, info
+
+
+def check_tracing_seed(seed, verbose=False):
+    """Cross-checks for one tracing-family seed: fused DeviceTracer vs
+    the per-step host Tracer (trajectory parity), persistence round-trip
+    of the rollout, and a finite trainingstep. Returns failure strings."""
+    import jax.numpy as jnp
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer, Tracer
+    from elektronn2_tpu.neuromancer.model import modelload
+
+    m, info = build_random_tracing_model(seed)
+    rng = np.random.RandomState(20_000 + seed)
+    # tame the step head: rollouts are chaotic maps (position feeds back
+    # into patch extraction), so untrained-scale steps amplify the
+    # host/device interpolation difference (float64 warp_slice vs f32
+    # trilinear corners) exponentially and NO tolerance is meaningful;
+    # small smooth steps bound the per-step growth (the same conditioning
+    # the hand-written parity tests use)
+    import jax.numpy as jnp_
+    m.params["step"]["w"] = jnp_.asarray(
+        np.asarray(m.params["step"]["w"]) * 0.05)
+    m.params["step"]["b"] = jnp_.asarray(
+        (rng.rand(3).astype(np.float32) - 0.3) * 0.6)
+    V = 24
+    vol = rng.rand(1, V, V, V).astype(np.float32)
+    K = 6
+    seeds_pos = rng.uniform(V * 0.35, V * 0.65, (3, 3))
+    if verbose:
+        print(f"tracing seed {seed}: {info}", flush=True)
+    fails = []
+
+    dt = DeviceTracer(m, vol, max_steps=K)
+    dev_traces = dt.trace_batch(seeds_pos)
+    ht = Tracer(m, vol, max_steps=K)
+    for i, sp in enumerate(seeds_pos):
+        host_tr = ht.trace(sp).coords
+        dev_tr = dev_traces[i].coords
+        if len(host_tr) != len(dev_tr):
+            fails.append(f"tracing seed {seed} [len] agent {i}: host "
+                         f"{len(host_tr)} vs device {len(dev_tr)} ({info})")
+            continue
+        d = (float(np.max(np.abs(host_tr - dev_tr)))
+             if len(host_tr) else 0.0)
+        # bound: JAX CPU's default matmul precision carries ~bf16-level
+        # noise per step (memory: exactness needs highest precision);
+        # K=6 steps of feedback amplify it — 5e-3 separates that from
+        # semantic divergence (real bugs measured 1e-2..8e-2 untamed)
+        if d > 5e-3:
+            fails.append(f"tracing seed {seed} [traj] agent {i}: "
+                         f"max|diff|={d:.3e} ({info})")
+
+    # persistence: the saved/reloaded model rolls out identically
+    with tempfile.TemporaryDirectory() as td:
+        f = os.path.join(td, "m.mdl")
+        m.save(f)
+        m2 = modelload(f)
+        dt2 = DeviceTracer(m2, vol, max_steps=K)
+        for a, b in zip(dt2.trace_batch(seeds_pos), dev_traces):
+            if len(a) != len(b) or (len(a) and not np.allclose(
+                    a.coords, b.coords, atol=1e-6)):
+                fails.append(f"tracing seed {seed} [modelload replay] "
+                             f"({info})")
+                break
+
+    # training: one step, finite loss
+    m.set_opt("SGD", lr=1e-3)
+    if info["recurrent"]:
+        T = int(m.input_node.shape["s"])
+        x = rng.rand(T, 1, 1, *info["patch"]).astype(np.float32)
+        y = rng.rand(T, 1, 3).astype(np.float32)
+    else:
+        x = rng.rand(1, 1, *info["patch"]).astype(np.float32)
+        y = rng.rand(1, 3).astype(np.float32)
+    loss, _ = m.trainingstep(x, y)
+    if not np.isfinite(float(loss)):
+        fails.append(f"tracing seed {seed} [train] non-finite loss "
+                     f"({info})")
+    return fails
+
+
+# --------------------------------------------------------------------------
 # per-seed check
 # --------------------------------------------------------------------------
 
@@ -333,29 +475,48 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--count", type=int, default=50)
+    ap.add_argument("--family", choices=["dense", "tracing", "all"],
+                    default="dense",
+                    help="graph family: dense serving graphs, tracing "
+                         "step predictors, or both")
     ap.add_argument("--stop-on-fail", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the session's default device (the TPU "
+                         "tunnel in this sandbox) instead of host CPU; "
+                         "default is CPU — long campaigns through the "
+                         "tunnel pay ~30 ms per dispatch and wedge risk")
     args = ap.parse_args()
 
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    checkers = {"dense": check_seed, "tracing": check_tracing_seed}
+    families = (["dense", "tracing"] if args.family == "all"
+                else [args.family])
     n_pass = n_skip = 0
     all_fails = []
     for seed in range(args.start, args.start + args.count):
-        try:
-            fails = check_seed(seed, verbose=args.verbose)
-        except SkipSeed as e:
-            n_skip += 1
-            if args.verbose:
-                print(f"SKIP {e}", flush=True)
-            continue
-        if fails:
-            all_fails += fails
-            for f in fails:
-                print(f"FAIL {f}", flush=True)
-            if args.stop_on_fail:
-                break
-        else:
-            n_pass += 1
-            print(f"pass seed {seed}", flush=True)
+        for fam in families:
+            try:
+                fails = checkers[fam](seed, verbose=args.verbose)
+            except SkipSeed as e:
+                n_skip += 1
+                if args.verbose:
+                    print(f"SKIP {e}", flush=True)
+                continue
+            if fails:
+                all_fails += fails
+                for f in fails:
+                    print(f"FAIL {f}", flush=True)
+                if args.stop_on_fail:
+                    break
+            else:
+                n_pass += 1
+                print(f"pass {fam} seed {seed}", flush=True)
+        if all_fails and args.stop_on_fail:
+            break
     print(f"\n{n_pass} passed, {n_skip} skipped, {len(all_fails)} failures")
     sys.exit(1 if all_fails else 0)
 

@@ -40,6 +40,25 @@ def test_graph_fuzz_deterministic_tier():
     assert not fails, "\n".join(fails)
 
 
+def test_tracing_fuzz_deterministic_tier():
+    """Fixed-seed slice of the TRACING-family fuzzer (r3): random
+    recurrent (ScanN + GRU/LSTM) and feedforward step predictors,
+    cross-checked fused DeviceTracer vs per-step host Tracer (trajectory
+    parity with tamed step heads), persistence round-trip of the rollout,
+    and a finite trainingstep."""
+    from scripts.fuzz_graphs import SkipSeed, check_tracing_seed
+
+    fails, n_run = [], 0
+    for seed in range(6):
+        try:
+            fails += check_tracing_seed(seed)
+            n_run += 1
+        except SkipSeed:
+            continue
+    assert n_run >= 4, f"only {n_run}/6 seeds buildable — generator drift?"
+    assert not fails, "\n".join(fails)
+
+
 @pytest.mark.slow
 def test_native_cores_under_sanitizers():
     """Build all three C++ cores (malis, warp, knossos) with
