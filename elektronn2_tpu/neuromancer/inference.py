@@ -132,43 +132,72 @@ def _tile_geometry(V, tile_in, g, dense_sp, fov, nsp, L=None):
     and disagrees with the whole-volume conv-dense run (found by the r3
     graph fuzzer, seed 6: 5.9e-2 divergence). See ``_origin_period``.
 
-    Returns ``(pad_r, out_total, origins)``: right-alignment padding per
-    dim (so the last, clamped tile lands on the L grid — which embeds the
-    dense grid, L being a g-multiple), total dense output extents, and
-    the volume-clamped tile input origins."""
+    Returns ``(pad_r, out_total, origins, cov)``: right-alignment padding
+    per dim (so the last, clamped tile lands on the L grid — which embeds
+    the dense grid, L being a g-multiple), total dense output extents,
+    the volume-clamped tile input origins, and ``cov`` — how many leading
+    output rows of each tile the stitch may use. FaithlessMerge graphs
+    can OVER-produce (per-tile dense extent beyond the valid
+    ``(tile-fov)/g+1`` rows, computed from merge-cropped context that
+    does not match the whole-volume program); stitching those trailing
+    rows exposes them wherever the next tile does not overwrite (r3
+    fuzzer campaign, seeds 49/133: up to 4.8e-1 pad_raw divergence), so
+    the stitchers must write only ``cov`` rows per tile."""
     L = list(g) if L is None else L
+    # R: output extent REQUIRED from the volume as given
+    R_req = [(V[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
+    # usable rows per tile: over-produced (faithless) rows are excluded
+    cov = [max(1, min(dense_sp[d], (tile_in[d] - fov[d]) // g[d] + 1))
+           for d in range(nsp)]
     span = []
+    single = [False] * nsp   # dims served by ONE origin-0 tile
     for d in range(nsp):
-        s = dense_sp[d] * g[d]          # input-units dense extent per tile
+        s = cov[d] * g[d]               # input-units usable extent per tile
         if s >= L[d]:
             # step on the L grid, never past the tile's own coverage
             s = (s // L[d]) * L[d]
+        elif R_req[d] > cov[d]:
+            # the tile emits less than one phase period of outputs, so
+            # L-aligned origins CANNOT cover the volume — and off-grid
+            # origins compute a different pooling phase than the
+            # whole-volume program (r3 fuzzer campaign, seeds 15/21/35/40:
+            # up to 3.4e-1 divergence). Wrong numbers are worse than an
+            # error: reject, naming the constraint.
+            raise ValueError(
+                f"tiled dense sweep: dim {d} produces only {cov[d]} "
+                f"usable output row(s) per tile, less than the graph's "
+                f"phase period {L[d]} — a decoder patch this small "
+                f"cannot tile phase-consistently; use a patch whose "
+                f"per-tile output covers >= {L[d]} rows (or serve the "
+                f"volume whole)")
         else:
-            # degenerate: the tile emits less than one period of outputs —
-            # L-aligned origins cannot cover the volume; keep the legacy
-            # g-aligned stepping (best-effort, documented approximation)
+            # one origin-0 tile already covers everything required in
+            # this dim — phase-exact as-is; extra clamped origins would
+            # write wrong-phase rows, so pin the dim to a single tile
             L[d] = g[d]
+            single[d] = True
         span.append(s)
     pad_r = [(L[d] - (V[d] - tile_in[d]) % L[d]) % L[d] for d in range(nsp)]
     Vp = [v + p for v, p in zip(V, pad_r)]
     # coverage guarantee: the farthest tile (origin Vp - tile_in) covers
-    # outputs up to (Vp - tile_in)/g + dense_sp - 1, which must reach the
-    # extent REQUIRED from the volume as given, R = (V - fov)/g + 1.
+    # outputs up to (Vp - tile_in)/g + cov - 1, which must reach R_req.
     # Merge-crop-deficit graphs (per-tile dense output smaller than the
     # per-tile valid extent) violate this without extra right padding —
     # the stitch buffer's np.empty tail then leaks garbage (latent
     # pre-r3 bug, exposed by the r3 verify drive). Pad right (reflect,
-    # L-aligned) until the last tile reaches R.
+    # L-aligned) until the last tile reaches R_req.
     for d in range(nsp):
-        R = (V[d] - fov[d]) // g[d] + 1
-        lack = (R - dense_sp[d]) * g[d] - (Vp[d] - tile_in[d])
+        if single[d]:
+            continue
+        lack = (R_req[d] - cov[d]) * g[d] - (Vp[d] - tile_in[d])
         if lack > 0:
             extra = -(-lack // L[d]) * L[d]
             pad_r[d] += extra
             Vp[d] += extra
     out_total = [(Vp[d] - fov[d]) // g[d] + 1 for d in range(nsp)]
-    n_tiles = [1 + max(0, -(-(Vp[d] - tile_in[d]) // span[d]))
-               if span[d] else 1 for d in range(nsp)]
+    n_tiles = [1 if single[d] or not span[d]
+               else 1 + max(0, -(-(Vp[d] - tile_in[d]) // span[d]))
+               for d in range(nsp)]
     origins = []
     for idx in itertools.product(*[range(n) for n in n_tiles]):
         o = []
@@ -185,7 +214,7 @@ def _tile_geometry(V, tile_in, g, dense_sp, fov, nsp, L=None):
         if o not in seen:
             seen.add(o)
             uniq.append(o)
-    return pad_r, out_total, uniq
+    return pad_r, out_total, uniq, cov
 
 
 def _origin_period(pred, g, nsp):
@@ -1988,7 +2017,7 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
             raise ValueError(
                 f"volume dim {d} ({V[d]}) smaller than model patch "
                 f"{tile_in[d]}; pad_raw=True may help")
-    pad_r, out_total, origins = _tile_geometry(
+    pad_r, out_total, origins, cov = _tile_geometry(
         V, tile_in, g, dense_sp, fov, nsp, L=_origin_period(pred, g, nsp))
     if any(pad_r):
         vol = jnp.pad(vol, [(0, 0)] + [(0, p) for p in pad_r],
@@ -2022,7 +2051,10 @@ def predict_dense_device(model, vol, pad_raw=False, tile_batch=1):
                            node_index=model._node_index,
                            compute_dtype=cdtype)
             y = ctx.get(pred)
-            return fragments2dense(y, pred.shape.mfp_offsets)[0]
+            y = fragments2dense(y, pred.shape.mfp_offsets)[0]
+            # only cov rows per tile (parity with the host stitcher):
+            # over-produced faithless rows must never be written
+            return y[(slice(None),) + tuple(slice(0, c) for c in cov)]
 
         @jax.jit
         def sweep(params, state, vol, origins):
@@ -2140,7 +2172,7 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
 
     # right-align the last tile on the dense grid + enumerate origins
     # (shared with the device tiled path — _tile_geometry)
-    pad_r, out_total, origins = _tile_geometry(
+    pad_r, out_total, origins, cov = _tile_geometry(
         V, tile_in, g, dense_sp, fov, nsp, L=_origin_period(pred, g, nsp))
     if any(pad_r):
         raw = np.pad(raw, [(0, 0)] + [(0, p) for p in pad_r], mode="reflect")
@@ -2166,7 +2198,9 @@ def predict_dense(model, raw_img, pad_raw=False, as_uint8=False,
             o_out = [o[d] // g[d] for d in range(nsp)]
             sl_out, sl_src = [slice(None)], [slice(None)]
             for d in range(nsp):
-                n = min(dense_sp[d], out_total[d] - o_out[d])
+                # only cov rows per tile: over-produced (faithless) rows
+                # are merge-cropped context and must never be stitched
+                n = min(cov[d], out_total[d] - o_out[d])
                 sl_out.append(slice(o_out[d], o_out[d] + n))
                 sl_src.append(slice(0, n))
             out[tuple(sl_out)] = dense[bi][tuple(sl_src)]

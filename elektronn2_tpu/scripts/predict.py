@@ -163,7 +163,19 @@ def main(argv=None):
         out_name = args.out
         if out_name.endswith(".h5"):        # default --out is a dense name
             out_name = out_name[:-3] + ".k.zip"
-        traces = tracer.trace_batch(seeds, save_kzip=out_name)
+        mesh = None
+        if args.mesh:
+            try:
+                axes = {k: int(v) for k, v in
+                        (kv.split("=") for kv in args.mesh.split(","))}
+            except ValueError:
+                ap.error(f"--mesh {args.mesh!r}: expected "
+                         "'axis=N[,axis=N]', e.g. data=4")
+            from elektronn2_tpu.parallel import make_mesh
+            mesh = make_mesh(axes)
+        traces = tracer.trace_batch(seeds, save_kzip=out_name, mesh=mesh,
+                                    axis_name=next(iter(axes))
+                                    if mesh is not None else "data")
         logger.info(f"traced {len(traces)} agent(s) "
                     f"({[len(t) for t in traces]} nodes) -> {out_name}")
         return 0
