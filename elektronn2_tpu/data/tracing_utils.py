@@ -298,10 +298,17 @@ class DeviceTracer(_AgentStepper):
     """
 
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
-                 min_step=1e-4):
+                 min_step=1e-4, use_pallas_extract=None):
         import jax.numpy as jnp
 
         self.model = model
+        #: Pallas patch-extraction kernel (ops/pallas_extract.py): the
+        #: r3 attribution found the vmapped dynamic_slice extraction is
+        #: 97% of the rollout (XLA lowers it as a whole-volume gather);
+        #: the kernel measured ~4x on it (docs/tpu_performance.md).
+        #: None = auto (TPU + eligible geometry); the XLA path remains
+        #: the exactness oracle and the CPU path.
+        self.use_pallas_extract = use_pallas_extract
         # float32 like the host path (warp_slice interpolates and returns
         # float32): an integer volume would truncate the trilinear
         # fractions to zero and silently degrade to nearest sampling
@@ -356,12 +363,23 @@ class DeviceTracer(_AgentStepper):
                         :, dz:dz + p[0], dx:dx + p[1], dy:dy + p[2]]
         return out
 
+    def _use_pallas(self):
+        import jax
+        if self.use_pallas_extract is not None:
+            return bool(self.use_pallas_extract)
+        from elektronn2_tpu.ops.pallas_extract import extract_eligible
+        return (jax.devices()[0].platform != "cpu"
+                and bool(extract_eligible(self.volume.shape,
+                                          self.volume.dtype,
+                                          self.patch_size)))
+
     def _build(self):
         import jax
         import jax.numpy as jnp
 
         margin = jnp.asarray(self.patch_size, jnp.float32) / 2.0 + 1.0
         dims = jnp.asarray(self.volume.shape[1:], jnp.float32)
+        use_pallas = self._use_pallas()
 
         def inbounds(pos):
             return jnp.all((pos >= margin) & (pos < dims - margin), axis=1)
@@ -376,7 +394,14 @@ class DeviceTracer(_AgentStepper):
                 # margin (the reference appends, then breaks on the next
                 # iteration's inside() check); the agent dies afterwards.
                 pos, alive, rnn = carry
-                patches = jax.vmap(lambda q: self._extract(vol, q))(pos)
+                if use_pallas:
+                    from elektronn2_tpu.ops.pallas_extract import \
+                        trilinear_patches_pallas
+                    patches = trilinear_patches_pallas(vol, pos,
+                                                       self.patch_size)
+                else:
+                    patches = jax.vmap(
+                        lambda q: self._extract(vol, q))(pos)
                 pred, rnn_new = self._step_apply(params, state, patches,
                                                  rnn)
                 step = (pred.reshape(B, -1)[:, :3].astype(jnp.float32)
@@ -400,6 +425,7 @@ class DeviceTracer(_AgentStepper):
                 body, (pos0, alive0, carry0), None, length=self.max_steps)
             return traj, alive      # (K, B, 3), (K, B)
 
+        self._rollout = rollout          # unjitted (mesh shard_map wraps it)
         return jax.jit(rollout)
 
     def trace_batch(self, seeds, save_kzip=None, mesh=None,
@@ -436,7 +462,24 @@ class DeviceTracer(_AgentStepper):
             params = jax.device_put(self.model.params, repl)
             state = jax.device_put(self.model.state, repl)
             vol = jax.device_put(self.volume, repl)
-            traj, alive = self._fn(params, state, vol, seeds_dev)
+            # shard_map (not GSPMD propagation): agents are independent,
+            # so each device runs the whole rollout program — incl. the
+            # Pallas extraction kernel, which XLA cannot auto-partition —
+            # on its local seed shard with zero collectives
+            key = ("mesh", id(mesh), axis_name)
+            fn_m = self._mesh_fns.get(key) if hasattr(self, "_mesh_fns") \
+                else None
+            if fn_m is None:
+                if not hasattr(self, "_mesh_fns"):
+                    self._mesh_fns = {}
+                fn_m = jax.jit(jax.shard_map(
+                    self._rollout, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(axis_name)),
+                    out_specs=(P(None, axis_name, None),
+                               P(None, axis_name)),
+                    check_vma=False))
+                self._mesh_fns[key] = fn_m
+            traj, alive = fn_m(params, state, vol, seeds_dev)
             traj = jax.device_get(traj)[:, :n_real]
             alive = jax.device_get(alive)[:, :n_real]
         else:
