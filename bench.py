@@ -228,7 +228,8 @@ def _trace_metric():
     """Tracing-deployment throughput (SURVEY §4.D): fused DeviceTracer
     rollout, B=256 agents x K=256 steps over a device-generated 256^3
     volume — the champion config of scripts/exp_tracer_rollout.py (r3
-    study: 327.8 k raw agent-steps/s; saturates past B=256). Returns the
+    study with the Pallas extraction kernel: 1855 k raw agent-steps/s at
+    B=512; 1024 cliffs to 1200 k). Returns the
     trace_* secondary fields (raw rate + mean alive fraction, per the
     ADVICE r2 interpretability note)."""
     import time as _time
@@ -238,7 +239,7 @@ def _trace_metric():
     from elektronn2_tpu.data.tracing_utils import DeviceTracer
     from scripts.exp_tracer_rollout import build_model
 
-    B = int(os.environ.get("BENCH_TRACE_B", "256"))
+    B = int(os.environ.get("BENCH_TRACE_B", "512"))
     K = int(os.environ.get("BENCH_TRACE_K", "256"))
     model = build_model((16, 16, 16))
     vol = jax.random.uniform(jax.random.PRNGKey(0), (1, 256, 256, 256),
