@@ -478,6 +478,9 @@ class DeviceTracer(_AgentStepper):
                     out_specs=(P(None, axis_name, None),
                                P(None, axis_name)),
                     check_vma=False))
+                if len(self._mesh_fns) >= 4:    # FIFO: a fresh Mesh per
+                    # call would otherwise pin meshes+executables forever
+                    self._mesh_fns.pop(next(iter(self._mesh_fns)))
                 self._mesh_fns[key] = fn_m
             traj, alive = fn_m(params, state, vol, seeds_dev)
             traj = jax.device_get(traj)[:, :n_real]

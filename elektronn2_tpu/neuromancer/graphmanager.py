@@ -91,13 +91,20 @@ class GraphManager:
         import weakref
         self._models.append(weakref.ref(model))
 
-    def last_model(self):
+    def last_model(self, node_name=None):
         """Most recently constructed still-alive Model on this graph (used
         by ``Node.predict_dense`` to delegate node-level inference —
-        reference hangs that method off ``node_basic.py::Node``)."""
+        reference hangs that method off ``node_basic.py::Node``).
+
+        ``node_name``: only consider models whose node index CONTAINS the
+        node — a node created after a model was built is absent from that
+        model's index and would fail deep inside the trace (r3 review).
+        When several models qualify, the latest wins (reference-style
+        global-manager semantics; documented on Node.predict_dense)."""
         for ref in reversed(self._models):
             m = ref()
-            if m is not None:
+            if m is not None and (node_name is None
+                                  or node_name in m._node_index):
                 return m
         return None
 

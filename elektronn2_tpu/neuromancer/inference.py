@@ -230,7 +230,14 @@ def _origin_period(pred, g, nsp):
     no-op."""
     import math
     if pred.shape.n_frag > 1:
-        return list(g)
+        # pure-MFP graphs: fragment restitch covers every pooling phase.
+        # HYBRID graphs (MFP pooling AND an UpConv-restored non-MFP leg)
+        # are only phase-complete for the MFP'd strides — over-align to
+        # lcm(g, M) anyway (always safe: MFP tolerates any origin, the
+        # decoder leg needs the M grid — r3 review)
+        from elektronn2_tpu.neuromancer.neural import UpConv
+        if not any(isinstance(n, UpConv) for n in pred.all_parents()):
+            return list(g)
     M = _valid_period(pred, nsp)
     return [math.lcm(int(gd), int(md)) for gd, md in zip(g, M)]
 

@@ -188,15 +188,18 @@ class Node:
         dense inference off the output node (SURVEY §4.B). Here the
         machinery lives on the owning :class:`Model` (params/state are
         functional model attributes, not graph state) — this shim finds
-        the most recent live model on the node's graph and delegates,
-        temporarily presenting this node as the dense output when it is
-        not the designated prediction node.
+        the most recent live model on the node's graph WHOSE NODE INDEX
+        CONTAINS this node and delegates, temporarily presenting this
+        node as the dense output when it is not the designated
+        prediction node. With several models on one graph, the latest
+        containing one wins (and serves ITS params) — matching the
+        reference's global-model_manager semantics.
         """
-        model = self._gm.last_model()
+        model = self._gm.last_model(node_name=self.name)
         if model is None:
             raise RuntimeError(
-                f"no Model has been built on the graph of node "
-                f"{self.name!r}; call model_manager.getmodel() (and "
+                f"no Model containing node {self.name!r} has been built "
+                f"on its graph; call model_manager.getmodel() (and "
                 f"designate_nodes) before node-level predict_dense")
         kw = dict(pad_raw=pad_raw, as_uint8=as_uint8,
                   tile_batch=tile_batch, verbose=verbose,

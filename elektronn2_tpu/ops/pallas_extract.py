@@ -43,11 +43,16 @@ def extract_eligible(vol_shape, dtype, patch):
     import jax.numpy as jnp
     f, Z, X, Y = vol_shape
     pz, px, py = patch
+    # VMEM budget: the slab ring is R(2) x G(<=8) x f x (pz+1) x WX x 256
+    # f32 — unbounded f or patch would request scratch past VMEM and die
+    # in a Mosaic compile error where the XLA path works (r3 review)
+    slab_bytes = 2 * 8 * f * (pz + 1) * _wx(px) * 256 * 4
     return (jnp.dtype(dtype) == jnp.float32
             and Y % 128 == 0 and Y >= 256
             and X % 8 == 0 and X >= _wx(px)
             and Z >= pz + 1
-            and py + 1 <= 128 and px + 1 <= 128)
+            and py + 1 <= 128 and px + 1 <= 128
+            and slab_bytes <= 32 * 1024 * 1024)
 
 
 def _wx(px):
@@ -75,6 +80,8 @@ def trilinear_patches_pallas(vol, pos, patch, interpret=False):
     WX = _wx(px)
     W = 256
     B = pos.shape[0]
+    if B == 0:       # empty agent batch: nothing to extract (XLA parity)
+        return jnp.zeros((0, f, pz, px, py), jnp.float32)
 
     # ---- host-side (XLA) meta: bases, window corners, fracs -----------
     p_arr = jnp.asarray(patch, jnp.float32)

@@ -152,13 +152,19 @@ def main(argv=None):
         if os.path.isdir(args.input):
             from elektronn2_tpu.data import KnossosArray
             ka = KnossosArray(args.input)
-            vol = ka[tuple(slice(0, s) for s in ka.shape[-3:])]
-            vol = np.asarray(vol, np.float32)[None]
+            vol = np.asarray(ka[tuple(slice(0, s)
+                                      for s in ka.shape[-3:])])
         else:
             path, _, key = args.input.partition(":")
-            vol = np.asarray(h5load(path, key or None), np.float32)
-            if vol.ndim == 3:
-                vol = vol[None]
+            vol = np.asarray(h5load(path, key or None))
+        # same normalisation as every dense-serving path (KNOSSOS cubes
+        # are uint8): a model trained on [0,1] inputs would otherwise see
+        # 0-255 and trace garbage (r3 review)
+        if vol.dtype == np.uint8:
+            vol = vol.astype(np.float32) / 255.0
+        vol = vol.astype(np.float32, copy=False)
+        if vol.ndim == 3:
+            vol = vol[None]
         tracer = DeviceTracer(model, vol, max_steps=args.trace_steps)
         out_name = args.out
         if out_name.endswith(".h5"):        # default --out is a dense name

@@ -565,7 +565,54 @@ def test_tracing_deployment_chain_cli(rng, tmp_path):
     sk = SkeletonMFK.load(kzip)
     want = np.concatenate([t.coords for t in traces], axis=0)
     assert len(sk.positions) == len(want)
-    np.testing.assert_allclose(
-        np.sort(sk.positions, axis=0), np.sort(want, axis=0), atol=1e-3)
+    # lexicographic ROW sort: per-column sorting would destroy the
+    # (z, x, y) association and could false-pass scrambled coordinates
+    def rowsort(a):
+        return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+    np.testing.assert_allclose(rowsort(sk.positions), rowsort(want),
+                               atol=1e-3)
     # edges chain consecutive nodes within each trace
     assert len(sk.edges) == sum(max(len(t) - 1, 0) for t in traces)
+
+
+def test_trace_cli_normalises_uint8(rng, tmp_path):
+    """r3 review: --trace on a uint8 volume must apply the same [0,1]
+    normalisation as every dense-serving path — the tracer otherwise
+    sees 0-255 inputs and traces garbage."""
+    from elektronn2_tpu.data.skeleton import SkeletonMFK
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    from elektronn2_tpu.scripts.predict import main as predict_main
+    from elektronn2_tpu.utils.basic import h5save
+
+    inp = nm.Input([1, 1, 5, 5, 5], "b,f,z,x,y", name="x")
+    step = nm.Perceptron(inp, 3, activation_func="lin", flatten=True,
+                         name="step")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp, prediction_node=step)
+    mdl = str(tmp_path / "t.mdl")
+    m.save(mdl)
+    vol_u8 = (rng.rand(16, 16, 16) * 255).astype(np.uint8)
+    h5f = str(tmp_path / "v.h5")
+    h5save({"raw": vol_u8}, h5f)
+    kz = str(tmp_path / "t.k.zip")
+    rc = predict_main([mdl, h5f + ":raw", "--cpu", "--trace", "8,8,8",
+                       "--trace-steps", "4", "-o", kz])
+    assert rc == 0
+    sk = SkeletonMFK.load(kz)
+    ref = DeviceTracer(m, vol_u8[None].astype(np.float32) / 255.0,
+                       max_steps=4).trace([8, 8, 8])
+    np.testing.assert_allclose(sk.positions, ref.coords, atol=1e-3)
+
+
+def test_node_predict_dense_requires_containing_model(rng):
+    """r3 review: a node created AFTER every model on its graph must get
+    a clear error from Node.predict_dense, not a KeyError deep inside
+    the trace (last_model filters on the node index)."""
+    inp = nm.Input([1, 1, 8, 8], "b,f,x,y", name="raw")
+    c1 = nm.Conv(inp, 2, 3, 1, name="c1")
+    m = model_manager.getmodel()
+    m.designate_nodes(input_node=inp,
+                      prediction_node=nm.Softmax(c1, name="p1"))
+    late = nm.Conv(c1, 2, 1, 1, name="late")       # after the model
+    with pytest.raises(RuntimeError, match="late"):
+        late.predict_dense(rng.rand(1, 12, 12).astype(np.float32))
