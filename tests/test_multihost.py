@@ -165,6 +165,59 @@ np.testing.assert_allclose(
     np.asarray(jax.device_get(mf.params["c1"]["w"])),
     np.asarray(mf_ref.params["c1"]["w"]), rtol=2e-5, atol=1e-6)
 print("MH FUSED OK", pid, flush=True)
+
+# DP x SP across processes: batch over 'data', z over 'space' (halo
+# exchange crosses the process boundary), vs an unsharded reference
+from elektronn2_tpu.parallel.spatial_train import (
+    make_spatial_dp_trainstep, pad_target_for_spatial)
+from elektronn2_tpu.neuromancer.node_basic import TraceCtx
+from elektronn2_tpu.parallel import make_mesh
+
+nm.model_manager.reset(seed=2)
+B, Z, X, Y = 2, 8, 12, 12
+inp = nm.Input([B, 1, Z, X, Y], "b,f,z,x,y", name="raw")
+c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 1, 1), name="c1")
+probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"),
+                   name="probs")
+tgt = nm.Input([B, *probs.shape.spatial_shape], "b,z,x,y",
+               dtype="int32", name="target")
+nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True, name="nll")
+msp = nm.model_manager.getmodel()
+msp.designate_nodes(input_node=inp, target_node=tgt,
+                    loss_node=nm.AggregateLoss(nll, name="loss"),
+                    prediction_node=probs)
+msp.set_opt("SGD", lr=0.05, mom=0.0)
+mesh_sp = multihost.global_mesh({"data": 2, "space": n})
+step = make_spatial_dp_trainstep(msp, mesh_sp, data_axis="data",
+                                 space_axis="space")
+r2 = np.random.RandomState(5)
+data = r2.rand(B, 1, Z, X, Y).astype(np.float32)
+zo, xo, yo = probs.shape.spatial_shape
+target = (r2.rand(B, zo, xo, yo) > 0.5).astype(np.int32)
+loss_sh, new_p, _, _ = step(msp.params, msp.opt_state, msp.state,
+                            jnp.asarray(data),
+                            jnp.asarray(pad_target_for_spatial(target, Z)),
+                            msp.optimiser.current_hyper(),
+                            jax.random.PRNGKey(0))
+
+def ref_loss(tp):
+    merged = {k: {**msp.params.get(k, {}), **tp.get(k, {})}
+              for k in set(msp.params) | set(tp)}
+    ctx = TraceCtx(merged, {"raw": data, "target": target}, None,
+                   train=True, node_index=msp._node_index)
+    return jnp.mean(ctx.get(nll))
+
+tp = msp._trainable(msp.params)
+loss_ref, grads = jax.value_and_grad(ref_loss)(tp)
+ref_new, _ = msp.optimiser.update(tp, grads, msp.opt_state,
+                                  msp.optimiser.current_hyper(),
+                                  msp._lr_mults, msp._wd_mults)
+np.testing.assert_allclose(float(jax.device_get(loss_sh)),
+                           float(loss_ref), rtol=2e-5)
+np.testing.assert_allclose(
+    np.asarray(jax.device_get(new_p["c1"]["w"])),
+    np.asarray(ref_new["c1"]["w"]), rtol=2e-5, atol=1e-6)
+print("MH SPATIAL OK", pid, flush=True)
 '''
 
 
@@ -200,3 +253,4 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MH TRAIN OK {i}" in out, out
         assert f"MH FUSED OK {i}" in out, out
+        assert f"MH SPATIAL OK {i}" in out, out
