@@ -415,6 +415,91 @@ def check_tracing_seed(seed, verbose=False):
 
 
 # --------------------------------------------------------------------------
+# training family: fused multi-step chunk vs sequential steps
+# --------------------------------------------------------------------------
+
+OPTIMISERS = [("SGD", {"lr": 0.05, "mom": 0.0}),
+              ("SGD", {"lr": 0.02, "mom": 0.9}),
+              ("Adam", {"lr": 1e-3}),
+              ("AdaGrad", {"lr": 0.01}),
+              ("AdaDelta", {"lr": 0.5})]
+
+
+def _trainable_models(seed):
+    """Two identically-initialised models for the seed's genotype, each
+    wrapped with a SquaredLoss head (works for every generated graph,
+    grouped softmax included)."""
+    import elektronn2_tpu.neuromancer as nm
+
+    out = []
+    for _ in range(2):
+        m, info = build_random_model(seed)
+        probs = m.prediction_node
+        tgt = nm.Input([1, probs.shape["f"],
+                        *probs.shape.spatial_shape],
+                       probs.shape.tags_str
+                       if hasattr(probs.shape, "tags_str")
+                       else ",".join(probs.shape.tags), name="tgt")
+        loss = nm.AggregateLoss(nm.SquaredLoss(probs, tgt), name="loss")
+        m.designate_nodes(input_node=m.nodes["raw"], target_node=tgt,
+                          loss_node=loss, prediction_node=probs)
+        opt, kw = OPTIMISERS[np.random.RandomState(seed).randint(
+            len(OPTIMISERS))]
+        m.set_opt(opt, **kw)
+        out.append((m, info))
+    return out
+
+
+def check_train_seed(seed, verbose=False):
+    """Training-path cross-check on a random graph: a fused K-step chunk
+    (``make_fused_hostfed_trainstep`` — one lax.scan dispatch) must
+    reproduce K sequential ``Model.trainingstep`` calls (losses + final
+    params), for a randomly drawn optimiser. Locks the optimiser/scan/
+    donation interaction across graph space, not just the hand-written
+    configs."""
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.training.fused_loop import \
+        make_fused_hostfed_trainstep
+
+    (m1, info), (m2, _) = _trainable_models(seed)
+    if verbose:
+        print(f"train seed {seed}: {info} opt={type(m1.optimiser).__name__}",
+              flush=True)
+    rng = np.random.RandomState(30_000 + seed)
+    K = 3
+    xs = [rng.rand(*m1.input_node.shape).astype(np.float32)
+          for _ in range(K)]
+    ys = [rng.rand(*m1.target_node.shape).astype(np.float32)
+          for _ in range(K)]
+
+    seq_losses = [float(m1.trainingstep(x, y)[0]) for x, y in zip(xs, ys)]
+
+    fused = make_fused_hostfed_trainstep(m2, K)
+    feeds = {m2.input_node.name: jnp.asarray(np.stack(xs)),
+             m2.target_node.name: jnp.asarray(np.stack(ys))}
+    keys = jax.random.split(jax.random.PRNGKey(0), K)
+    losses, _, new_p, _, _, _ = fused(
+        m2.params, m2.opt_state, m2.state, feeds, keys,
+        m2.optimiser.current_hyper(), {})
+
+    fails = []
+    if not np.allclose(np.asarray(losses), seq_losses, rtol=1e-4,
+                       atol=1e-6):
+        fails.append(f"train seed {seed} [losses]: fused "
+                     f"{np.asarray(losses).tolist()} vs seq {seq_losses} "
+                     f"({info})")
+    for nname, pd in m1.params.items():
+        for pname, v in pd.items():
+            d = float(np.max(np.abs(np.asarray(v)
+                                    - np.asarray(new_p[nname][pname]))))
+            if d > 1e-5:
+                fails.append(f"train seed {seed} [param {nname}/{pname}]: "
+                             f"max|diff|={d:.3e} ({info})")
+    return fails
+
+
+# --------------------------------------------------------------------------
 # per-seed check
 # --------------------------------------------------------------------------
 
@@ -509,7 +594,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--count", type=int, default=50)
-    ap.add_argument("--family", choices=["dense", "tracing", "all"],
+    ap.add_argument("--family",
+                    choices=["dense", "tracing", "train", "all"],
                     default="dense",
                     help="graph family: dense serving graphs, tracing "
                          "step predictors, or both")
@@ -526,8 +612,10 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    checkers = {"dense": check_seed, "tracing": check_tracing_seed}
-    families = (["dense", "tracing"] if args.family == "all"
+    checkers = {"dense": check_seed, "tracing": check_tracing_seed,
+                "train": check_train_seed}
+    families = (["dense", "tracing", "train"]
+                if args.family == "all"
                 else [args.family])
     n_pass = n_skip = 0
     all_fails = []

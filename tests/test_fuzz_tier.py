@@ -59,6 +59,25 @@ def test_tracing_fuzz_deterministic_tier():
     assert not fails, "\n".join(fails)
 
 
+def test_train_fuzz_deterministic_tier():
+    """Fixed-seed slice of the TRAINING-family fuzzer (r3): random graphs
+    + random optimiser, a fused K-step chunk
+    (make_fused_hostfed_trainstep) must reproduce K sequential
+    Model.trainingstep calls — losses and final params — locking the
+    optimiser/scan/donation interaction across graph space."""
+    from scripts.fuzz_graphs import SkipSeed, check_train_seed
+
+    fails, n_run = [], 0
+    for seed in range(6):
+        try:
+            fails += check_train_seed(seed)
+            n_run += 1
+        except SkipSeed:
+            continue
+    assert n_run >= 4, f"only {n_run}/6 seeds buildable — generator drift?"
+    assert not fails, "\n".join(fails)
+
+
 @pytest.mark.slow
 def test_native_cores_under_sanitizers():
     """Build all three C++ cores (malis, warp, knossos) with
