@@ -503,3 +503,59 @@ class DeviceTracer(_AgentStepper):
     def trace(self, seed_position):
         """Single-agent convenience wrapper (host ``Tracer`` interface)."""
         return self.trace_batch([seed_position])[0]
+
+    def tune_batch(self, candidates=(128, 256, 512, 768), steps=64,
+                   repeats=2, verbose=False):
+        """Measure agent-batch throughput on the live device and return
+        ``{"best": B, "table": {B: agent_steps_per_s}}``.
+
+        Per-chip rollout throughput is NOT monotonic in the agent batch
+        (r3 study: the kernel path peaks at B≈512-768 and cliffs at 1024;
+        the XLA path at ≈256 — docs/tpu_performance.md), so deployments
+        batching thousands of seeds (``ShotgunRegistry``) should split
+        them at the measured optimum rather than growing B. Each
+        candidate is measured with the sustained protocol on a SHORT
+        rollout (``steps``) — per-step cost is what varies with B, so
+        the short probe ranks like the full one.
+        """
+        import time as _time
+
+        import jax.numpy as jnp
+
+        saved_fn, saved_steps = self._fn, self.max_steps
+        rng = np.random.RandomState(0)
+        lo = [m + 1 for m in np.asarray(self.patch_size) / 2.0 + 1.0]
+        hi = [d - m - 1 for d, m in zip(self.volume.shape[1:], lo)]
+        table = {}
+        try:
+            self.max_steps = int(steps)
+            for B in candidates:
+                self._fn = None              # respecialise on (B, steps)
+                seeds = jnp.asarray(
+                    np.stack([rng.uniform(l, h, B)
+                              for l, h in zip(lo, hi)], 1), jnp.float32)
+                fn = self._build()
+                traj, _ = fn(self.model.params, self.model.state,
+                             self.volume, seeds)
+                traj.block_until_ready()
+                traj, _ = fn(self.model.params, self.model.state,
+                             self.volume, seeds)     # double warm-up
+                traj.block_until_ready()
+                best = None
+                for _ in range(2):
+                    t0 = _time.perf_counter()
+                    for _ in range(repeats):
+                        traj, _ = fn(self.model.params, self.model.state,
+                                     self.volume, seeds)
+                    traj.block_until_ready()
+                    dt = (_time.perf_counter() - t0) / repeats
+                    best = dt if best is None else min(best, dt)
+                table[int(B)] = round(B * steps / best, 1)
+                if verbose:
+                    print(f"tune_batch: B={B} -> "
+                          f"{table[int(B)] / 1e3:.1f} K agent-steps/s",
+                          flush=True)
+        finally:
+            self._fn, self.max_steps = saved_fn, saved_steps
+        best_b = max(table, key=table.get)
+        return {"best": best_b, "table": table}

@@ -978,3 +978,23 @@ def test_device_tracer_mesh_sharded_batch_equals_unsharded(rng):
     for a, b in zip(plain, sharded):
         assert len(a) == len(b)
         np.testing.assert_allclose(a.coords, b.coords, atol=1e-6)
+
+
+def test_device_tracer_tune_batch(rng):
+    """tune_batch measures candidate agent batches and returns the best:
+    table keyed by B, rates positive, tracer state (compiled fn,
+    max_steps) restored afterwards."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.2, -0.1, 0.2], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=7)
+    res = dt.tune_batch(candidates=(2, 4), steps=3, repeats=1)
+    assert set(res["table"]) == {2, 4}
+    assert all(v > 0 for v in res["table"].values())
+    assert res["best"] in (2, 4)
+    assert dt.max_steps == 7 and dt._fn is None
+    # the tracer still works after tuning
+    assert len(dt.trace([12.0, 12.0, 12.0])) >= 1
