@@ -526,6 +526,13 @@ class DeviceTracer(_AgentStepper):
         rng = np.random.RandomState(0)
         lo = [m + 1 for m in np.asarray(self.patch_size) / 2.0 + 1.0]
         hi = [d - m - 1 for d, m in zip(self.volume.shape[1:], lo)]
+        if any(h < l for l, h in zip(lo, hi)):
+            # np.random.uniform silently accepts a reversed range, which
+            # would probe OOB seeds without complaint (advisor r3)
+            raise ValueError(
+                f"volume {tuple(self.volume.shape[1:])} too small to "
+                f"sample interior probe seeds for patch "
+                f"{tuple(self.patch_size)} (need every dim > patch + 4)")
         table = {}
         try:
             self.max_steps = int(steps)

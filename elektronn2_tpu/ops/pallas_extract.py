@@ -14,13 +14,15 @@ per-agent DMA window plus an in-register trilinear blend:
     sublane tiling (``WX = ceil8(p_x+8)``), Y to the 128-lane tiling
     (``W = 256`` covers any 128-crossing span with one copy);
   * the in-window sub-voxel offsets are applied WITHOUT dynamic VMEM
-    slicing (unsupported on tiled dims): the z interpolation is two
-    static shifted reads; the x and y interpolations ride TWO small
-    MXU matmuls against iota-built selection matrices that fold the
-    2-tap lerp weights into the selection (a (P·WX, W) x (W, P) dot,
-    then a block-diagonal (P·P, P·WX) x (P·WX, P) dot) — selection rows
-    outside the copied span carry weight 0, so the uncopied tail of the
-    window is never observed.
+    slicing (unsupported on tiled dims): each agent's integer x/y
+    offsets are brought to index 0 with dynamic ``pltpu.roll``s
+    (lane/sublane rotates are native VPU ops; positive shifts only —
+    negative measured broken), the lane extent is sliced to ``py+1``
+    right after the y-roll so later ops work one 128-lane tile, and
+    the per-axis 2-tap lerps are then plain STATIC shifted reads
+    (``v[:p]*(1-f) + v[1:]*f`` per axis, z then x then y) on the VPU —
+    no MXU involvement; the rolled-in tail of the window is sliced
+    away before it is ever observed.
 
 Numerics: same f32 data, lerp factored per axis (vs the reference
 8-corner weighted sum) — agreement to ~1e-6; the jitted XLA path stays

@@ -78,7 +78,9 @@ def main(argv=None):
                     help="pod-scale KNOSSOS sweeps: device-mesh axes as "
                     "'space=8' (z-sharded slabs, halo exchange) or "
                     "'data=2,space=4' (+ slab batch over 'data' when "
-                    "--slab-batch > 1)")
+                    "--slab-batch > 1). In --trace mode the AGENT BATCH "
+                    "is sharded instead, over the FIRST axis given — use "
+                    "e.g. 'data=8' (agent-DP; no spatial sharding there)")
     args = ap.parse_args(argv)
 
     import os

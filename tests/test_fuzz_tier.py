@@ -78,6 +78,27 @@ def test_train_fuzz_deterministic_tier():
     assert not fails, "\n".join(fails)
 
 
+def test_mesh_fuzz_deterministic_tier():
+    """Fixed-seed slice of the MESH-family fuzzer (r4, VERDICT r3 #1):
+    random 3D graphs x random device meshes over the 8 virtual CPU
+    devices — sharded serving (``predict_dense_sharded{,_batch}``,
+    pad_raw legs, equivalent lowerings under sharding) and sharded
+    training (``make_spatial_dp_trainstep`` / fused chunks /
+    ``Model.use_mesh`` DP and DP×TP) must equal their unsharded
+    references; documented contract rejections count as clean skips."""
+    from scripts.fuzz_graphs import SkipSeed, check_mesh_seed
+
+    fails, n_run = [], 0
+    for seed in range(6):
+        try:
+            fails += check_mesh_seed(seed)
+            n_run += 1
+        except SkipSeed:
+            continue
+    assert n_run >= 4, f"only {n_run}/6 seeds runnable — generator drift?"
+    assert not fails, "\n".join(fails)
+
+
 @pytest.mark.slow
 def test_native_cores_under_sanitizers():
     """Build all three C++ cores (malis, warp, knossos) with
