@@ -162,7 +162,15 @@ class Trainer:
 
     def save_model(self, suffix="-LAST"):
         path = os.path.join(self.save_path, self.save_name + suffix + ".mdl")
-        self.model.save(path)
+        # mesh-sharded models checkpoint through orbax (shard-by-shard
+        # collective save — the multi-host-safe path; a host npz gather
+        # of a cross-process array would fail). ``modelload`` accepts the
+        # resulting directory transparently, so resume=True + mesh_axes
+        # restores and re-shards onto the configured mesh (SURVEY §6
+        # restart-from-checkpoint).
+        backend = ("orbax" if getattr(self.model, "_mesh", None)
+                   is not None else "npz")
+        self.model.save(path, backend=backend)
         return path
 
     def preview_prediction(self):

@@ -631,9 +631,14 @@ def check_mesh_seed(seed, verbose=False):
     if verbose:
         print(f"mesh seed {seed}: {info}  V={[Vz, *Vxy]}", flush=True)
 
-    un = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    # the unsharded references can themselves reject shape-dependently
+    # (e.g. the conv path falls to the tiled fallback, which refuses
+    # sub-period patches) — same clean-skip rule as the sharded legs
+    un = run_leg("unsharded ref", lambda: np.asarray(
+        m.predict_dense_device(jnp.asarray(raw))), info)
     sh = run_leg("sharded", lambda: np.asarray(
-        m.predict_dense_sharded(jnp.asarray(raw), mesh)), info)
+        m.predict_dense_sharded(jnp.asarray(raw), mesh)), info) \
+        if un is not None else None
     if sh is not None:
         record("sharded vs device", sh, un, 1e-5, info)
         if rng.rand() < 0.6:   # an equivalent lowering, still sharded
@@ -653,14 +658,15 @@ def check_mesh_seed(seed, verbose=False):
             m.set_convdense_impl()
             m.set_dilated_impl("direct")
     if rng.rand() < 0.5:
-        un_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
-                                                 pad_raw=True))
+        un_p = run_leg("unsharded pad_raw ref", lambda: np.asarray(
+            m.predict_dense_device(jnp.asarray(raw), pad_raw=True)), info)
         sh_p = run_leg("sharded pad_raw", lambda: np.asarray(
             m.predict_dense_sharded(jnp.asarray(raw), mesh,
-                                    pad_raw=True)), info)
+                                    pad_raw=True)), info) \
+            if un_p is not None else None
         if sh_p is not None:
             record("sharded pad_raw vs device", sh_p, un_p, 1e-5, info)
-    if n_data > 1:             # DP x SP slab-batch serving
+    if n_data > 1 and un is not None:   # DP x SP slab-batch serving
         B = n_data * (2 if rng.rand() < 0.3 else 1)
         vols = rng.rand(B, info["n_ch"], Vz, *Vxy).astype(np.float32)
         un_b = np.stack([np.asarray(m.predict_dense_device(jnp.asarray(v)))
@@ -987,6 +993,11 @@ def main():
                 if args.verbose:
                     print(f"SKIP {e}", flush=True)
                 continue
+            except Exception as e:      # crash = a finding, not a halt
+                import traceback
+                traceback.print_exc()
+                fails = [f"{fam} seed {seed} CRASH: "
+                         f"{type(e).__name__}: {e}"]
             if fails:
                 all_fails += fails
                 for f in fails:

@@ -254,3 +254,114 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
         assert f"MH TRAIN OK {i}" in out, out
         assert f"MH FUSED OK {i}" in out, out
         assert f"MH SPATIAL OK {i}" in out, out
+
+
+RESTART_WORKER = r'''import os, sys
+pid, n, port, phase, ckdir = (int(sys.argv[1]), int(sys.argv[2]),
+                              sys.argv[3], sys.argv[4], sys.argv[5])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+sys.path.insert(0, "/root/repo")
+from elektronn2_tpu.parallel import multihost
+
+multihost.initialize(f"127.0.0.1:{port}", n, pid)
+
+import numpy as np
+import elektronn2_tpu.neuromancer as nm
+from elektronn2_tpu.neuromancer.model import modelload
+
+def build():
+    nm.model_manager.reset(seed=0)
+    inp = nm.Input([4, 1, 8, 12, 12], "b,f,z,x,y", name="raw")
+    c1 = nm.Conv(inp, 4, (3, 3, 3), (1, 1, 1), name="c1")
+    c2 = nm.Conv(c1, 2, (3, 3, 3), (1, 1, 1), activation_func="lin",
+                 name="c2")
+    probs = nm.Softmax(c2, name="probs")
+    tgt = nm.Input([4, *probs.shape.spatial_shape], "b,z,x,y",
+                   dtype="int32", name="target")
+    nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True, name="nll")
+    m = nm.model_manager.getmodel("rs")
+    m.designate_nodes(input_node=inp, target_node=tgt,
+                      loss_node=nm.AggregateLoss(nll),
+                      prediction_node=probs)
+    m.set_opt("Adam", lr=1e-3)
+    return m
+
+mesh = multihost.global_mesh({"data": 2 * n})
+rng = np.random.RandomState(0)
+osp = None
+xs, ys = [], []
+
+m0 = build()
+osp = tuple(int(s) for s in m0.prediction_node.shape.spatial_shape)
+for _ in range(2):
+    xs.append(rng.rand(4, 1, 8, 12, 12).astype(np.float32))
+    ys.append((rng.rand(4, *osp) > 0.5).astype(np.int32))
+
+if phase == "1":
+    # train 2 sharded steps, save orbax collectively, exit ("crash")
+    m0.use_mesh(mesh, data_axis="data")
+    for i in range(2):
+        m0.trainingstep(xs[i], ys[i])
+    m0.save(ckdir, backend="orbax")
+    print("MH RESTART SAVED", pid, flush=True)
+else:
+    # fresh processes: restore, re-shard onto the global mesh, continue;
+    # final params must equal the uninterrupted 4-step run (computed
+    # here unsharded as the reference)
+    m_ref = build()
+    for i in range(4):
+        m_ref.trainingstep(xs[i % 2], ys[i % 2])
+    m = modelload(ckdir)
+    assert m._step_count == 2, m._step_count
+    m.use_mesh(mesh, data_axis="data")
+    for i in range(2, 4):
+        m.trainingstep(xs[i % 2], ys[i % 2])
+    w = np.asarray(jax.device_get(m.params["c1"]["w"]))
+    w_ref = np.asarray(m_ref.params["c1"]["w"])
+    np.testing.assert_allclose(w, w_ref, rtol=2e-5, atol=1e-6)
+    print("MH RESTART OK", pid, flush=True)
+'''
+
+
+def test_two_process_restart_from_checkpoint(tmp_path):
+    """SURVEY §6 failure recovery, executed across a mesh AND a process
+    boundary (VERDICT r3 #5): two processes train a 4-way DP model 2
+    steps, checkpoint through orbax (collective shard-by-shard save),
+    and EXIT; two fresh processes restore the directory, re-shard onto a
+    new global mesh, continue 2 steps, and must equal the uninterrupted
+    4-step run."""
+    def spawn(phase, port, ckdir):
+        script = tmp_path / f"restart_worker_{phase}.py"
+        script.write_text(RESTART_WORKER)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/repo"
+        env.pop("JAX_PLATFORMS", None)
+        return [subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port),
+             phase, ckdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True) for i in range(2)]
+
+    ckdir = str(tmp_path / "ck.mdl")
+    for phase, marker in (("1", "MH RESTART SAVED"),
+                          ("2", "MH RESTART OK")):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = spawn(phase, port, ckdir)
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=360)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, \
+                f"phase {phase} worker {i} failed:\n{out}"
+            assert f"{marker} {i}" in out, out

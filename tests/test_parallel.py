@@ -1055,3 +1055,117 @@ def test_repair_fuckup_under_mesh(rng):
     lv, _ = m.trainingstep(x, y)
     assert np.isfinite(float(lv))
     assert m.optimiser.hyperparams["lr"] == pytest.approx(2.5e-3)
+
+
+def test_sharded_checkpoint_restart(rng, tmp_path):
+    """Restart-from-checkpoint ACROSS a mesh (SURVEY §6, VERDICT r3 #5):
+    a DP×TP-sharded model trains 2 steps, saves through orbax, a fresh
+    model restores from the directory, re-shards onto the same mesh and
+    continues — final params equal the uninterrupted 4-step run. A second
+    restore onto a DIFFERENT mesh shape (pure DP over all 8 devices) must
+    converge identically too: sharding is layout, not math."""
+    from elektronn2_tpu.neuromancer.model import modelload
+
+    B = 8
+    xs = [rng.randn(B, 1, 16, 16).astype(np.float32) for _ in range(2)]
+    ys = [(rng.rand(B, 7, 7) > 0.5).astype(np.int32) for _ in range(2)]
+    mesh = make_mesh({"data": 2, "model": 4})
+
+    def build():
+        model_manager.reset(seed=11)
+        m = build_model(B)
+        m.set_opt("Adam", lr=1e-3)
+        return m
+
+    m_full = build()
+    m_full.use_mesh(mesh, model_axis="model")
+    for i in range(4):
+        m_full.trainingstep(xs[i % 2], ys[i % 2])
+
+    m_a = build()
+    m_a.use_mesh(mesh, model_axis="model")
+    for i in range(2):
+        m_a.trainingstep(xs[i % 2], ys[i % 2])
+    ck = str(tmp_path / "ck.mdl")
+    m_a.save(ck, backend="orbax")
+
+    # same mesh shape
+    m_b = modelload(ck)
+    assert m_b._step_count == 2           # optimiser step carried
+    m_b.use_mesh(mesh, model_axis="model")
+    for i in range(2, 4):
+        m_b.trainingstep(xs[i % 2], ys[i % 2])
+    for nname, pd in m_full.params.items():
+        for pname, v in pd.items():
+            np.testing.assert_allclose(
+                np.asarray(m_b.params[nname][pname]), np.asarray(v),
+                rtol=1e-5, atol=1e-7, err_msg=f"{nname}/{pname} (same mesh)")
+
+    # different mesh shape (4x2 DPxTP checkpoint -> 8-way DP restore)
+    m_c = modelload(ck)
+    m_c.use_mesh(make_mesh({"data": 8}))
+    for i in range(2, 4):
+        m_c.trainingstep(xs[i % 2], ys[i % 2])
+    for nname, pd in m_full.params.items():
+        for pname, v in pd.items():
+            np.testing.assert_allclose(
+                np.asarray(m_c.params[nname][pname]), np.asarray(v),
+                rtol=1e-5, atol=1e-7,
+                err_msg=f"{nname}/{pname} (re-meshed)")
+
+
+def test_trainer_resume_with_mesh(rng, tmp_path):
+    """Trainer(resume=True) + mesh_axes (VERDICT r3 #5): a meshed run's
+    rolling checkpoint is an orbax DIRECTORY (collective multi-host-safe
+    save); a fresh Trainer restores it, re-shards onto the configured
+    mesh, and continues from the saved step."""
+    import os
+    from scipy import ndimage
+    from elektronn2_tpu.data import DeviceBatchAugmenter
+    from elektronn2_tpu.training.trainer import Trainer
+
+    def setup():
+        model_manager.reset(seed=21)
+        r = np.random.RandomState(3)
+        raws = [ndimage.gaussian_filter(r.randn(24, 40, 40), 2
+                                        ).astype(np.float32)[None]]
+        labs = [(ndimage.gaussian_filter(r.randn(24, 40, 40), 4) > 0
+                 ).astype(np.int16)]
+        inp = nm.Input([8, 1, 8, 16, 16], "b,f,z,x,y", name="raw")
+        c1 = nm.Conv(inp, 6, (3, 3, 3), (1, 2, 2), name="c1")
+        probs = nm.Softmax(nm.Conv(c1, 2, 1, 1, activation_func="lin"))
+        tgt = nm.Input([8, *probs.shape.spatial_shape], "b,z,x,y",
+                       dtype="int32", name="target")
+        loss = nm.AggregateLoss(nm.MultinoulliNLL(probs, tgt,
+                                                  target_is_sparse=True))
+        m = model_manager.getmodel()
+        m.designate_nodes(input_node=inp, target_node=tgt, loss_node=loss,
+                          prediction_node=probs)
+        m.set_opt("Adam", lr=1e-3)
+        aug = DeviceBatchAugmenter(
+            raws, labs, patch_size=(8, 16, 16),
+            target_size=tuple(probs.shape.spatial_shape),
+            target_strides=tuple(probs.shape.strides), warp_amount=0.5,
+            seed=5)
+        return m, aug
+
+    m, aug = setup()
+    tr1 = Trainer(model=m, data=aug, batch_size=8, n_steps=2,
+                  mesh_axes={"data": 8}, history_freq=0, save_freq=0,
+                  n_workers=0, save_path=str(tmp_path), save_name="mres",
+                  data_batch_args={"warp": 0.0})
+    tr1.run()
+    ck = os.path.join(str(tmp_path), "mres-LAST.mdl")
+    assert os.path.isdir(ck), "meshed checkpoint should be an orbax dir"
+
+    _, aug2 = setup()
+    tr2 = Trainer(data=aug2, batch_size=8, n_steps=4, resume=True,
+                  mesh_axes={"data": 8}, history_freq=0, save_freq=0,
+                  n_workers=0, save_path=str(tmp_path), save_name="mres",
+                  data_batch_args={"warp": 0.0})
+    assert tr2.step == 2
+    assert getattr(tr2.model, "_mesh", None) is not None
+    tr2.run()
+    assert tr2.step == 4
+    w = np.asarray(tr2.model.params["c1"]["w"])
+    assert np.isfinite(w).all()

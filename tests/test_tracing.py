@@ -998,3 +998,126 @@ def test_device_tracer_tune_batch(rng):
     assert dt.max_steps == 7 and dt._fn is None
     # the tracer still works after tuning
     assert len(dt.trace([12.0, 12.0, 12.0])) >= 1
+
+
+def test_trace_pool_no_respawn_matches_trace_batch(rng):
+    """N <= B: every seed fills a slot at t=0 and the queue drains
+    immediately — pool traces must equal trace_batch exactly."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.3, -0.2, 0.25], np.float32))
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=6)
+    seeds = np.asarray([[13.0, 12.0, 12.0], [11.5, 13.5, 12.5],
+                        [12.5, 11.5, 13.0]], np.float32)
+    ref = dt.trace_batch(seeds)
+    traces, stats = dt.trace_pool(seeds, batch_size=4)
+    assert stats["consumed"] == 3
+    assert len(traces) == 3
+    for tp, tb in zip(traces, ref):
+        np.testing.assert_allclose(tp.coords, tb.coords, atol=1e-5)
+    assert stats["effective_steps"] == sum(len(t) - 1 for t in ref)
+
+
+def test_trace_pool_respawn_equals_individual(rng):
+    """N > B with early deaths (agents march into the wall): respawned
+    slots must reproduce each seed's individual rollout exactly — the
+    respawn resets position/step-counter correctly."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    # strong +z drift: agents hit the z margin after a few steps
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.01).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([1.4, 0.2, -0.1], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=10)
+    seeds = rng.uniform(10.0, 14.0, (7, 3)).astype(np.float32)
+    traces, stats = dt.trace_pool(seeds, batch_size=2)
+    assert stats["consumed"] == 7
+    singles = [dt.trace(s) for s in seeds]
+    for i, (tp, ts) in enumerate(zip(traces, singles)):
+        assert len(tp.coords) == len(ts.coords), f"seed {i}"
+        np.testing.assert_allclose(tp.coords, ts.coords, atol=1e-5,
+                                   err_msg=f"seed {i}")
+    # respawn actually engaged: more agents than slots were traced
+    assert stats["effective_steps"] > 0
+    assert stats["slot_steps"] >= stats["effective_steps"]
+
+
+def test_trace_pool_recurrent_respawn_resets_carry(rng):
+    """GRU tracing model through the pool: a respawned slot must start
+    from the INITIAL hidden state, not the dead predecessor's — each
+    pool trace equals the seed's fresh individual rollout."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    import elektronn2_tpu.neuromancer as nm
+    patch = (5, 5, 5)
+    T = 4
+    nm.model_manager.reset(seed=7)
+    seq = nm.Input([T, 1, 1, *patch], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([1, 1, *patch], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel("pool_rec")
+    m.designate_nodes(input_node=seq, prediction_node=step)
+    m.params["step"]["b"] = jnp.asarray([0.9, 0.3, -0.2], np.float32)
+
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=8)
+    seeds = rng.uniform(10.0, 14.0, (5, 3)).astype(np.float32)
+    traces, stats = dt.trace_pool(seeds, batch_size=2)
+    assert stats["consumed"] == 5
+    for i, s in enumerate(seeds):
+        ref = dt.trace(s)
+        np.testing.assert_allclose(traces[i].coords, ref.coords,
+                                   atol=1e-4, err_msg=f"seed {i}")
+
+
+def test_trace_pool_oob_seed_and_budget(rng):
+    """An out-of-bounds seed is consumed, yields a seed-only trace, and
+    the slot respawns next step; seeds beyond the step budget are
+    reported unconsumed, not silently dropped."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    m = _ff_step_model(
+        w=np.zeros((int(np.prod(patch)), 3), np.float32),
+        b=np.array([0.5, 0.1, 0.1], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=4)
+    seeds = np.asarray([[1.0, 1.0, 1.0],        # OOB (margin 3.5)
+                        [12.0, 12.0, 12.0],
+                        [13.0, 11.0, 12.0]], np.float32)
+    traces, stats = dt.trace_pool(seeds, batch_size=2)
+    assert stats["consumed"] == 3
+    assert len(traces[0].coords) == 1           # seed-only
+    assert len(traces[1].coords) > 1
+    # tiny budget: only the initial fill can consume
+    traces2, stats2 = dt.trace_pool(seeds, batch_size=2, total_steps=4)
+    assert stats2["consumed"] < 3
+    assert len(traces2) == stats2["consumed"]
+
+
+def test_shotgun_registry_pool_drain(rng):
+    """ShotgunRegistry.run(pool=True): the pool drain registers a trace
+    per eligible seed and dedupes later waves against earlier traces."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer, \
+        ShotgunRegistry
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.01).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.8, 0.2, -0.1], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=6)
+    seeds = [rng.uniform(10.0, 14.0, 3) for _ in range(5)]
+    reg = ShotgunRegistry(seeds, radius=0.05)   # tiny radius: all trace
+    out = reg.run(dt, batch_size=2, pool=True)
+    assert len(out) == 5
+    # dedupe applies ACROSS waves (within a wave it is relaxed, like the
+    # batched drain): 9 overlapping seeds at wave size 8 -> the second
+    # wave's seed is covered by the first wave's traces and skipped
+    close = [np.array([12.0, 12.0, 12.0]) + 0.05 * i for i in range(9)]
+    reg2 = ShotgunRegistry(close, radius=50.0)
+    out2 = reg2.run(dt, batch_size=1, pool=True)
+    assert len(out2) == 8
