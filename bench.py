@@ -31,7 +31,8 @@ _done = threading.Event()
 # emission path: normal, watchdog-partial, and stale fallback
 _SECONDARY = ("train_it_s", "train_impl", "train_Mvox_in_s",
               "train_slab_Mvox_in_s", "train_slab_impl",
-              "trace_sps", "trace_alive", "trace_impl")
+              "trace_sps", "trace_alive", "trace_impl",
+              "trace_raw_sps", "trace_util")
 _best_so_far = {"value": 0.0, "impl": None,     # updated as impls complete
                 **{k: None for k in _SECONDARY}}
 _emit_lock = threading.Lock()
@@ -300,12 +301,49 @@ def _trace_metric():
         dt = (_time.perf_counter() - t0) / 2
         best = dt if best is None else min(best, dt)
     assert bool(jnp.all(jnp.isfinite(traj)))
-    return {
-        "trace_sps": round(B * K / best, 0),
-        "trace_alive": round(float(jnp.mean(alive.astype(jnp.float32))),
-                             2),
+    alive_frac = float(jnp.mean(alive.astype(jnp.float32)))
+    raw_sps = B * K / best
+    out = {
+        "trace_sps": round(raw_sps, 0),
+        "trace_alive": round(alive_frac, 2),
         "trace_impl": f"device_rollout,b{B},k{K}",
     }
+
+    # pool contender (r4, VERDICT r3 #4): respawn dead slots from a
+    # device-resident queue inside the scan, so the HEADLINE becomes
+    # EFFECTIVE agent-steps/s (recorded useful steps / wall) instead of
+    # raw slot-steps discounted by a 0.61 alive fraction. Raw rollout
+    # numbers stay as trace_raw_sps/trace_alive for continuity.
+    if os.environ.get("BENCH_TRACE_POOL", "1") != "0":
+        N = 4 * B
+        pseeds = jnp.asarray(rng.uniform(10, 246, (N, 3)), jnp.float32)
+        total = int(N * max(0.05, alive_frac) * K / B) + K
+        pfn = tracer._build_pool(B, total, N)
+        for _ in range(2):
+            traj_p, moved, ids, used = pfn(model.params, model.state,
+                                           tracer.volume, pseeds)
+            float(jnp.sum(traj_p))      # checksum sync (axon-safe)
+        bestp = None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(2):
+                traj_p, moved, ids, used = pfn(
+                    model.params, model.state, tracer.volume, pseeds)
+                acc = acc + jnp.sum(traj_p)
+            float(acc)
+            dt = (_time.perf_counter() - t0) / 2
+            bestp = dt if bestp is None else min(bestp, dt)
+        eff = int(jnp.sum(moved))
+        eff_sps = eff / bestp
+        if eff_sps > raw_sps * alive_frac:      # pool wins: headline it
+            out.update({
+                "trace_sps": round(eff_sps, 0),
+                "trace_impl": f"pool,b{B},k{K},q{N},t{total}",
+                "trace_raw_sps": round(raw_sps, 0),
+                "trace_util": round(eff / (B * total), 2),
+            })
+    return out
 
 
 def main():

@@ -71,19 +71,23 @@ def main():
         seeds = jnp.asarray(rng.uniform(V * 0.1, V * 0.9, (B, 3)),
                             jnp.float32)
 
-        # ---- plain rollout baseline (sustained, double warm-up) -------
+        # ---- plain rollout baseline (sustained, double warm-up; sync
+        # by checksum fetch — axon's block_until_ready does not reliably
+        # flush, see bench.py::_sustained) ------------------------------
         fn = tracer._build()
         for _ in range(2):
             traj, alive = fn(model.params, model.state, tracer.volume,
                              seeds)
-            traj.block_until_ready()
+            float(jnp.sum(traj))
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
+            acc = jnp.float32(0)
             for _ in range(2):
                 traj, alive = fn(model.params, model.state,
                                  tracer.volume, seeds)
-            traj.block_until_ready()
+                acc = acc + jnp.sum(traj)
+            float(acc)
             dt = (time.perf_counter() - t0) / 2
             best = dt if best is None else min(best, dt)
         alive_frac = float(jnp.mean(alive.astype(jnp.float32)))
@@ -107,14 +111,16 @@ def main():
         for _ in range(2):
             traj, moved, ids, used = pfn(model.params, model.state,
                                          tracer.volume, pseeds)
-            traj.block_until_ready()
+            float(jnp.sum(traj))
         bestp = None
         for _ in range(2):
             t0 = time.perf_counter()
+            acc = jnp.float32(0)
             for _ in range(2):
                 traj, moved, ids, used = pfn(model.params, model.state,
                                              tracer.volume, pseeds)
-            traj.block_until_ready()
+                acc = acc + jnp.sum(traj)
+            float(acc)
             dt = (time.perf_counter() - t0) / 2
             bestp = dt if bestp is None else min(bestp, dt)
         eff_steps = int(jnp.sum(moved))
