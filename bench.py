@@ -278,7 +278,11 @@ def _trace_metric():
     from elektronn2_tpu.data.tracing_utils import DeviceTracer
     from scripts.exp_tracer_rollout import build_model
 
-    B = int(os.environ.get("BENCH_TRACE_B", "512"))
+    # r4: the extraction kernel's B=1024 cliff was attributed (one-call
+    # grid-size property) and fixed by splitting calls at 512 agents —
+    # raw throughput now grows to B=2048 (1.96M sps); B=1024 is the
+    # bench default (runtime-bounded), pool queue 4xB
+    B = int(os.environ.get("BENCH_TRACE_B", "1024"))
     K = int(os.environ.get("BENCH_TRACE_K", "256"))
     model = build_model((16, 16, 16))
     vol = jax.random.uniform(jax.random.PRNGKey(0), (1, 256, 256, 256),

@@ -700,16 +700,18 @@ class DeviceTracer(_AgentStepper):
         """Single-agent convenience wrapper (host ``Tracer`` interface)."""
         return self.trace_batch([seed_position])[0]
 
-    def tune_batch(self, candidates=(128, 256, 512, 768), steps=64,
+    def tune_batch(self, candidates=(256, 512, 1024, 2048), steps=64,
                    repeats=2, verbose=False):
         """Measure agent-batch throughput on the live device and return
         ``{"best": B, "table": {B: agent_steps_per_s}}``.
 
         Per-chip rollout throughput is NOT monotonic in the agent batch
-        (r3 study: the kernel path peaks at B≈512-768 and cliffs at 1024;
-        the XLA path at ≈256 — docs/tpu_performance.md), so deployments
-        batching thousands of seeds (``ShotgunRegistry``) should split
-        them at the measured optimum rather than growing B. Each
+        (the r3 study found a B=1024 cliff; r4 attributed it to one-call
+        kernel grid size and fixed it by splitting extraction calls at
+        512 agents — throughput now grows to B≈2048, but the XLA path
+        still peaks ≈256 and tails exist — docs/tpu_performance.md), so
+        deployments batching thousands of seeds (``ShotgunRegistry``)
+        should split them at the measured optimum. Each
         candidate is measured with the sustained protocol on a SHORT
         rollout (``steps``) — per-step cost is what varies with B, so
         the short probe ranks like the full one.

@@ -62,11 +62,22 @@ def _wx(px):
     return -(-(px + 1 + 7) // 8) * 8
 
 
+# one kernel call handles at most this many agents: past ~512 the
+# per-agent cost cliffs +40% (r4 attribution: B=1024 one-call 993K sps vs
+# two 512-agent calls 1485K in the same scan body — a per-call grid-size
+# property, grid=(B/G,) DMA pipelining degrades at 128 grid steps; the
+# split recovers it and even edges past the B=768 single-call rate)
+_MAX_CALL_B = 512
+
+
 @functools.partial(
     __import__("jax").jit, static_argnames=("patch", "interpret"))
 def trilinear_patches_pallas(vol, pos, patch, interpret=False):
     """Batched trilinear patches: vol (f, Z, X, Y) f32, pos (B, 3) float
     -> (B, f, pz, px, py). Matches ``DeviceTracer._extract`` semantics.
+
+    Batches past ``_MAX_CALL_B`` are served by multiple kernel calls and
+    re-concatenated (exact: agents are independent).
 
     ``interpret=True`` runs the Pallas interpreter (CPU tests).
     """
@@ -75,6 +86,14 @@ def trilinear_patches_pallas(vol, pos, patch, interpret=False):
     from jax import lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if pos.shape[0] > _MAX_CALL_B and pos.shape[0] % _MAX_CALL_B == 0:
+        n = pos.shape[0] // _MAX_CALL_B
+        return jnp.concatenate(
+            [trilinear_patches_pallas(
+                vol, pos[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B], patch,
+                interpret=interpret)
+             for i in range(n)], axis=0)
 
     f, Z, X, Y = vol.shape
     pz, px, py = patch

@@ -60,19 +60,23 @@ def main():
     tracer = DeviceTracer(model, vol, max_steps=K, min_step=0.0)
 
     def timed(fn, label):
+        # sync by checksum fetch — axon's block_until_ready does not
+        # reliably flush queued executions (r4 finding, bench.py protocol)
         traj, alive = fn(model.params, model.state, tracer.volume, seeds)
-        traj.block_until_ready()
+        float(jnp.sum(traj))
         for _ in range(2):
             traj, alive = fn(model.params, model.state, tracer.volume,
                              seeds)
-            traj.block_until_ready()
+            float(jnp.sum(traj))
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
+            acc = jnp.float32(0)
             for _ in range(args.repeats):
                 traj, alive = fn(model.params, model.state, tracer.volume,
                                  seeds)
-            traj.block_until_ready()
+                acc = acc + jnp.sum(traj)
+            float(acc)
             dt = (time.perf_counter() - t0) / args.repeats
             best = dt if best is None else min(best, dt)
         print(f"{label:8s} {best * 1e3:8.2f} ms/rollout  "
@@ -112,6 +116,25 @@ def main():
         return (f[:, :n].reshape(f.shape[0], -1, 3).mean(1) - 0.5) * 0.3
 
     timed(make_rollout(tracer._extract, fold_step), "extract")
+
+    # PALLAS-extraction-only: the production kernel with the cheap fold
+    # step (B-sweep this leg to attribute the B=1024 cliff — r4)
+    from elektronn2_tpu.ops.pallas_extract import (extract_eligible,
+                                                   trilinear_patches_pallas)
+    if extract_eligible(vol.shape, vol.dtype, patch):
+        def rollout_pallas(params, state, v, s):
+            def body(carry, _):
+                pos, alive = carry
+                patches = trilinear_patches_pallas(v, pos, patch)
+                step = fold_step(params, state, patches)
+                newpos = pos + step
+                pos = jnp.where(alive[:, None], newpos, pos)
+                alive = alive & inbounds(newpos)
+                return (pos, alive), (pos, alive)
+            _, (traj, alive) = jax.lax.scan(
+                body, (s, inbounds(s)), None, length=K)
+            return traj, alive
+        timed(jax.jit(rollout_pallas), "pextract")
 
     # model-only: patches filled from pos (no slices, data dep kept)
     carry0 = tracer._init_carry(model.params, model.state, B)

@@ -81,3 +81,29 @@ def test_device_tracer_auto_is_off_on_cpu(rng):
     assert not dt._use_pallas()
     assert DeviceTracer(m, vol, max_steps=3,
                         use_pallas_extract=True)._use_pallas()
+
+
+def test_split_call_batches_match_xla(rng):
+    """Batches past _MAX_CALL_B are served by multiple kernel calls and
+    re-concatenated (the r4 B=1024 cliff fix) — must equal the XLA
+    extraction exactly. The threshold is patched small so the interpret
+    path exercises the split without a 1024-agent CPU run."""
+    import elektronn2_tpu.ops.pallas_extract as pe
+
+    vol = jnp.asarray(rng.rand(1, 40, 256, 256).astype(np.float32))
+    patch = (5, 5, 5)
+    pos = jnp.asarray(rng.uniform(8, 30, (8, 3)).astype(np.float32))
+    old = pe._MAX_CALL_B
+    try:
+        pe._MAX_CALL_B = 4          # 8 agents -> two interpret calls
+        got = np.asarray(pe.trilinear_patches_pallas(vol, pos, patch,
+                                                     interpret=True))
+    finally:
+        pe._MAX_CALL_B = old
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+
+    class _Shim:                    # _extract only needs patch_size
+        patch_size = patch
+    ref = np.stack([np.asarray(DeviceTracer._extract(_Shim(), vol, p))
+                    for p in pos])
+    np.testing.assert_allclose(got, ref, atol=1e-6)
