@@ -85,13 +85,21 @@ def serve_campaign(widths, slabs, K):
     print(f"widths={widths}: {fpv / 1e6:.3f} MFLOP per input voxel",
           flush=True)
 
+    # dtype spec: (compute_dtype, activations_flag) — activations=True
+    # STORES inter-layer activations in the dtype too, halving (bf16) or
+    # quartering (int8) HBM traffic; the r4 f32-vs-bf16 operand-only
+    # parity suggested the wide graph is bandwidth-, not MXU-rate-bound,
+    # which makes the storage knob the interesting one
     combos = [
-        ("f32 default", None, {}),
-        ("f32 d2s+zfold", None, dict(upconv="d2s", zfold=True)),
-        ("f32 d2s+zfold+ptail", None,
+        ("f32 default", (None, False), {}),
+        ("f32 d2s+zfold", (None, False), dict(upconv="d2s", zfold=True)),
+        ("f32 d2s+zfold+ptail", (None, False),
          dict(upconv="d2s", zfold=True, ptail=True)),
-        ("bf16 default", "bfloat16", {}),
-        ("bf16 d2s+zfold", "bfloat16", dict(upconv="d2s", zfold=True)),
+        ("bf16 default", ("bfloat16", False), {}),
+        ("bf16 d2s+zfold", ("bfloat16", False),
+         dict(upconv="d2s", zfold=True)),
+        ("bf16+act default", ("bfloat16", True), {}),
+        ("int8 default", ("int8", False), {}),
     ]
     results = {}
     for slab in slabs:
@@ -99,8 +107,11 @@ def serve_campaign(widths, slabs, K):
                                  jnp.float32)
         vol.block_until_ready()
         n_vox = float(np.prod(slab))
-        for name, dtype, impl in combos:
-            model.set_compute_dtype(dtype)
+        for name, (dtype, act), impl in combos:
+            try:
+                model.set_compute_dtype(dtype, activations=act)
+            except TypeError:
+                model.set_compute_dtype(dtype)
             model.set_convdense_impl(**impl)
             fn = jax.jit(lambda p, s, v: convolutional_dense_forward(
                 model, v, batch=True, params=p, state=s))

@@ -542,6 +542,12 @@ MESH_KNOWN_REJECTS = (
                               # expressible + decoder graphs; others name
                               # the node and refuse rather than decohere
     "z-pooling",            # spatial train: z-pool unsupported
+    "branches; pipeline",   # GPipe: linear conv chains only
+    "uses mfp/BN/dropout",  # GPipe: stage-incompatible conv features
+    "pipeline stages for",  # GPipe: fewer layers than pipe ranks
+    "no Conv chain",        # GPipe: graph has no stageable chain
+    "pipeline loss head",   # GPipe: unsupported loss graph
+    "trainable params outside",  # GPipe: params outside the chain
     "MFP training",         # spatial train: mfp unsupported
     "misaligned skip rows", # spatial train: z-cropping merge
     "z crop",               # spatial train: explicit z crop
@@ -812,6 +818,66 @@ def check_mesh_seed(seed, verbose=False):
                 for pname, v in pd.items():
                     record(f"use_mesh param {nname}/{pname}",
                            mb.params[nname][pname], v, 2e-5, ainfo)
+
+    # ---------------- training: GPipe Model-API trainstep ----------------
+    if rng.rand() < 0.4:
+        from elektronn2_tpu.parallel import make_gpipe_trainstep, microbatch
+
+        pipe_n = int(rng.choice([2, 4]))
+        n_micro, mb = pipe_n, 1
+        try:
+            mp_a, pinfo = build_random_model(seed, force_ndim=3,
+                                             batch=n_micro * mb,
+                                             spatial_safe=True)
+            mp_b, _ = build_random_model(seed, force_ndim=3,
+                                         batch=n_micro * mb,
+                                         spatial_safe=True)
+        except SkipSeed:
+            mp_a = None
+        if mp_a is not None and not pinfo["decoder"]:
+            import jax.numpy as jnp
+            for mm in (mp_a, mp_b):
+                probs = mm.prediction_node
+                tgt = nm.Input([n_micro * mb, *probs.shape.spatial_shape],
+                               "b,z,x,y", dtype="int32", name="target")
+                nll = nm.MultinoulliNLL(probs, tgt, target_is_sparse=True,
+                                        name="nll")
+                mm.designate_nodes(input_node=mm.nodes["raw"],
+                                   target_node=tgt,
+                                   loss_node=nm.AggregateLoss(nll,
+                                                              name="loss"),
+                                   prediction_node=probs)
+                mm.set_opt("SGD", lr=0.02, mom=0.9)
+            pinfo = {**pinfo, "pipe": pipe_n}
+            mesh_pp = make_mesh({"pipe": pipe_n}, n_devices=pipe_n)
+            pstep = run_leg("gpipe build",
+                            lambda: make_gpipe_trainstep(
+                                mp_b, mesh_pp, n_micro=n_micro,
+                                mb_batch=mb), pinfo)
+            if pstep is not None:
+                B_pp = n_micro * mb
+                zo, xo, yo = [int(s) for s in
+                              mp_a.prediction_node.shape.spatial_shape]
+                n_out = int(mp_a.prediction_node.shape["f"])
+                x = rng.rand(B_pp, pinfo["n_ch"], *pinfo["patch"]
+                             ).astype(np.float32)
+                y = (rng.rand(B_pp, zo, xo, yo) * n_out).astype(np.int32)
+                lv_ref, _ = mp_a.trainingstep(x, y)
+                lv, new_p, _ = pstep(mp_b.params, mp_b.opt_state,
+                                     microbatch(jnp.asarray(x), n_micro),
+                                     microbatch(jnp.asarray(y), n_micro),
+                                     mp_b.optimiser.current_hyper())
+                if not np.allclose(float(lv), float(lv_ref), rtol=1e-4,
+                                   atol=1e-7):
+                    fails.append(f"mesh seed {seed} [gpipe loss]: "
+                                 f"{float(lv)} vs {float(lv_ref)} "
+                                 f"({pinfo})")
+                else:
+                    n_leg[0] += 1
+                for nname, pd in new_p.items():
+                    for pname, v in pd.items():
+                        record(f"gpipe param {nname}/{pname}", v,
+                               mp_a.params[nname][pname], 2e-5, pinfo)
 
     if n_leg[0] == 0 and not fails:
         raise SkipSeed(f"mesh seed {seed}: every leg cleanly rejected")
