@@ -20,6 +20,7 @@ is recorded there as the denominator). North-star: ≥10×.
 
 import json
 import os
+import sys
 import threading
 import time
 
@@ -319,7 +320,9 @@ def _trace_metric():
     # raw slot-steps discounted by a 0.61 alive fraction. Raw rollout
     # numbers stay as trace_raw_sps/trace_alive for continuity.
     if os.environ.get("BENCH_TRACE_POOL", "1") != "0":
-        N = 4 * B
+        # 8xB queue: deployment-wave shape (ShotgunRegistry default);
+        # amortises the single-wave drain tail (util 0.72 @4xB -> 0.84)
+        N = 8 * B
         pseeds = jnp.asarray(rng.uniform(10, 246, (N, 3)), jnp.float32)
         total = int(N * max(0.05, alive_frac) * K / B) + K
         pfn = tracer._build_pool(B, total, N)
@@ -519,6 +522,34 @@ def main():
     except Exception:
         pass
 
+    # serving held multi-GB volumes + cached sweep executables in HBM;
+    # without an explicit release the train/trace legs die in
+    # RESOURCE_EXHAUSTED at their very first device_put (observed: both
+    # legs failing in-context while passing standalone). Drop every big
+    # reference and the model's program caches, then let GC free buffers.
+    import gc
+    try:
+        del outb
+    except NameError:
+        pass
+    try:
+        del volb, fnb
+    except NameError:
+        pass
+    try:
+        del out
+    except NameError:
+        pass
+    try:
+        del v
+    except NameError:
+        pass
+    del vol
+    vols.clear()
+    model.set_compute_dtype(None)
+    model._dilated_fns = {}
+    gc.collect()
+
     # --- second driver metric: 3D-CNN fused-training iters/sec ---------
     # BASELINE.json names train it/s co-equal with dense inference; until
     # r3 it never reached a BENCH artifact. neuro3d-class net (reference
@@ -533,6 +564,9 @@ def main():
         train_payload = _train_metric()
         _best_so_far.update(train_payload)
     except Exception:
+        import traceback
+        print("train leg failed:", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         train_payload = None
 
     # --- third metric: fused tracing rollout (deployment-scale) --------
@@ -540,6 +574,9 @@ def main():
         trace_payload = _trace_metric()
         _best_so_far.update(trace_payload)
     except Exception:
+        import traceback
+        print("trace leg failed:", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         trace_payload = None
 
     _done.set()

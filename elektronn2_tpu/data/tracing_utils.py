@@ -305,6 +305,24 @@ class ShotgunRegistry:
         return self.traces
 
 
+def _flight_frame_jnp(h):
+    """jnp ``transformations.flight_frame``: orthonormal rows
+    (tangent, normal1, normal2) with the same degenerate fallback
+    ((0,0,1)) and reference-vector switch (|t·x̂| > 0.9 → ŷ)."""
+    import jax.numpy as jnp
+
+    n = jnp.linalg.norm(h)
+    t = jnp.where(n > 1e-12, h / jnp.where(n > 1e-12, n, 1.0),
+                  jnp.asarray([0.0, 0.0, 1.0], h.dtype))
+    ref = jnp.where(jnp.abs(t[0]) > 0.9,
+                    jnp.asarray([0.0, 1.0, 0.0], h.dtype),
+                    jnp.asarray([1.0, 0.0, 0.0], h.dtype))
+    n1 = jnp.cross(t, ref)
+    n1 = n1 / jnp.linalg.norm(n1)
+    n2 = jnp.cross(t, n1)
+    return jnp.stack([t, n1, n2])
+
+
 class DeviceTracer(_AgentStepper):
     """Fused on-device agent rollout — the TPU-native ``Tracer``.
 
@@ -324,19 +342,26 @@ class DeviceTracer(_AgentStepper):
     ``ScanN`` (the tracing-model family) and with feedforward
     step-predictors (no carried state).
 
-    Views are AXIS-ALIGNED (translation-only cuts): the frame-aligned
-    mode (``rotate_to_heading`` — ``get_tracing_slice`` views, see the
-    host ``Tracer``) would need a per-step rotated trilinear resample
-    inside the scan body; models trained with
-    ``AgentData(rotate_to_heading=True)`` must roll out through the host
-    ``Tracer(rotate_to_heading=True)``.
+    ``rotate_to_heading=True`` (r4): frame-aligned views inside the scan
+    — each agent's patch is resampled along its flight heading
+    (``get_tracing_slice`` semantics: world = pos + F.T @ grid offsets,
+    ``flight_frame`` rows, degenerate fallback (0,0,1)), the predicted
+    step is rotated back to world through the same frame, and the
+    heading carries. Models trained with
+    ``AgentData(rotate_to_heading=True)`` can now deploy fused on-device
+    (previously host-``Tracer``-only: ~20 ms/step through the tunnel).
+    The rotated resample is an XLA 8-corner gather (the Pallas
+    translation kernel does not apply), so per-step cost is higher than
+    axis-aligned — still three orders of magnitude off the host floor.
     """
 
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
-                 min_step=1e-4, use_pallas_extract=None):
+                 min_step=1e-4, use_pallas_extract=None,
+                 rotate_to_heading=False):
         import jax.numpy as jnp
 
         self.model = model
+        self.rotate_to_heading = bool(rotate_to_heading)
         #: Pallas patch-extraction kernel (ops/pallas_extract.py): the
         #: r3 attribution found the vmapped dynamic_slice extraction is
         #: 97% of the rollout (XLA lowers it as a whole-volume gather);
@@ -398,8 +423,50 @@ class DeviceTracer(_AgentStepper):
                         :, dz:dz + p[0], dx:dx + p[1], dy:dy + p[2]]
         return out
 
+    # -- frame-aligned (rotated) extraction: get_tracing_slice semantics
+    #    on device — world coord of output voxel i = pos + F.T @ (i - c)
+    def _extract_rot_batch(self, vol, pos, headings):
+        """Rotated trilinear patches for a batch: returns
+        ``(patches (B, f, *p), ok (B,), F (B, 3, 3))`` — ``ok`` is the
+        host ``WarpingOOBError`` criterion (every sample's interpolation
+        cell inside the volume), ``F`` the per-agent flight frame."""
+        import jax
+        import jax.numpy as jnp
+
+        p = self.patch_size
+        grids = jnp.meshgrid(
+            *[jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+              for n in p], indexing="ij")
+        offs = jnp.stack([g.ravel() for g in grids])          # (3, P)
+        dims = jnp.asarray(vol.shape[1:], jnp.float32)
+        maxc = jnp.asarray([vol.shape[1 + d] - 2 for d in range(3)],
+                           jnp.int32)
+
+        def one(pos1, h):
+            F = _flight_frame_jnp(h)
+            coords = pos1[:, None] + F.T @ offs               # (3, P)
+            ok = jnp.all((coords >= 0.0)
+                         & (coords < dims[:, None] - 1.0))
+            c0 = jnp.floor(coords)
+            fr = (coords - c0).astype(vol.dtype)
+            c0 = jnp.clip(c0.astype(jnp.int32), 0, maxc[:, None])
+            acc = jnp.zeros((vol.shape[0], offs.shape[1]), vol.dtype)
+            for dz in (0, 1):
+                wz = fr[0] if dz else 1.0 - fr[0]
+                for dx in (0, 1):
+                    wx = fr[1] if dx else 1.0 - fr[1]
+                    for dy in (0, 1):
+                        wy = fr[2] if dy else 1.0 - fr[2]
+                        acc = acc + (wz * wx * wy) * vol[
+                            :, c0[0] + dz, c0[1] + dx, c0[2] + dy]
+            return acc.reshape((vol.shape[0], *p)), ok, F
+
+        return jax.vmap(one)(pos, headings)
+
     def _use_pallas(self):
         import jax
+        if self.rotate_to_heading:
+            return False          # translation-only kernel: not applicable
         if self.use_pallas_extract is not None:
             return bool(self.use_pallas_extract)
         from elektronn2_tpu.ops.pallas_extract import extract_eligible
@@ -419,7 +486,9 @@ class DeviceTracer(_AgentStepper):
         def inbounds(pos):
             return jnp.all((pos >= margin) & (pos < dims - margin), axis=1)
 
-        def rollout(params, state, vol, seeds):
+        rotate = self.rotate_to_heading
+
+        def rollout(params, state, vol, seeds, headings0=None):
             B = seeds.shape[0]
 
             def body(carry, _):
@@ -428,8 +497,12 @@ class DeviceTracer(_AgentStepper):
                 # position is always recorded — even if it lands beyond the
                 # margin (the reference appends, then breaks on the next
                 # iteration's inside() check); the agent dies afterwards.
-                pos, alive, rnn = carry
-                if use_pallas:
+                pos, alive, heading, rnn = carry
+                if rotate:
+                    patches, ok, F = self._extract_rot_batch(vol, pos,
+                                                             heading)
+                    alive = alive & ok     # host: rotated-cut OOB → break
+                elif use_pallas:
                     from elektronn2_tpu.ops.pallas_extract import \
                         trilinear_patches_pallas
                     patches = trilinear_patches_pallas(vol, pos,
@@ -441,23 +514,33 @@ class DeviceTracer(_AgentStepper):
                                                  rnn)
                 step = (pred.reshape(B, -1)[:, :3].astype(jnp.float32)
                         * self.step_scale)
+                if rotate:
+                    # prediction lives in the view's local frame → world
+                    # (host: flight_frame(heading).T @ step)
+                    step = jnp.einsum("bji,bj->bi", F, step)
                 moved = alive & (jnp.linalg.norm(step, axis=1)
                                  >= self.min_step)
                 newpos = pos + step
                 pos = jnp.where(moved[:, None], newpos, pos)
+                if rotate:
+                    heading = jnp.where(moved[:, None], step, heading)
                 alive = moved & inbounds(newpos)
                 rnn = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(
                         moved.reshape((-1,) + (1,) * (new.ndim - 1)),
                         new, old),
                     rnn_new, rnn)
-                return (pos, alive, rnn), (pos, moved)
+                return (pos, alive, heading, rnn), (pos, moved)
 
             pos0 = seeds.astype(jnp.float32)
             alive0 = inbounds(pos0)
+            h0 = (jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0],
+                                               jnp.float32), (B, 3))
+                  if headings0 is None else headings0.astype(jnp.float32))
             carry0 = self._init_carry(params, state, B)
             _, (traj, alive) = jax.lax.scan(
-                body, (pos0, alive0, carry0), None, length=self.max_steps)
+                body, (pos0, alive0, h0, carry0), None,
+                length=self.max_steps)
             return traj, alive      # (K, B, 3), (K, B)
 
         self._rollout = rollout          # unjitted (mesh shard_map wraps it)
@@ -499,11 +582,16 @@ class DeviceTracer(_AgentStepper):
         def inbounds(pos):
             return jnp.all((pos >= margin) & (pos < dims - margin), axis=1)
 
+        rotate = self.rotate_to_heading
+
         def rollout(params, state, vol, seeds):
             carry0 = self._init_carry(params, state, B)
+            import jax.numpy as _jnp
+            h_def = _jnp.broadcast_to(
+                _jnp.asarray([0.0, 0.0, 1.0], _jnp.float32), (B, 3))
 
             def body(carry, t):
-                pos, alive, steps, ids, ptr, rnn = carry
+                pos, alive, heading, steps, ids, ptr, rnn = carry
                 # ---- respawn dead slots from the queue (device-side) --
                 dead = ~alive
                 do_spawn = dead & (t <= t_cut)
@@ -512,6 +600,7 @@ class DeviceTracer(_AgentStepper):
                 newpos = seeds[jnp.clip(cand, 0, N - 1)]
                 vmask = valid[:, None]
                 pos = jnp.where(vmask, newpos, pos)
+                heading = jnp.where(vmask, h_def, heading)
                 ids = jnp.where(valid, cand, ids)
                 steps = jnp.where(valid, 0, steps)
                 alive = alive | (valid & inbounds(newpos))
@@ -523,7 +612,11 @@ class DeviceTracer(_AgentStepper):
                 ptr = jnp.minimum(
                     jnp.int32(N), ptr + jnp.sum(valid.astype(jnp.int32)))
                 # ---- one agent step (same semantics as _build) --------
-                if use_pallas:
+                if rotate:
+                    patches, ok, F = self._extract_rot_batch(vol, pos,
+                                                             heading)
+                    alive = alive & ok
+                elif use_pallas:
                     from elektronn2_tpu.ops.pallas_extract import \
                         trilinear_patches_pallas
                     patches = trilinear_patches_pallas(vol, pos,
@@ -535,10 +628,14 @@ class DeviceTracer(_AgentStepper):
                                                  rnn)
                 step = (pred.reshape(B, -1)[:, :3].astype(jnp.float32)
                         * self.step_scale)
+                if rotate:
+                    step = jnp.einsum("bji,bj->bi", F, step)
                 moved = alive & (jnp.linalg.norm(step, axis=1)
                                  >= self.min_step)
                 newp = pos + step
                 pos = jnp.where(moved[:, None], newp, pos)
+                if rotate:
+                    heading = jnp.where(moved[:, None], step, heading)
                 steps = steps + moved.astype(jnp.int32)
                 alive = moved & inbounds(newp) & (steps < self.max_steps)
                 rnn = jax.tree_util.tree_map(
@@ -546,18 +643,19 @@ class DeviceTracer(_AgentStepper):
                         moved.reshape((-1,) + (1,) * (new.ndim - 1)),
                         new, old),
                     rnn_new, rnn)
-                return ((pos, alive, steps, ids, ptr, rnn),
+                return ((pos, alive, heading, steps, ids, ptr, rnn),
                         (pos, moved, ids))
 
             init = (jnp.zeros((B, 3), jnp.float32),
                     jnp.zeros((B,), bool),           # all dead → t=0 fill
+                    h_def,
                     jnp.zeros((B,), jnp.int32),
                     jnp.full((B,), -1, jnp.int32),
                     jnp.int32(0),
                     carry0)
             final, (traj, moved, ids) = jax.lax.scan(
                 body, init, jnp.arange(int(total_steps), dtype=jnp.int32))
-            return traj, moved, ids, final[4]
+            return traj, moved, ids, final[5]
 
         return jax.jit(rollout)
 
@@ -625,10 +723,13 @@ class DeviceTracer(_AgentStepper):
         return traces, stats
 
     def trace_batch(self, seeds, save_kzip=None, mesh=None,
-                    axis_name="data"):
+                    axis_name="data", initial_headings=None):
         """Roll out a batch of agents; returns a list of ``Trace``.
         ``save_kzip``: also write the traces as a KNOSSOS annotation
-        (``skeleton.trace_to_kzip``).
+        (``skeleton.trace_to_kzip``). ``initial_headings``: (B, 3) world
+        headings orienting the first frame-aligned views when
+        ``rotate_to_heading=True`` (default (0, 0, 1) — the host
+        ``Tracer.trace`` convention; ignored otherwise).
 
         ``mesh``: shard the AGENT batch over ``axis_name`` of a device
         mesh (pod-scale tracing). Agents are embarrassingly parallel and
@@ -642,6 +743,11 @@ class DeviceTracer(_AgentStepper):
         import jax
         import jax.numpy as jnp
         seeds = np.asarray(seeds, np.float32).reshape(-1, 3)
+        heads = (np.broadcast_to(np.asarray([0.0, 0.0, 1.0], np.float32),
+                                 seeds.shape).copy()
+                 if initial_headings is None
+                 else np.asarray(initial_headings,
+                                 np.float32).reshape(-1, 3))
         if self._fn is None:
             self._fn = self._build()
         n_real = len(seeds)
@@ -652,8 +758,12 @@ class DeviceTracer(_AgentStepper):
             seeds_dev = np.concatenate(
                 [seeds, np.repeat(seeds[-1:], pad, axis=0)]) \
                 if pad else seeds
-            seeds_dev = jax.device_put(
-                jnp.asarray(seeds_dev), NamedSharding(mesh, P(axis_name)))
+            heads_dev = np.concatenate(
+                [heads, np.repeat(heads[-1:], pad, axis=0)]) \
+                if pad else heads
+            sh = NamedSharding(mesh, P(axis_name))
+            seeds_dev = jax.device_put(jnp.asarray(seeds_dev), sh)
+            heads_dev = jax.device_put(jnp.asarray(heads_dev), sh)
             repl = NamedSharding(mesh, P())
             params = jax.device_put(self.model.params, repl)
             state = jax.device_put(self.model.state, repl)
@@ -670,7 +780,7 @@ class DeviceTracer(_AgentStepper):
                     self._mesh_fns = {}
                 fn_m = jax.jit(jax.shard_map(
                     self._rollout, mesh=mesh,
-                    in_specs=(P(), P(), P(), P(axis_name)),
+                    in_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
                     out_specs=(P(None, axis_name, None),
                                P(None, axis_name)),
                     check_vma=False))
@@ -678,12 +788,13 @@ class DeviceTracer(_AgentStepper):
                     # call would otherwise pin meshes+executables forever
                     self._mesh_fns.pop(next(iter(self._mesh_fns)))
                 self._mesh_fns[key] = fn_m
-            traj, alive = fn_m(params, state, vol, seeds_dev)
+            traj, alive = fn_m(params, state, vol, seeds_dev, heads_dev)
             traj = jax.device_get(traj)[:, :n_real]
             alive = jax.device_get(alive)[:, :n_real]
         else:
             traj, alive = self._fn(self.model.params, self.model.state,
-                                   self.volume, jnp.asarray(seeds))
+                                   self.volume, jnp.asarray(seeds),
+                                   jnp.asarray(heads))
         traj = np.asarray(traj).transpose(1, 0, 2)      # (B, K, 3)
         alive = np.asarray(alive).T                     # (B, K)
         traces = []
@@ -696,9 +807,12 @@ class DeviceTracer(_AgentStepper):
             trace_to_kzip(traces, save_kzip)
         return traces
 
-    def trace(self, seed_position):
+    def trace(self, seed_position, initial_heading=None):
         """Single-agent convenience wrapper (host ``Tracer`` interface)."""
-        return self.trace_batch([seed_position])[0]
+        heads = None if initial_heading is None \
+            else np.asarray(initial_heading, np.float32).reshape(1, 3)
+        return self.trace_batch([seed_position],
+                                initial_headings=heads)[0]
 
     def tune_batch(self, candidates=(256, 512, 1024, 2048), steps=64,
                    repeats=2, verbose=False):

@@ -1121,3 +1121,77 @@ def test_shotgun_registry_pool_drain(rng):
     reg2 = ShotgunRegistry(close, radius=50.0)
     out2 = reg2.run(dt, batch_size=1, pool=True)
     assert len(out2) == 8
+
+
+def test_device_tracer_rotated_matches_host(rng):
+    """rotate_to_heading=True on the DeviceTracer (r4): frame-aligned
+    views + local->world step rotation inside the scan must reproduce
+    the host Tracer(rotate_to_heading=True) trajectory (tamed step head:
+    position feedback amplifies interpolation dtype noise)."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.01).astype(np.float32)
+    b = np.array([0.7, 0.2, 0.1], np.float32)
+    m = _ff_step_model(w=w, b=b, patch=patch)
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    K = 6
+    host = Tracer(m, vol, max_steps=K, rotate_to_heading=True)
+    dev = DeviceTracer(m, vol, max_steps=K, rotate_to_heading=True)
+    for seed in ([13.0, 12.5, 11.0], [11.0, 14.0, 13.0]):
+        ht = host.trace(seed)
+        dt = dev.trace(seed)
+        assert len(ht.coords) == len(dt.coords), \
+            (len(ht.coords), len(dt.coords))
+        np.testing.assert_allclose(dt.coords, ht.coords, atol=5e-3)
+    # custom initial heading orients the first view
+    h0 = np.array([0.2, 0.9, 0.1], np.float32)
+    ht = host.trace([12.0, 12.0, 12.0], initial_heading=h0)
+    dt = dev.trace([12.0, 12.0, 12.0], initial_heading=h0)
+    assert len(ht.coords) == len(dt.coords)
+    np.testing.assert_allclose(dt.coords, ht.coords, atol=5e-3)
+    # the rotation genuinely matters: axis-aligned rollout differs
+    dev_ax = DeviceTracer(m, vol, max_steps=K)
+    ax = dev_ax.trace([13.0, 12.5, 11.0])
+    assert not np.allclose(ax.coords, dev.trace([13.0, 12.5, 11.0]).coords,
+                           atol=1e-4)
+
+
+def test_device_tracer_rotated_recurrent_and_pool(rng):
+    """Rotated mode with a GRU model through BOTH the plain batch and the
+    respawning pool: pool traces equal per-seed rollouts (heading resets
+    on respawn), batch equals host."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    import elektronn2_tpu.neuromancer as nm
+    patch = (5, 5, 5)
+    T = 3
+    nm.model_manager.reset(seed=5)
+    seq = nm.Input([T, 1, 1, *patch], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([1, 1, *patch], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel("rot_rec")
+    m.designate_nodes(input_node=seq, prediction_node=step)
+    m.params["step"]["w"] = jnp.asarray(
+        np.asarray(m.params["step"]["w"]) * 0.05)
+    m.params["step"]["b"] = jnp.asarray([0.6, 0.2, -0.1], np.float32)
+
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    K = 6
+    dev = DeviceTracer(m, vol, max_steps=K, rotate_to_heading=True)
+    host = Tracer(m, vol, max_steps=K, rotate_to_heading=True)
+    seeds = rng.uniform(10.0, 14.0, (4, 3)).astype(np.float32)
+    batch = dev.trace_batch(seeds)
+    for i, s in enumerate(seeds):
+        ht = host.trace(s)
+        assert len(batch[i].coords) == len(ht.coords), f"seed {i}"
+        np.testing.assert_allclose(batch[i].coords, ht.coords, atol=5e-3,
+                                   err_msg=f"seed {i}")
+    traces, stats = dev.trace_pool(seeds, batch_size=2)
+    assert stats["consumed"] == 4
+    for i in range(4):
+        np.testing.assert_allclose(traces[i].coords, batch[i].coords,
+                                   atol=1e-5, err_msg=f"pool seed {i}")
