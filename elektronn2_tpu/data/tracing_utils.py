@@ -789,6 +789,15 @@ class DeviceTracer(_AgentStepper):
                     self._mesh_fns.pop(next(iter(self._mesh_fns)))
                 self._mesh_fns[key] = fn_m
             traj, alive = fn_m(params, state, vol, seeds_dev, heads_dev)
+            if jax.process_count() > 1:
+                # the outputs span non-addressable devices: assemble the
+                # global value on every host (each process returns ALL
+                # traces — the single-host contract, kept multi-host)
+                from jax.experimental import multihost_utils
+                traj = multihost_utils.process_allgather(traj,
+                                                         tiled=True)
+                alive = multihost_utils.process_allgather(alive,
+                                                          tiled=True)
             traj = jax.device_get(traj)[:, :n_real]
             alive = jax.device_get(alive)[:, :n_real]
         else:

@@ -218,6 +218,32 @@ np.testing.assert_allclose(
     np.asarray(jax.device_get(new_p["c1"]["w"])),
     np.asarray(ref_new["c1"]["w"]), rtol=2e-5, atol=1e-6)
 print("MH SPATIAL OK", pid, flush=True)
+
+# agent-DP tracing across processes: seeds shard over the global mesh
+# (volume/params replicate, zero collectives in the rollout) — the
+# tracing-deployment scale-out leg; must equal the unsharded rollout
+from elektronn2_tpu.data.tracing_utils import DeviceTracer
+
+nm.model_manager.reset(seed=4)
+t_in = nm.Input([1, 1, 5, 5, 5], "b,f,z,x,y", name="x")
+t_hd = nm.Perceptron(t_in, 3, activation_func="lin", flatten=True,
+                     name="step")
+m_tr = nm.model_manager.getmodel("mh_tracer")
+m_tr.designate_nodes(input_node=t_in, prediction_node=t_hd)
+r3 = np.random.RandomState(7)
+m_tr.params["step"]["w"] = jnp.asarray(
+    (r3.randn(125, 3) * 0.01).astype(np.float32))
+m_tr.params["step"]["b"] = jnp.asarray([0.4, 0.2, -0.1], np.float32)
+vol_tr = r3.rand(1, 24, 24, 24).astype(np.float32)
+dt = DeviceTracer(m_tr, vol_tr, max_steps=5)
+mesh_ag = multihost.global_mesh({"data": 2 * n})
+seeds_tr = r3.uniform(10, 14, (4 * n, 3)).astype(np.float32)
+tr_sh = dt.trace_batch(seeds_tr, mesh=mesh_ag)
+tr_un = dt.trace_batch(seeds_tr)
+for a, b in zip(tr_sh, tr_un):
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.coords, b.coords, atol=1e-5)
+print("MH TRACER OK", pid, flush=True)
 '''
 
 
@@ -254,6 +280,7 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
         assert f"MH TRAIN OK {i}" in out, out
         assert f"MH FUSED OK {i}" in out, out
         assert f"MH SPATIAL OK {i}" in out, out
+        assert f"MH TRACER OK {i}" in out, out
 
 
 RESTART_WORKER = r'''import os, sys
