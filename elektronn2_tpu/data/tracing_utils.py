@@ -429,7 +429,17 @@ class DeviceTracer(_AgentStepper):
         """Rotated trilinear patches for a batch: returns
         ``(patches (B, f, *p), ok (B,), F (B, 3, 3))`` — ``ok`` is the
         host ``WarpingOOBError`` criterion (every sample's interpolation
-        cell inside the volume), ``F`` the per-agent flight frame."""
+        cell inside the volume), ``F`` the per-agent flight frame.
+
+        Cost note (measured, r4): the scattered 8-corner gather is the
+        whole step cost — ~2.4 K agent-steps/s on v5e (vs ~16/s for the
+        host path this mode replaces). A windowed variant (per-agent
+        ``dynamic_slice`` then a local gather) measured SLOWER (1.9 K):
+        vmapped batch-varying dynamic_slice itself lowers as a gather
+        (the r3 extraction finding), so the window adds cost without
+        removing the gather. A fast rotated path would need a kernel
+        with on-the-fly per-agent resampling — future work; agent-DP
+        over chips is the current scale-out lever."""
         import jax
         import jax.numpy as jnp
 
@@ -672,7 +682,11 @@ class DeviceTracer(_AgentStepper):
 
         ``total_steps`` (default ``max_steps * ceil(N / batch_size) +
         max_steps``) bounds the single fused dispatch; seeds not consumed
-        within it are reported, not silently dropped. Returns
+        within it are reported, not silently dropped. In
+        ``rotate_to_heading`` mode every pool agent starts with the
+        default (0, 0, 1) heading (per-seed initial headings would need a
+        second device queue; ``trace_batch(initial_headings=...)`` covers
+        that need). Returns
         ``(traces, stats)``: traces in seed order for the first
         ``stats['consumed']`` seeds; ``stats`` carries ``consumed``,
         ``effective_steps`` (recorded agent steps) and ``slot_steps``
