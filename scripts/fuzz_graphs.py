@@ -956,7 +956,18 @@ def check_seed(seed, verbose=False):
     except ValueError as e:
         if "phase period" not in str(e):
             raise
-    dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    try:
+        dev = np.asarray(m.predict_dense_device(jnp.asarray(raw)))
+    except ValueError as e:
+        if "phase period" in str(e) and host is None:
+            # the whole-volume device paths rejected too (graph/shape-
+            # dependent) and fell to the same tiled fallback: BOTH sides
+            # refuse identically — the consistency the leg exists to
+            # check. A device rejection while the host SERVED would
+            # fall through as a failure.
+            raise SkipSeed(f"seed {seed}: host and device consistently "
+                           f"reject sub-period patch ({info})")
+        raise
     if host is not None:
         record("device vs host oracle", dev, host, 1e-5)
 
@@ -968,19 +979,28 @@ def check_seed(seed, verbose=False):
             if "phase period" not in str(e):
                 raise
             host_p = None       # pad growth crossed the period bound
-        dev_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
-                                                  pad_raw=True))
-        if host_p is not None:
+        try:
+            dev_p = np.asarray(m.predict_dense_device(jnp.asarray(raw),
+                                                      pad_raw=True))
+        except ValueError as e:
+            if "phase period" in str(e) and host_p is None:
+                dev_p = None          # consistent rejection: skip leg
+            else:
+                raise
+        if dev_p is not None and host_p is not None:
             record("pad_raw device vs host", dev_p, host_p, 1e-5)
         # interior invariant (oracle-free): voxels whose receptive field
         # lies fully inside the volume must equal the unpadded sweep —
         # pad_raw output position off+j has the same receptive field as
         # unpadded output j (the decoder pad rounding exists to preserve
         # exactly this phase coherence)
-        off = [(int(f) - 1) // 2 for f in m.prediction_node.shape.fov]
-        sl = tuple(slice(o, o + s) for o, s in zip(off, dev.shape[1:]))
-        record("pad_raw interior vs nopad", dev_p[(slice(None),) + sl],
-               dev, 1e-5)
+        if dev_p is not None:
+            off = [(int(f) - 1) // 2
+                   for f in m.prediction_node.shape.fov]
+            sl = tuple(slice(o, o + s)
+                       for o, s in zip(off, dev.shape[1:]))
+            record("pad_raw interior vs nopad",
+                   dev_p[(slice(None),) + sl], dev, 1e-5)
 
     # an equivalent lowering, drawn at random
     if info["decoder"]:
