@@ -762,6 +762,9 @@ class DeviceTracer(_AgentStepper):
                  if initial_headings is None
                  else np.asarray(initial_headings,
                                  np.float32).reshape(-1, 3))
+        if len(heads) != len(seeds):
+            raise ValueError(f"initial_headings: {len(heads)} headings "
+                             f"for {len(seeds)} seeds")
         if self._fn is None:
             self._fn = self._build()
         n_real = len(seeds)
