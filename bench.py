@@ -164,7 +164,7 @@ def _sustained(call, K):
     out = call()
     float(jnp.sum(jnp.asarray(out, jnp.float32)))
     float(jnp.sum(jnp.asarray(call(), jnp.float32)))
-    best_dt = None
+    dts = []
     for _ in range(2):
         t0 = _time.perf_counter()
         acc = jnp.float32(0)
@@ -178,8 +178,33 @@ def _sustained(call, K):
         checksum = float(acc)        # one sync for the K dispatches
         dt = _time.perf_counter() - t0
         assert _np.isfinite(checksum)
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        dts.append(dt)
+    best_dt = min(dts)
+    # window spread (worst/best - 1): a tunnel-health signal recorded per
+    # leg (VERDICT r4 #6) so a noisy capture is visible in the artifact
+    _sustained.last_spread = round(max(dts) / best_dt - 1.0, 3)
     return out, best_dt
+
+
+def _measure_floor():
+    """Per-dispatch+sync floor through the tunnel (scripts/exp_floor.py
+    probe, inlined): a trivial jitted add, synced by VALUE FETCH (the
+    only reliable sync on axon), best of 5. Healthy ~30 ms; degraded
+    days measured ~210 ms. Emitted as ``dispatch_floor_ms`` so a
+    degraded-tunnel capture is distinguishable from a regression."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    tiny = jnp.ones((8, 128), jnp.float32)
+    fn = jax.jit(lambda v: v + 1)
+    float(jnp.sum(fn(tiny)))                 # compile + first dispatch
+    ts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        float(jnp.sum(fn(tiny)))
+        ts.append(_time.perf_counter() - t0)
+    return round(min(ts) * 1e3, 1)
 
 
 def _train_metric():
@@ -211,19 +236,20 @@ def _train_metric():
                           warp=0.5, seed=0)
     losses, _ = loop.run_chunk()             # compile + first dispatch
     losses, _ = loop.run_chunk()             # second warm-up (reads low)
-    best_dt = None
+    dts = []
     for _ in range(2):
         t0 = _time.perf_counter()
         for _ in range(chunks):
             losses, _ = loop.run_chunk()
-        dt = (_time.perf_counter() - t0) / (chunks * n_inner)
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        dts.append((_time.perf_counter() - t0) / (chunks * n_inner))
+    best_dt = min(dts)
     assert np.isfinite(np.asarray(losses)).all()
     out = {
         "train_it_s": round(1.0 / best_dt, 1),
         "train_impl": f"fused{n_inner},b{B},f32,devaug",
         "train_Mvox_in_s": round(
             B * float(np.prod(pin)) / best_dt / 1e6, 2),
+        "train_spread": round(max(dts) / best_dt - 1.0, 3),
     }
 
     # second contender (VERDICT r3 #6): the measured throughput-efficient
@@ -232,35 +258,40 @@ def _train_metric():
     # b4@15x55x55). train_it_s stays the b4 row for round-over-round
     # continuity; train_Mvox_in_s carries the best-known regime.
     if os.environ.get("BENCH_TRAIN_SLAB", "1") != "0":
-        from scripts.exp_train_largepatch import _model as _slab_model
+        # ADVICE r4: a slab-leg failure (OOM / compile) must not discard
+        # the already-measured b4 metrics above — guard per-contender
+        try:
+            from scripts.exp_train_largepatch import _model as _slab_model
 
-        rng2 = np.random.RandomState(0)
-        raws2 = [rng2.rand(1, 72, 200, 200).astype(np.float32)
-                 for _ in range(2)]
-        labs2 = [(rng2.rand(72, 200, 200) > 0.5).astype(np.int16)
-                 for _ in range(2)]
-        sm, spin, spout, sstride = _slab_model(1, (47, 183, 183), None)
-        aug2 = DeviceBatchAugmenter(raws2, labs2, patch_size=spin,
-                                    target_size=spout,
-                                    target_strides=sstride,
-                                    grey_channels=[0], seed=0)
-        sloop = FusedTrainLoop(sm, aug2, batch_size=1, n_inner=4,
-                               warp=0.5, seed=0)
-        sloop.run_chunk()
-        sloop.run_chunk()                    # double warm-up
-        sbest = None
-        for _ in range(2):
-            t0 = _time.perf_counter()
+            rng2 = np.random.RandomState(0)
+            raws2 = [rng2.rand(1, 72, 200, 200).astype(np.float32)
+                     for _ in range(2)]
+            labs2 = [(rng2.rand(72, 200, 200) > 0.5).astype(np.int16)
+                     for _ in range(2)]
+            sm, spin, spout, sstride = _slab_model(1, (47, 183, 183), None)
+            aug2 = DeviceBatchAugmenter(raws2, labs2, patch_size=spin,
+                                        target_size=spout,
+                                        target_strides=sstride,
+                                        grey_channels=[0], seed=0)
+            sloop = FusedTrainLoop(sm, aug2, batch_size=1, n_inner=4,
+                                   warp=0.5, seed=0)
+            sloop.run_chunk()
+            sloop.run_chunk()                    # double warm-up
+            sbest = None
             for _ in range(2):
-                slosses, _ = sloop.run_chunk()
-            dt = (_time.perf_counter() - t0) / (2 * 4)
-            sbest = dt if sbest is None else min(sbest, dt)
-        assert np.isfinite(np.asarray(slosses)).all()
-        slab_mvox = round(float(np.prod(spin)) / sbest / 1e6, 2)
-        out["train_slab_Mvox_in_s"] = slab_mvox
-        out["train_slab_impl"] = "fused4,b1,47x183x183,f32,devaug"
-        if slab_mvox > out["train_Mvox_in_s"]:
-            out["train_Mvox_in_s"] = slab_mvox
+                t0 = _time.perf_counter()
+                for _ in range(2):
+                    slosses, _ = sloop.run_chunk()
+                dt = (_time.perf_counter() - t0) / (2 * 4)
+                sbest = dt if sbest is None else min(sbest, dt)
+            assert np.isfinite(np.asarray(slosses)).all()
+            slab_mvox = round(float(np.prod(spin)) / sbest / 1e6, 2)
+            out["train_slab_Mvox_in_s"] = slab_mvox
+            out["train_slab_impl"] = "fused4,b1,47x183x183,f32,devaug"
+            if slab_mvox > out["train_Mvox_in_s"]:
+                out["train_Mvox_in_s"] = slab_mvox
+        except Exception as e:              # noqa: BLE001
+            out["train_slab_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -295,16 +326,19 @@ def _trace_metric():
     fn = tracer._build()
     for _ in range(2):                       # compile + double warm-up
         traj, alive = fn(model.params, model.state, tracer.volume, seeds)
-        traj.block_until_ready()
-    best = None
+        float(jnp.sum(traj))                 # checksum sync (axon-safe:
+        # block_until_ready does not flush queued executions here)
+    tdts = []
     for _ in range(2):
         t0 = _time.perf_counter()
+        acc = jnp.float32(0)
         for _ in range(2):
             traj, alive = fn(model.params, model.state, tracer.volume,
                              seeds)
-        traj.block_until_ready()
-        dt = (_time.perf_counter() - t0) / 2
-        best = dt if best is None else min(best, dt)
+            acc = acc + jnp.sum(traj)
+        float(acc)
+        tdts.append((_time.perf_counter() - t0) / 2)
+    best = min(tdts)
     assert bool(jnp.all(jnp.isfinite(traj)))
     alive_frac = float(jnp.mean(alive.astype(jnp.float32)))
     raw_sps = B * K / best
@@ -312,6 +346,7 @@ def _trace_metric():
         "trace_sps": round(raw_sps, 0),
         "trace_alive": round(alive_frac, 2),
         "trace_impl": f"device_rollout,b{B},k{K}",
+        "trace_spread": round(max(tdts) / best - 1.0, 3),
     }
 
     # pool contender (r4, VERDICT r3 #4): respawn dead slots from a
@@ -364,6 +399,14 @@ def main():
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_model
 
+    # tunnel-health probe FIRST (VERDICT r4 #6): ~1 s, names the day's
+    # dispatch floor so the artifact self-describes degraded captures
+    try:
+        floor_ms = _measure_floor()
+    except Exception:
+        floor_ms = None
+    _best_so_far["dispatch_floor_ms"] = floor_ms
+
     model = _flagship_model(mfp=True, patch=[23, 103, 103])
 
     vol_shape = tuple(int(v) for v in os.environ.get(
@@ -392,6 +435,7 @@ def main():
     K = int(os.environ.get("BENCH_K", "8"))
     best = (0.0, "direct")
     best_f32 = (0.0, None)
+    best_spread = None
     # contenders (all measured on v5e, sustained 64x512x512 — see
     # BASELINE.md r2 table): 's2bg' 80.4 (best f32 lowering, bit-exact vs
     # 'direct' — tests), 's2bg+zfold+bf16' 114.4 (bf16 serving mode,
@@ -491,6 +535,7 @@ def main():
         mvox = float(np.prod(out.shape[1:])) * K / dt / 1e6
         if mvox > best[0]:
             best = (mvox, label)
+            best_spread = getattr(_sustained, "last_spread", None)
             _best_so_far.update(value=mvox, impl=label)
         if cdtype is None and mvox > best_f32[0]:
             best_f32 = (mvox, label)
@@ -518,6 +563,7 @@ def main():
         mvox = float(np.prod(outb.shape[2:])) * 2 * K / dt / 1e6
         if mvox > best[0]:
             best = (mvox, "s2bg+zfold+bf16+slab_batch2")
+            best_spread = getattr(_sustained, "last_spread", None)
             _best_so_far.update(value=mvox, impl=best[1])
     except Exception:
         pass
@@ -587,6 +633,10 @@ def main():
         "vs_baseline": round(best[0] / 1.0, 2),
         "impl": best[1],
     }
+    if floor_ms is not None:
+        payload["dispatch_floor_ms"] = floor_ms
+    if best_spread is not None:
+        payload["serve_spread"] = best_spread
     if best_f32[1] is not None and best_f32[1] != best[1]:
         # the parity-grade (f32, bit-exact-across-lowerings) number,
         # alongside the bf16 serving-mode headline
@@ -608,6 +658,25 @@ def main():
         payload["trace_sps"] = lg["trace_sps"]
         payload["trace_alive"] = lg.get("trace_alive")
         payload["trace_impl"] = lg["trace_impl"] + ",stale"
+    # degraded-leg labeling (VERDICT r4 #6): a leg landing >15% below
+    # the last-good value ON A DEGRADED FLOOR (>60 ms; healthy ~30) is
+    # tunnel weather, not a regression — keep the value, mark the leg,
+    # and do NOT let it overwrite the healthy last-good below
+    degraded_legs = []
+    if floor_ms is not None and floor_ms > 60.0:
+        prev_lg = _load_last_good() or {}
+        for leg, key in (("serve", "value"),
+                         ("train", "train_Mvox_in_s"),
+                         ("trace", "trace_sps")):
+            old, new = prev_lg.get(key), payload.get(key)
+            if (old and new and not str(
+                    payload.get(f"{leg}_impl" if leg != "serve"
+                                else "impl", "")).endswith(",stale")
+                    and new < 0.85 * old):
+                degraded_legs.append(leg)
+        if degraded_legs:
+            payload["degraded"] = True
+            payload["degraded_legs"] = degraded_legs
     if best[0] == 0.0:
         payload = _stale_payload("all contenders failed (tunnel/"
                                  "compile-helper outage)") or dict(
@@ -633,6 +702,18 @@ def main():
             if fresh:
                 lg.update(fresh)
             else:
+                for k in keys:
+                    if prev.get(k) is not None:
+                        lg[k] = prev[k]
+        # a degraded leg keeps the previous healthy last-good value (the
+        # fallback's purpose is "best known-good", not "most recent")
+        for leg, keys in (
+                ("serve", ("value", "impl", "f32_value", "f32_impl")),
+                ("train", ("train_it_s", "train_impl", "train_Mvox_in_s",
+                           "train_slab_Mvox_in_s", "train_slab_impl")),
+                ("trace", ("trace_sps", "trace_alive", "trace_impl",
+                           "trace_raw_sps", "trace_util"))):
+            if leg in degraded_legs:
                 for k in keys:
                     if prev.get(k) is not None:
                         lg[k] = prev[k]
