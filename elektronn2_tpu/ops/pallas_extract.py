@@ -87,8 +87,10 @@ def trilinear_patches_pallas(vol, pos, patch, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if pos.shape[0] > _MAX_CALL_B and pos.shape[0] % _MAX_CALL_B == 0:
-        n = pos.shape[0] // _MAX_CALL_B
+    if pos.shape[0] > _MAX_CALL_B:
+        # any oversized batch splits into ceil(B/512) calls — agents are
+        # independent, so an uneven tail chunk is exact
+        n = -(-pos.shape[0] // _MAX_CALL_B)
         return jnp.concatenate(
             [trilinear_patches_pallas(
                 vol, pos[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B], patch,
