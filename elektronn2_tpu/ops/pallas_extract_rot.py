@@ -1,0 +1,278 @@
+"""Pallas/Mosaic ROTATED trilinear patch extraction (frame-aligned views).
+
+Closes the r4 gap: ``DeviceTracer(rotate_to_heading=True)`` paid a
+whole-volume 8-corner XLA gather per scan step (~2.4 K agent-steps/s on
+v5e — ROUND4_NOTES), ~800x below the translation-only Pallas path. A
+windowed ``dynamic_slice`` variant was measured SLOWER (1.9 K): vmapped
+batch-varying dynamic_slice itself lowers as a gather. This kernel keeps
+the r3 extraction kernel's shape — per-agent ring-DMA windows — and
+replaces the gather entirely with MXU matmuls:
+
+  * the DMA window is the rotation-invariant bound: any orientation of
+    the patch box fits in a cube of side ``2*H+2`` where
+    ``H = ceil(||patch-1||/2) + 1`` (the half-diagonal), aligned to the
+    (8, 128) VMEM tiling exactly like ``pallas_extract``;
+  * per-agent lane/sublane ``pltpu.roll``s compact the window to
+    ``(Wz, 32, 32)`` (native VPU rotates — no dynamic VMEM slicing);
+  * trilinear sampling at the B*P rotated coordinates is evaluated
+    WITHOUT any gather, as a dense contraction against separable hat
+    (tent) weights:  ``out[p] = sum_{vz,vx,vy} hat(rz[p]-vz) *
+    hat(rx[p]-vx) * hat(ry[p]-vy) * win[vz,vx,vy]`` — exactly the
+    8-corner trilinear sum (the hat factors are zero everywhere except
+    the two neighbouring cells per axis), but expressed as
+      hzx (P, Wz*32) @ win2 (Wz*32, 32)      [MXU, K fully packed]
+    followed by a (P, 32) hat-weighted lane reduction for the y axis
+    [VPU]. The sample coordinates never index memory — they only shape
+    the weight matrices, which the VPU builds from broadcasted iota.
+
+Numerics: identical trilinear weights, summed in a different order.
+With ``compute_dtype=float32`` the dot runs in Mosaic's multi-pass f32
+(agreement with the XLA oracle ~1e-6); ``bfloat16`` runs single-pass
+MXU (~4e-3 relative on EM-scale data) as an opt-in speed mode.
+
+Reference semantics mirrored: ``tracing_utils.DeviceTracer.
+_extract_rot_batch`` (world coord of output voxel i = pos + F.T @
+(i - (p-1)/2), flight-frame rows, OOB criterion coords in
+[0, dims-2] == host ``source_bbox`` margin; SURVEY §3.2
+``transformations.py::get_tracing_slice``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+_MAX_CALL_B = 512           # same per-call grid-size cliff as pallas_extract
+
+
+def _ceil8(v):
+    return -(-v // 8) * 8
+
+
+def _geom(patch):
+    """Static window geometry for a patch: (H, Wz, WXr, P, PT)."""
+    pz, px, py = patch
+    H = int(np.ceil(np.linalg.norm(np.asarray(patch, np.float64) - 1.0)
+                    / 2.0)) + 1
+    Wz = 2 * H + 2
+    # >= 32 so the post-roll sublane slice is always exactly 32 wide
+    # (the kernel's hx weights and win2 sublane blocks are 32-sized)
+    WXr = max(_ceil8(2 * H + 9), 32)
+    P = pz * px * py
+    PT = min(P, 1024)
+    return H, Wz, WXr, P, PT
+
+
+def rotated_extract_eligible(vol_shape, dtype, patch):
+    """Static eligibility of (f, Z, X, Y) volume + patch for the kernel."""
+    import jax.numpy as jnp
+    f, Z, X, Y = vol_shape
+    H, Wz, WXr, P, PT = _geom(patch)
+    slab_bytes = 2 * f * Wz * WXr * 256 * 4          # R=2 ring
+    hzx_bytes = PT * Wz * 32 * 4 * 2                 # f32 build + cast
+    return (jnp.dtype(dtype) == jnp.float32
+            and Wz <= 32                             # post-roll 32-slice
+            and Y % 128 == 0 and Y >= 256
+            and X % 8 == 0 and X >= WXr
+            and Z >= Wz
+            and P % PT == 0 and P % 8 == 0
+            and slab_bytes + hzx_bytes <= 12 * 1024 * 1024)
+
+
+def rotated_ok(vol_shape, pos, frames, patch):
+    """OOB acceptance (B,) — every rotated sample's interpolation cell in
+    the volume: ``all(c >= 0 & c <= dims-2)``. The extreme per-axis
+    sample coordinates of the rotated lattice are attained at the 8 box
+    corners (linear map of a box), so checking corners is exact."""
+    import jax.numpy as jnp
+    pz, px, py = patch
+    half = jnp.asarray([(pz - 1) / 2.0, (px - 1) / 2.0, (py - 1) / 2.0],
+                       jnp.float32)
+    signs = jnp.asarray([[sz, sx, sy] for sz in (-1, 1) for sx in (-1, 1)
+                         for sy in (-1, 1)], jnp.float32)     # (8, 3)
+    corners = signs * half                                    # (8, 3)
+    # world corner = pos + F.T @ o  -> (B, 8, 3)
+    c = (pos[:, None, :].astype(jnp.float32)
+         + jnp.einsum("bji,kj->bki", frames.astype(jnp.float32), corners))
+    dims = jnp.asarray(vol_shape[1:], jnp.float32)
+    return jnp.all((c >= 0.0) & (c <= dims - 2.0), axis=(1, 2))
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("patch", "compute_dtype", "interpret"))
+def rotated_patches_pallas(vol, pos, frames, patch,
+                           compute_dtype="float32", interpret=False):
+    """Frame-aligned trilinear patches: vol (f, Z, X, Y) f32, pos (B, 3)
+    float, frames (B, 3, 3) flight-frame rows -> (patches (B, f, pz, px,
+    py), ok (B,)). Matches ``DeviceTracer._extract_rot_batch`` semantics
+    (ok-masked agents' patch values are unspecified in both paths).
+
+    Batches past ``_MAX_CALL_B`` split into ceil(B/512) kernel calls.
+    ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if pos.shape[0] > _MAX_CALL_B:
+        outs = [rotated_patches_pallas(
+            vol, pos[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B],
+            frames[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B], patch,
+            compute_dtype=compute_dtype, interpret=interpret)
+            for i in range(-(-pos.shape[0] // _MAX_CALL_B))]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+
+    f, Z, X, Y = vol.shape
+    pz, px, py = patch
+    H, Wz, WXr, P, PT = _geom(patch)
+    NT = P // PT
+    W = 256
+    SXY = 32
+    cdt = jnp.dtype(compute_dtype)
+    B = pos.shape[0]
+    ok = rotated_ok(vol.shape, pos, frames, patch)
+    if B == 0:
+        return jnp.zeros((0, f, pz, px, py), jnp.float32), ok
+
+    # ---- host-side (XLA) meta -----------------------------------------
+    posf = pos.astype(jnp.float32)
+    base = jnp.floor(posf).astype(jnp.int32) - H                 # (B, 3)
+    bz = jnp.clip(base[:, 0], 0, Z - Wz)
+    bx = jnp.clip(base[:, 1], 0, X - Wz)
+    by = jnp.clip(base[:, 2], 0, Y - Wz)
+    xal = jnp.minimum((bx // 8) * 8, X - WXr)
+    ox = bx - xal
+    yal = jnp.minimum((by // 128) * 128, Y - W)
+    oy = by - yal
+    cross = (oy + Wz > 128).astype(jnp.float32)
+    start = posf - jnp.stack([bz, bx, by], axis=1).astype(jnp.float32)
+    Ff = frames.astype(jnp.float32).reshape(B, 9)
+    meta = jnp.concatenate([
+        jnp.stack([bz.astype(jnp.float32), xal.astype(jnp.float32),
+                   yal.astype(jnp.float32), ox.astype(jnp.float32),
+                   oy.astype(jnp.float32), cross], axis=0),   # (6, B)
+        start.T,                                              # (3, B)
+        Ff.T,                                                 # (9, B)
+    ], axis=0)                                                # (18, B)
+
+    R = 2
+    cz = (pz - 1) / 2.0
+    cx = (px - 1) / 2.0
+    cy = (py - 1) / 2.0
+
+    def kernel(meta_ref, vol_hbm, out_ref, slab, sem):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma_half(i, slot, half):
+            zz = meta_ref[0, i].astype(jnp.int32)
+            xx = pl.multiple_of(meta_ref[1, i].astype(jnp.int32), 8)
+            yy = pl.multiple_of(meta_ref[2, i].astype(jnp.int32), 128)
+            return pltpu.make_async_copy(
+                vol_hbm.at[pl.ds(0, f), pl.ds(zz, Wz), pl.ds(xx, WXr),
+                           pl.ds(yy + 128 * half, 128)],
+                slab.at[slot, :, :, :, pl.ds(128 * half, 128)],
+                sem.at[slot, half])
+
+        def start_dma(i):
+            dma_half(i, i % R, 0).start()
+
+            @pl.when(meta_ref[5, i] > 0.5)
+            def _():
+                dma_half(i, i % R, 1).start()
+
+        def wait_dma(i):
+            dma_half(i, i % R, 0).wait()
+
+            @pl.when(meta_ref[5, i] > 0.5)
+            def _():
+                dma_half(i, i % R, 1).wait()
+
+        @pl.when(b == 0)
+        def _prime():
+            start_dma(0)
+        wait_dma(b)
+
+        @pl.when(b + 1 < nb)
+        def _next():
+            start_dma(b + 1)
+
+        # cross-skip leaves the second 128-lane half UNWRITTEN; unlike
+        # the translation kernel (whose rolled-in tail is never read),
+        # the hat-weight DOT reads every lane — and IEEE 0*NaN = NaN
+        # would poison the contraction on garbage VMEM. Zero the half
+        # instead (VPU store, no HBM traffic — still ~45% DMA cut).
+        @pl.when(meta_ref[5, b] <= 0.5)
+        def _zero_tail():
+            slab[b % R, :, :, :, 128:] = jnp.zeros(
+                (f, Wz, WXr, 128), jnp.float32)
+
+        ox_s = meta_ref[3, b].astype(jnp.int32)
+        oy_s = meta_ref[4, b].astype(jnp.int32)
+        sz = meta_ref[6, b]
+        sx = meta_ref[7, b]
+        sy = meta_ref[8, b]
+        F00 = meta_ref[9, b]
+        F01 = meta_ref[10, b]
+        F02 = meta_ref[11, b]
+        F10 = meta_ref[12, b]
+        F11 = meta_ref[13, b]
+        F12 = meta_ref[14, b]
+        F20 = meta_ref[15, b]
+        F21 = meta_ref[16, b]
+        F22 = meta_ref[17, b]
+
+        iota_l = jax.lax.broadcasted_iota(jnp.float32, (1, SXY), 1)
+        iota_z = jax.lax.broadcasted_iota(jnp.float32, (1, Wz), 1)
+
+        for c in range(f):
+            w3 = slab[b % R, c]                       # (Wz, WXr, 256)
+            w3 = pltpu.roll(w3, (W - oy_s) % W, 2)[:, :, :SXY]
+            w3 = pltpu.roll(w3, (WXr - ox_s) % WXr, 1)[:, :SXY, :]
+            win2 = jnp.concatenate(
+                [w3[z] for z in range(Wz)], axis=0)   # (Wz*32, 32)
+            win2 = win2.astype(cdt)
+            for t in range(NT):
+                pp = (jax.lax.broadcasted_iota(jnp.float32, (PT, 1), 0)
+                      + jnp.float32(t * PT))
+                # float index math is exact here: PT*NT < 2^20 and the
+                # divisors are < 2^11 (see pallas_extract_rot tests)
+                iz = jnp.floor(pp / (px * py))
+                rem = pp - iz * (px * py)
+                ix = jnp.floor(rem / py)
+                iy = rem - ix * py
+                o_z = iz - cz
+                o_x = ix - cx
+                o_y = iy - cy
+                rz = sz + F00 * o_z + F10 * o_x + F20 * o_y   # (PT, 1)
+                rx = sx + F01 * o_z + F11 * o_x + F21 * o_y
+                ry = sy + F02 * o_z + F12 * o_x + F22 * o_y
+                hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz - iota_z))
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - iota_l))
+                hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - iota_l))
+                hzx = jnp.concatenate(
+                    [(hz[:, z:z + 1] * hx).astype(cdt)
+                     for z in range(Wz)], axis=1)     # (PT, Wz*32)
+                t1 = jnp.dot(hzx, win2,
+                             preferred_element_type=jnp.float32)
+                outv = jnp.sum(hy * t1, axis=1, keepdims=True)
+                out_ref[0, c, pl.ds(t * PT, PT), :] = outv
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, f, P, 1), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, f, P, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, f, Wz, WXr, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((R, 2))],
+        interpret=interpret,
+    )
+    out = fn(meta, vol)
+    return out.reshape(B, f, pz, px, py), ok

@@ -408,6 +408,83 @@ def check_tracing_seed(seed, verbose=False):
             fails.append(f"tracing seed {seed} [traj] agent {i}: "
                          f"max|diff|={d:.3e} ({info})")
 
+    # pool leg (r5, VERDICT r4 #4a): respawning pool == per-seed
+    # rollouts across the random genotype space (the r4 pool logic was
+    # guarded only by fixed hand-picked graphs)
+    traces_p, stats_p = dt.trace_pool(seeds_pos, batch_size=2)
+    if stats_p["consumed"] != len(seeds_pos):
+        fails.append(f"tracing seed {seed} [pool consumed] "
+                     f"{stats_p['consumed']} != {len(seeds_pos)} ({info})")
+    else:
+        for i, (tp, tb) in enumerate(zip(traces_p, dev_traces)):
+            if len(tp.coords) != len(tb.coords) or (
+                    len(tp.coords) and not np.allclose(
+                        tp.coords, tb.coords, atol=1e-5)):
+                fails.append(f"tracing seed {seed} [pool] agent {i} "
+                             f"({info})")
+
+    # chained-wave pool leg (r5 #4b): wave_steps below the rollout
+    # length forces live agents across dispatch boundaries
+    traces_c, stats_c = dt.trace_pool_chain(
+        seeds_pos, batch_size=2, wave_seeds=2, wave_steps=max(2, K // 2))
+    if stats_c["consumed"] != len(seeds_pos):
+        fails.append(f"tracing seed {seed} [chain consumed] "
+                     f"{stats_c['consumed']} != {len(seeds_pos)} ({info})")
+    else:
+        for i, (tp, tb) in enumerate(zip(traces_c, dev_traces)):
+            if len(tp.coords) != len(tb.coords) or (
+                    len(tp.coords) and not np.allclose(
+                        tp.coords, tb.coords, atol=1e-5)):
+                fails.append(f"tracing seed {seed} [chain] agent {i} "
+                             f"({info})")
+
+    # rotated-mode leg (r5): frame-aligned device rollout vs the host
+    # Tracer across the genotype space (was hand-tested only)
+    if seed % 2 == 0:
+        dtr = DeviceTracer(m, vol, max_steps=4, rotate_to_heading=True)
+        htr = Tracer(m, vol, max_steps=4, rotate_to_heading=True)
+        for i, sp in enumerate(seeds_pos[:2]):
+            host_tr = htr.trace(sp).coords
+            dev_tr = dtr.trace(sp).coords
+            if len(host_tr) != len(dev_tr):
+                fails.append(f"tracing seed {seed} [rot len] agent {i}: "
+                             f"host {len(host_tr)} vs device "
+                             f"{len(dev_tr)} ({info})")
+            elif len(host_tr) and float(np.max(np.abs(
+                    host_tr - dev_tr))) > 5e-3:
+                fails.append(f"tracing seed {seed} [rot traj] agent {i} "
+                             f"({info})")
+
+    # rotated-extraction KERNEL leg (r5 #3): interpret-mode Mosaic
+    # kernel vs the XLA gather oracle on an eligible random geometry
+    if seed % 4 == 0:
+        import jax as _jax
+        from elektronn2_tpu.data.tracing_utils import _flight_frame_jnp
+        from elektronn2_tpu.ops.pallas_extract_rot import (
+            rotated_patches_pallas, rotated_extract_eligible)
+        kp = int(rng.choice([4, 8]))
+        kpatch = (kp, 4, 4)
+        kvol = jnp.asarray(rng.rand(1, 24, 32, 256), np.float32)
+        if rotated_extract_eligible(kvol.shape, kvol.dtype, kpatch):
+            kpos = jnp.asarray(
+                rng.uniform(10, 14, (4, 3))
+                * np.asarray([1.0, 1.5, 12.0]), jnp.float32)
+            kheads = jnp.asarray(rng.randn(4, 3), jnp.float32)
+            kF = _jax.vmap(_flight_frame_jnp)(kheads)
+
+            class _S:
+                patch_size = kpatch
+                _extract_rot_batch = DeviceTracer._extract_rot_batch
+            kref, kok, _ = _S()._extract_rot_batch(kvol, kpos, kheads)
+            kgot, kok2 = rotated_patches_pallas(kvol, kpos, kF, kpatch,
+                                                interpret=True)
+            if not bool(jnp.all(kok == kok2)):
+                fails.append(f"tracing seed {seed} [rotkernel ok] ({info})")
+            km = np.asarray(kok)
+            if km.any() and float(jnp.max(jnp.abs(
+                    kgot[km] - kref[km]))) > 1e-4:
+                fails.append(f"tracing seed {seed} [rotkernel] ({info})")
+
     # persistence: the saved/reloaded model rolls out identically
     with tempfile.TemporaryDirectory() as td:
         f = os.path.join(td, "m.mdl")
@@ -878,6 +955,48 @@ def check_mesh_seed(seed, verbose=False):
                     for pname, v in pd.items():
                         record(f"gpipe param {nname}/{pname}", v,
                                mp_a.params[nname][pname], 2e-5, pinfo)
+
+    # ---------------- tracing: agent-DP trace_batch over the mesh --------
+    # (r5, VERDICT r4 #4a: the dryrun asserts agent-DP == unsharded on
+    # ONE fixed model; this fuzzes the genotype space. trace_pool_chain
+    # on the same genotype guards the chained carry against the random
+    # cell zoo as well.)
+    if rng.rand() < 0.6:
+        from elektronn2_tpu.data.tracing_utils import DeviceTracer
+        tm, tinfo = build_random_tracing_model(seed)
+        tm.params["step"]["w"] = jnp.asarray(
+            np.asarray(tm.params["step"]["w"]) * 0.05)
+        tm.params["step"]["b"] = jnp.asarray(
+            (rng.rand(3).astype(np.float32) - 0.3) * 0.6)
+        V = 24
+        tvol = rng.rand(1, V, V, V).astype(np.float32)
+        tseeds = rng.uniform(V * 0.35, V * 0.65, (5, 3))  # pads to 8
+        dtt = DeviceTracer(tm, tvol, max_steps=5)
+        t_un = dtt.trace_batch(tseeds)
+        t_mesh = make_mesh({"data": 8}, n_devices=8)
+        t_sh = dtt.trace_batch(tseeds, mesh=t_mesh)
+        for i in range(len(tseeds)):
+            if len(t_sh[i].coords) != len(t_un[i].coords) or (
+                    len(t_un[i].coords) and not np.allclose(
+                        t_sh[i].coords, t_un[i].coords, atol=1e-5)):
+                fails.append(f"mesh seed {seed} [tracer agent-DP] agent "
+                             f"{i} ({tinfo})")
+            else:
+                n_leg[0] += 1
+        t_ch, t_st = dtt.trace_pool_chain(tseeds, batch_size=2,
+                                          wave_seeds=3, wave_steps=3)
+        if t_st["consumed"] != len(tseeds):
+            fails.append(f"mesh seed {seed} [tracer chain consumed] "
+                         f"({tinfo})")
+        else:
+            for i in range(len(tseeds)):
+                if len(t_ch[i].coords) != len(t_un[i].coords) or (
+                        len(t_un[i].coords) and not np.allclose(
+                            t_ch[i].coords, t_un[i].coords, atol=1e-5)):
+                    fails.append(f"mesh seed {seed} [tracer chain] agent "
+                                 f"{i} ({tinfo})")
+                else:
+                    n_leg[0] += 1
 
     if n_leg[0] == 0 and not fails:
         raise SkipSeed(f"mesh seed {seed}: every leg cleanly rejected")

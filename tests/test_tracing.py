@@ -1195,3 +1195,123 @@ def test_device_tracer_rotated_recurrent_and_pool(rng):
     for i in range(4):
         np.testing.assert_allclose(traces[i].coords, batch[i].coords,
                                    atol=1e-5, err_msg=f"pool seed {i}")
+
+
+def test_trace_pool_chain_equals_individual(rng):
+    """Chained waves (r5): stitched cross-wave traces == per-seed
+    rollouts. wave_steps is deliberately SMALLER than the trace length
+    so live agents must carry across dispatch boundaries."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.01).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.5, 0.2, -0.15], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=10)
+    seeds = rng.uniform(10.0, 14.0, (7, 3)).astype(np.float32)
+    traces, stats = dt.trace_pool_chain(seeds, batch_size=2,
+                                        wave_seeds=3, wave_steps=4)
+    assert stats["consumed"] == 7
+    assert stats["waves"] >= 2           # chaining actually engaged
+    assert len(traces) == 7
+    singles = [dt.trace(s) for s in seeds]
+    for i, (tp, ts) in enumerate(zip(traces, singles)):
+        assert len(tp.coords) == len(ts.coords), \
+            (i, len(tp.coords), len(ts.coords))
+        np.testing.assert_allclose(tp.coords, ts.coords, atol=1e-5,
+                                   err_msg=f"seed {i}")
+
+
+def test_trace_pool_chain_matches_trace_pool(rng):
+    """One big wave (N >= all seeds, wave_steps >= total): chained ==
+    single-wave trace_pool traces."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.3, -0.2, 0.25], np.float32))
+    vol = rng.rand(1, 26, 26, 26).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=6)
+    seeds = np.asarray([[13.0, 12.0, 12.0], [11.5, 13.5, 12.5],
+                        [12.5, 11.5, 13.0]], np.float32)
+    ref, _ = dt.trace_pool(seeds, batch_size=4)
+    got, stats = dt.trace_pool_chain(seeds, batch_size=4, wave_seeds=4,
+                                     wave_steps=24)
+    assert stats["consumed"] == 3 and len(got) == 3
+    for tp, tb in zip(got, ref):
+        np.testing.assert_allclose(tp.coords, tb.coords, atol=1e-5)
+
+
+def test_trace_pool_chain_oob_seed_yields_seed_only_trace(rng):
+    """A consumed OOB seed dies instantly but still yields its
+    seed-only Trace (trace_pool parity)."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.02).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.3, 0.2, 0.2], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=5)
+    seeds = np.asarray([[12.0, 12.0, 12.0], [1.0, 1.0, 1.0],
+                        [13.0, 12.5, 12.0]], np.float32)
+    traces, stats = dt.trace_pool_chain(seeds, batch_size=2,
+                                        wave_seeds=2, wave_steps=8)
+    assert stats["consumed"] == 3
+    assert len(traces) == 3
+    assert len(traces[1].coords) == 1          # seed-only
+    np.testing.assert_allclose(traces[1].coords[0], seeds[1], atol=1e-6)
+
+
+def test_trace_pool_chain_callable_source_and_registry(rng):
+    """ShotgunRegistry.run(pool=True) drains through the chained path:
+    dedupe between waves still works, trace count preserved."""
+    from elektronn2_tpu.data.tracing_utils import (DeviceTracer,
+                                                   ShotgunRegistry)
+    patch = (5, 5, 5)
+    w = (rng.randn(int(np.prod(patch)), 3) * 0.01).astype(np.float32)
+    m = _ff_step_model(w=w, b=np.array([0.4, 0.1, -0.1], np.float32))
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=5)
+    far = [np.array([12.0, 12.0, 12.0]) + 3.0 * i * np.array([0, 1, 0])
+           for i in range(3)]
+    reg = ShotgunRegistry(far, radius=1.0)
+    out = reg.run(dt, batch_size=2, pool=True)
+    assert len(out) == 3
+    # close seeds dedupe across waves (radius covers them)
+    close = [np.array([12.0, 12.0, 12.0]) + 0.05 * i for i in range(9)]
+    reg2 = ShotgunRegistry(close, radius=50.0)
+    out2 = reg2.run(dt, batch_size=1, pool=True)
+    assert len(out2) == 8       # wave of 8 together, 9th deduped
+
+
+def test_trace_pool_chain_recurrent_state_crosses_waves(rng):
+    """r5 fuzz catch: the chained body must merge rnn_new after the
+    step — a GRU agent crossing a wave boundary otherwise rolls out
+    with frozen recurrent state (found by the tracing fuzz family,
+    seed 0; feedforward tests can't see it)."""
+    from elektronn2_tpu.data.tracing_utils import DeviceTracer
+    import elektronn2_tpu.neuromancer as nm
+    patch = (5, 5, 5)
+    T = 3
+    nm.model_manager.reset(seed=9)
+    seq = nm.Input([T, 1, 1, *patch], "s,b,f,z,x,y", name="seq")
+    x_t = nm.Input([1, 1, *patch], "b,f,z,x,y", name="x_t")
+    enc = nm.Perceptron(x_t, 8, flatten=True, name="enc")
+    h0 = nm.InitialState_like(enc, override_f=8, name="h0")
+    gru = nm.GRU(enc, h0, n_f=8, name="gru")
+    scan = nm.ScanN(gru, in_memory=h0, in_iterate=x_t, in_iterate_0=seq,
+                    n_steps=T, name="scan")
+    step = nm.Perceptron(scan, 3, activation_func="lin", name="step")
+    m = nm.model_manager.getmodel("chain_rec")
+    m.designate_nodes(input_node=seq, prediction_node=step)
+    m.params["step"]["w"] = jnp.asarray(
+        np.asarray(m.params["step"]["w"]) * 0.05)
+    m.params["step"]["b"] = jnp.asarray([0.5, 0.15, -0.1], np.float32)
+    vol = rng.rand(1, 24, 24, 24).astype(np.float32)
+    dt = DeviceTracer(m, vol, max_steps=8)
+    seeds = rng.uniform(10.0, 14.0, (5, 3)).astype(np.float32)
+    ref = dt.trace_batch(seeds)
+    got, stats = dt.trace_pool_chain(seeds, batch_size=2, wave_seeds=2,
+                                     wave_steps=3)
+    assert stats["waves"] >= 3
+    for i in range(5):
+        assert len(got[i].coords) == len(ref[i].coords), i
+        np.testing.assert_allclose(got[i].coords, ref[i].coords,
+                                   atol=1e-5, err_msg=f"seed {i}")
