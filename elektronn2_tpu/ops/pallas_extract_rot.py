@@ -60,7 +60,7 @@ def _geom(patch):
     # (the kernel's hx weights and win2 sublane blocks are 32-sized)
     WXr = max(_ceil8(2 * H + 9), 32)
     P = pz * px * py
-    PT = min(P, 1024)
+    PT = min(P, 512)
     return H, Wz, WXr, P, PT
 
 
@@ -101,9 +101,10 @@ def rotated_ok(vol_shape, pos, frames, patch):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("patch", "compute_dtype", "interpret"))
+    static_argnames=("patch", "compute_dtype", "interpret", "variant"))
 def rotated_patches_pallas(vol, pos, frames, patch,
-                           compute_dtype="float32", interpret=False):
+                           compute_dtype="float32", interpret=False,
+                           variant="bigk"):
     """Frame-aligned trilinear patches: vol (f, Z, X, Y) f32, pos (B, 3)
     float, frames (B, 3, 3) flight-frame rows -> (patches (B, f, pz, px,
     py), ok (B,)). Matches ``DeviceTracer._extract_rot_batch`` semantics
@@ -121,7 +122,8 @@ def rotated_patches_pallas(vol, pos, frames, patch,
         outs = [rotated_patches_pallas(
             vol, pos[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B],
             frames[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B], patch,
-            compute_dtype=compute_dtype, interpret=interpret)
+            compute_dtype=compute_dtype, interpret=interpret,
+            variant=variant)
             for i in range(-(-pos.shape[0] // _MAX_CALL_B))]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
@@ -164,7 +166,7 @@ def rotated_patches_pallas(vol, pos, frames, patch,
     cx = (px - 1) / 2.0
     cy = (py - 1) / 2.0
 
-    def kernel(meta_ref, vol_hbm, out_ref, slab, sem):
+    def kernel(meta_ref, vol_hbm, out_ref, slab, winf_buf, sem):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
 
@@ -226,19 +228,56 @@ def rotated_patches_pallas(vol, pos, frames, patch,
         F21 = meta_ref[16, b]
         F22 = meta_ref[17, b]
 
-        iota_l = jax.lax.broadcasted_iota(jnp.float32, (1, SXY), 1)
-        iota_z = jax.lax.broadcasted_iota(jnp.float32, (1, Wz), 1)
+        # Mosaic's tpu.iota is integer-only; build i32, cast to f32
+        iota_l = jax.lax.broadcasted_iota(
+            jnp.int32, (1, SXY), 1).astype(jnp.float32)
+        iota_z = jax.lax.broadcasted_iota(
+            jnp.int32, (1, Wz), 1).astype(jnp.float32)
+        # static lane maps over the flattened (vz, vx) contraction dim:
+        # vz = k // 32, vx = k % 32
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (1, Wz * SXY), 1)
+        vz_map = (k_io // SXY).astype(jnp.float32)
+        vx_map = (k_io % SXY).astype(jnp.float32)
+
+        # parity-grade f32 asks for the multi-pass MXU dot (default
+        # Mosaic dot is single-pass bf16: measured 3e-2 vs the oracle);
+        # bf16 mode keeps the fast single pass
+        prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
+        if variant == "fact2":
+            # constant selection matrices for the factored contraction:
+            # Rrep[x, k] = [k//32 == x] (lane-repeat via MXU),
+            # Ssum[k, y] = [k%32 == y] (32-lane block reduction via MXU)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (SXY, SXY * SXY), 1)
+            xx_i = jax.lax.broadcasted_iota(jnp.int32,
+                                            (SXY, SXY * SXY), 0)
+            Rrep = (kk // SXY == xx_i).astype(jnp.float32)
+            kk2 = jax.lax.broadcasted_iota(jnp.int32, (SXY * SXY, SXY), 0)
+            yy_i = jax.lax.broadcasted_iota(jnp.int32,
+                                            (SXY * SXY, SXY), 1)
+            Ssum = (kk2 % SXY == yy_i).astype(jnp.float32)
 
         for c in range(f):
             w3 = slab[b % R, c]                       # (Wz, WXr, 256)
             w3 = pltpu.roll(w3, (W - oy_s) % W, 2)[:, :, :SXY]
             w3 = pltpu.roll(w3, (WXr - ox_s) % WXr, 1)[:, :SXY, :]
-            win2 = jnp.concatenate(
-                [w3[z] for z in range(Wz)], axis=0)   # (Wz*32, 32)
-            win2 = win2.astype(cdt)
+            if variant == "fact2":
+                # winf[vz, x*32 + y]: the 32 x-rows laid side by side on
+                # lanes — via explicit VMEM stores (a lane-concat of
+                # sublane-sliced views is a Mosaic "offset mismatch on
+                # non-concat dimension" compile error; stores relayout)
+                for x in range(SXY):
+                    winf_buf[:, x * SXY:(x + 1) * SXY] = w3[:, x, :]
+                winf = winf_buf[:, :]                 # (Wz, 1024)
+            else:
+                win2 = jnp.concatenate(
+                    [w3[z] for z in range(Wz)], axis=0)   # (Wz*32, 32)
+                win2 = win2.astype(cdt)
             for t in range(NT):
-                pp = (jax.lax.broadcasted_iota(jnp.float32, (PT, 1), 0)
-                      + jnp.float32(t * PT))
+                pp = (jax.lax.broadcasted_iota(
+                    jnp.int32, (PT, 1), 0).astype(jnp.float32)
+                    + jnp.float32(t * PT))
                 # float index math is exact here: PT*NT < 2^20 and the
                 # divisors are < 2^11 (see pallas_extract_rot tests)
                 iz = jnp.floor(pp / (px * py))
@@ -251,14 +290,42 @@ def rotated_patches_pallas(vol, pos, frames, patch,
                 rz = sz + F00 * o_z + F10 * o_x + F20 * o_y   # (PT, 1)
                 rx = sx + F01 * o_z + F11 * o_x + F21 * o_y
                 ry = sy + F02 * o_z + F12 * o_x + F22 * o_y
-                hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz - iota_z))
-                hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - iota_l))
                 hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - iota_l))
-                hzx = jnp.concatenate(
-                    [(hz[:, z:z + 1] * hx).astype(cdt)
-                     for z in range(Wz)], axis=1)     # (PT, Wz*32)
-                t1 = jnp.dot(hzx, win2,
-                             preferred_element_type=jnp.float32)
+                if variant == "bigk":
+                    # hzx built DIRECTLY on the (PT, Wz*32) lane layout
+                    # from static vz/vx lane maps — a per-z-slice concat
+                    # of (PT, 32) pieces lane-pads each piece to 128 and
+                    # blows the 16 MB scoped-VMEM budget (measured:
+                    # 23.9M at 16^3)
+                    hzx = (jnp.maximum(0.0, 1.0 - jnp.abs(rz - vz_map))
+                           * jnp.maximum(0.0, 1.0 - jnp.abs(rx - vx_map))
+                           ).astype(cdt)              # (PT, Wz*32)
+                    t1 = jnp.dot(hzx, win2, precision=prec,
+                                 preferred_element_type=jnp.float32)
+                elif variant == "fact2":
+                    # factored contraction (r5 attribution: the bigk
+                    # dot's N=32 lane underfill is the binder). dot1
+                    # contracts z with N=1024 FULL lanes; dot2 is a
+                    # K-full 32-lane block reduction folding the x hat;
+                    # each is ~half the bigk dot's MAC at better fill.
+                    hz = jnp.maximum(0.0,
+                                     1.0 - jnp.abs(rz - iota_z))
+                    hx = jnp.maximum(0.0,
+                                     1.0 - jnp.abs(rx - iota_l))
+                    wz_mix = jnp.dot(hz, winf, precision=prec,
+                                     preferred_element_type=jnp.float32)
+                    hx_rep = jnp.dot(hx, Rrep, precision=prec,
+                                     preferred_element_type=jnp.float32)
+                    t1 = jnp.dot(wz_mix * hx_rep, Ssum, precision=prec,
+                                 preferred_element_type=jnp.float32)
+                else:
+                    # 'probe': TIMING-ONLY attribution variant (wrong
+                    # numerics) — replaces the ~10-op/element hat-product
+                    # build with 2 ops so the weight-build share of the
+                    # step is directly measurable on-chip
+                    hzx = (rz + vx_map).astype(cdt)   # (PT, Wz*32)
+                    t1 = jnp.dot(hzx, win2, precision=prec,
+                                 preferred_element_type=jnp.float32)
                 outv = jnp.sum(hy * t1, axis=1, keepdims=True)
                 out_ref[0, c, pl.ds(t * PT, PT), :] = outv
 
@@ -271,6 +338,7 @@ def rotated_patches_pallas(vol, pos, frames, patch,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, f, P, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((R, f, Wz, WXr, W), jnp.float32),
+                        pltpu.VMEM((Wz, SXY * SXY), jnp.float32),
                         pltpu.SemaphoreType.DMA((R, 2))],
         interpret=interpret,
     )

@@ -88,13 +88,15 @@ def main():
                       "per_agent_us": round(dt_o / B * 1e6, 2)}),
           flush=True)
     for cdt in ("float32", "bfloat16"):
-        dt_k = sustained(lambda: rotated_patches_pallas(
-            vol, pos, frames, patch, compute_dtype=cdt)[0], K=8)
-        print(json.dumps({"leg": f"extract_kernel_{cdt}",
-                          "ms": round(dt_k * 1e3, 3),
-                          "per_agent_us": round(dt_k / B * 1e6, 2),
-                          "speedup_vs_oracle": round(dt_o / dt_k, 1)}),
-              flush=True)
+        for var in ("bigk", "fact2", "probe"):
+            dt_k = sustained(lambda: rotated_patches_pallas(
+                vol, pos, frames, patch, compute_dtype=cdt,
+                variant=var)[0], K=8)
+            print(json.dumps({"leg": f"extract_kernel_{cdt}_{var}",
+                              "ms": round(dt_k * 1e3, 3),
+                              "per_agent_us": round(dt_k / B * 1e6, 2),
+                              "speedup_vs_oracle":
+                              round(dt_o / dt_k, 1)}), flush=True)
 
     # ---- B: on-chip parity --------------------------------------------
     ref, ok_ref, _ = oracle(vol, pos, heads)
