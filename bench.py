@@ -633,6 +633,49 @@ def main():
     model._dilated_fns = {}
     gc.collect()
 
+    # --- wide-graph serving contender (r5, VERDICT r4 #1) --------------
+    # 64/128/256-channel U-Net (examples/unet3d_wide.py) through the
+    # conv-dense path with the r5 glue harvest: zfold (kz=1 convs as 2D
+    # with z in conv batch — +11% alone) + skipsum (skip concats as
+    # split-weight conv sums — flips to +15% at deep slabs) at the
+    # measured slab frontier. r4 position was 59.7 Mvox/s (83% of the
+    # f32-dot bound, glue-bound); r5 champion 97.7 Mvox/s = 89.8 TF/s
+    # whole-graph ~= 45.6% of bf16 peak (scripts/exp_wide_glue.py).
+    wide_payload = {}
+    if os.environ.get("BENCH_WIDE", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "examples"))
+            from unet3d_wide import create_model as _wide_model
+            from elektronn2_tpu.neuromancer.inference import \
+                convolutional_dense_forward as _cdf
+            wm = _wide_model(batch=1)
+            wm.set_convdense_impl(zfold=True, skipsum=True)
+            wslab = tuple(int(v) for v in os.environ.get(
+                "BENCH_WIDE_SLAB", "128,448,448").split(","))
+            wvol = jax.random.uniform(jax.random.PRNGKey(2),
+                                      (1, 1) + wslab, jnp.float32)
+            float(jnp.sum(wvol))
+            wfn = jax.jit(lambda p, s, v: _cdf(wm, v, batch=True,
+                                               params=p, state=s))
+            _, wdt = _sustained(
+                lambda: wfn(wm.params, wm.state, wvol), 2)
+            wdt /= 2
+            wide_payload = {
+                "serve_wide_Mvox_s": round(
+                    float(np.prod(wslab)) / wdt / 1e6, 1),
+                "serve_wide_impl": ("zfold+skipsum@"
+                                    + "x".join(map(str, wslab))),
+                "serve_wide_spread": getattr(_sustained, "last_spread",
+                                             None),
+            }
+            _best_so_far.update(wide_payload)
+            del wvol, wfn, wm
+            gc.collect()
+        except Exception as e:              # noqa: BLE001
+            wide_payload = {"serve_wide_error":
+                            f"{type(e).__name__}: {e}"[:200]}
+
     # --- second driver metric: 3D-CNN fused-training iters/sec ---------
     # BASELINE.json names train it/s co-equal with dense inference; until
     # r3 it never reached a BENCH artifact. neuro3d-class net (reference
@@ -689,6 +732,13 @@ def main():
         payload["train_Mvox_in_s"] = lg.get("train_Mvox_in_s")
         payload["train_slab_Mvox_in_s"] = lg.get("train_slab_Mvox_in_s")
         payload["train_slab_impl"] = lg.get("train_slab_impl")
+    if wide_payload.get("serve_wide_Mvox_s"):
+        payload.update(wide_payload)
+    else:
+        payload.update(wide_payload)        # carries serve_wide_error
+        if (lg := _load_last_good()) and lg.get("serve_wide_Mvox_s"):
+            payload["serve_wide_Mvox_s"] = lg["serve_wide_Mvox_s"]
+            payload["serve_wide_impl"] = lg["serve_wide_impl"] + ",stale"
     if trace_payload:
         payload.update(trace_payload)
     elif (lg := _load_last_good()) and lg.get("trace_sps"):
@@ -703,6 +753,7 @@ def main():
     if floor_ms is not None and floor_ms > 60.0:
         prev_lg = _load_last_good() or {}
         for leg, key in (("serve", "value"),
+                         ("serve_wide", "serve_wide_Mvox_s"),
                          ("train", "train_Mvox_in_s"),
                          ("trace", "trace_sps")):
             old, new = prev_lg.get(key), payload.get(key)
@@ -732,6 +783,8 @@ def main():
             lg["f32_impl"] = best_f32[1]
         prev = _load_last_good() or {}
         for fresh, keys in (
+                (wide_payload if wide_payload.get("serve_wide_Mvox_s")
+                 else None, ("serve_wide_Mvox_s", "serve_wide_impl")),
                 (train_payload, ("train_it_s", "train_impl",
                                  "train_Mvox_in_s")),
                 (trace_payload, ("trace_sps", "trace_alive",
@@ -746,6 +799,7 @@ def main():
         # fallback's purpose is "best known-good", not "most recent")
         for leg, keys in (
                 ("serve", ("value", "impl", "f32_value", "f32_impl")),
+                ("serve_wide", ("serve_wide_Mvox_s", "serve_wide_impl")),
                 ("train", ("train_it_s", "train_impl", "train_Mvox_in_s",
                            "train_slab_Mvox_in_s", "train_slab_impl")),
                 ("trace", ("trace_sps", "trace_alive", "trace_impl",

@@ -1077,6 +1077,10 @@ def convolutional_dense_forward(model, vol, params=None, state=None,
     ctx.convdense_upconv_d2s = \
         getattr(model, "_convdense_upconv", "dilate") == "d2s"
     ctx.convdense_zfold = bool(getattr(model, "_convdense_zfold", False))
+    ctx.convdense_poolslice = bool(
+        getattr(model, "_convdense_poolslice", False))
+    ctx.convdense_skipsum = bool(
+        getattr(model, "_convdense_skipsum", False))
     # Pallas tail-conv kernel for eligible (3,3,3) relu Convs — f32
     # serving only (the kernel's f32 is the measured champion; int8/bf16
     # traces keep the XLA convs), 3D graphs only. Node-level eligibility

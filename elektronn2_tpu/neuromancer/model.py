@@ -206,7 +206,8 @@ class Model:
         self._dilated_fns = {}
         return self
 
-    def set_convdense_impl(self, upconv="dilate", zfold=False, ptail=False):
+    def set_convdense_impl(self, upconv="dilate", zfold=False, ptail=False,
+                           poolslice=False, skipsum=False):
         """Choose op lowerings for the CONVOLUTIONAL dense path (decoder /
         U-Net graphs, ``inference.py::convolutional_dense_forward``) — the
         conv-dense sibling of ``set_dilated_impl``.
@@ -242,6 +243,18 @@ class Model:
         self._convdense_zfold = bool(zfold)
         self._convdense_ptail = (dict(ptail) if isinstance(ptail, dict)
                                  else bool(ptail))
+        # r5 wide-graph glue knobs (VERDICT r4 #1), both exactly
+        # equivalent lowerings:
+        # ``poolslice``: non-overlapping max/avg pools as elementwise
+        # maxima of shifted strided slices instead of reduce_window
+        # (ops.conv.pooling_slices) — the profile showed reduce_window
+        # lowering to select/pad kLoop fusions + layout copies;
+        # ``skipsum``: a Conv fed by a FaithlessMerge computes
+        # conv(concat(a, b)) as conv(a, w[:, :Ca]) + conv(b, w[:, Ca:])
+        # so the skip concat is never materialised (the wide profile
+        # showed the concat lowering as pad_maximum fusions + copies).
+        self._convdense_poolslice = bool(poolslice)
+        self._convdense_skipsum = bool(skipsum)
         self._dilated_fns = {}    # conv-dense jits live in this cache
         return self
 
@@ -1168,6 +1181,9 @@ def rebuild_model(model, override_mfp_to_active=False,
     new._convdense_upconv = getattr(model, "_convdense_upconv", "dilate")
     new._convdense_zfold = getattr(model, "_convdense_zfold", False)
     new._convdense_ptail = getattr(model, "_convdense_ptail", False)
+    new._convdense_poolslice = getattr(model, "_convdense_poolslice",
+                                       False)
+    new._convdense_skipsum = getattr(model, "_convdense_skipsum", False)
     # calibrated int8 scales are per-conv-INPUT maxima: params carry over
     # unchanged, but an imposed patch/mfp change alters the activation
     # distribution geometry only, not its magnitudes — still valid

@@ -355,10 +355,21 @@ class Conv(Node, _BNMixin):
         else:
             cfn = self._serving_conv_fn(ctx, x)
             y = cfn(x, w) + b.reshape((1, -1) + (1,) * (x.ndim - 2))
+        return self._conv_epilogue(ctx, y)
+
+    def _conv_epilogue(self, ctx, y):
+        """Post-conv tail shared by every Conv lowering: pool (or MFP
+        fragment-pool), BN, activation, dropout."""
         if any(p > 1 for p in self.pool_shape):
             if self.mfp:
                 y, _ = fragmentpool(y, self.pool_shape, self._parent_offsets,
                                     self._pre_pool_strides)
+            elif getattr(ctx, "convdense_poolslice", False):
+                # conv-dense serving lowering (set_convdense_impl
+                # poolslice=True): strided-slice maxima — elementwise,
+                # XLA-fusible — instead of reduce_window (exact)
+                from elektronn2_tpu.ops.conv import pooling_slices
+                y = pooling_slices(y, self.pool_shape)
             else:
                 y = ops_pooling(y, self.pool_shape)
         if self.batch_normalisation:
@@ -368,6 +379,42 @@ class Conv(Node, _BNMixin):
         y = apply_activation(y, self.activation_func, alpha=alpha)
         y = _apply_dropout(y, self.dropout_rate, ctx, self)
         return y
+
+    def _compute_fused(self, ctx):
+        """Fused-evaluation hook (node_basic.TraceCtx.get): under the
+        conv-dense ``skipsum`` lowering, a Conv fed by a FaithlessMerge
+        evaluates ``conv(concat(a, b)) == conv(a, w[:, :Ca]) +
+        conv(b, w[:, Ca:])`` (exact: convolution is linear in channels)
+        against the merge's CROPPED pieces — the skip concat is never
+        materialised (the r5 wide-graph profile showed the concat
+        lowering as pad/maximum kLoop fusions + layout copies). Returns
+        None (declines) outside that exact situation."""
+        if not getattr(ctx, "convdense_skipsum", False):
+            return None
+        p = self.parents[0]
+        if (type(p).__name__ != "FaithlessMerge" or self.mfp
+                or self.batch_normalisation
+                or getattr(ctx, "quant_serving", False)
+                or getattr(ctx, "quant_calibrate", None) is not None):
+            return None
+        a = ctx.get(p.parents[0])
+        bb = ctx.get(p.parents[1])
+        if self._ptail_eligible(ctx, a):
+            return None            # keep the Pallas route decision simple
+        a, bb = p._cropped_pieces(a, bb)
+        w = ctx.param(self, "w")
+        bias = ctx.param(self, "b")
+        ca = int(p.parents[0].shape["f"])
+        cfn = self._serving_conv_fn(ctx, a)
+        if ctx.compute_dtype is not None:
+            cd = ctx.compute_dtype
+            y = (cfn(a.astype(cd), w[:, :ca].astype(cd))
+                 + cfn(bb.astype(cd), w[:, ca:].astype(cd))
+                 ).astype(jnp.float32)
+        else:
+            y = cfn(a, w[:, :ca]) + cfn(bb, w[:, ca:])
+        y = y + bias.reshape((1, -1) + (1,) * (a.ndim - 2))
+        return self._conv_epilogue(ctx, y)
 
 
 @register_node_class
@@ -671,11 +718,12 @@ class FaithlessMerge(Node):
                                  s1.mfp_offsets)
         self._common = common
 
-    def _compute(self, ctx, a, b):
-        # common size is derived from the RUNTIME shapes (== self._common at
-        # the construction patch size): the crop *amounts* are input-size
-        # invariant, which makes the node shape-polymorphic — required by the
-        # whole-volume convolutional dense path (inference.py)
+    def _cropped_pieces(self, a, b):
+        """Centre-crop both parents to the common runtime spatial shape
+        (the crop amounts are input-size invariant — shape-polymorphic,
+        required by the whole-volume conv-dense path). Shared by
+        ``_compute`` (which concats) and the conv-dense ``skipsum``
+        lowering (Conv._compute_fused, which never concats)."""
         ax_a = self.parents[0].shape.spatial_axes
         ax_b = self.parents[1].shape.spatial_axes
         common = [min(a.shape[i], b.shape[j]) for i, j in zip(ax_a, ax_b)]
@@ -686,8 +734,10 @@ class FaithlessMerge(Node):
                 lo = (x.shape[ax] - c) // 2
                 idx[ax] = slice(lo, lo + c)
             return x[tuple(idx)]
-        a = crop_to(a, ax_a)
-        b = crop_to(b, ax_b)
+        return crop_to(a, ax_a), crop_to(b, ax_b)
+
+    def _compute(self, ctx, a, b):
+        a, b = self._cropped_pieces(a, b)
         return jnp.concatenate([a, b], axis=self.shape.tag2index("f"))
 
 

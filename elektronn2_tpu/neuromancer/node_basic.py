@@ -64,6 +64,17 @@ class TraceCtx:
                 # lazy nodes (ScanN) orchestrate their own sub-evaluation
                 v = node._compute_lazy(self)
             else:
+                # fused-evaluation hook (r5): a node may claim its own
+                # parent evaluation for ctx-dependent fusions (e.g. the
+                # conv-dense ``skipsum`` lowering, where a Conv consumes
+                # its FaithlessMerge parent's PIECES so the skip concat
+                # is never materialised). Returns None to decline.
+                fused = getattr(node, "_compute_fused", None)
+                if fused is not None:
+                    v = fused(self)
+                    if v is not None:
+                        self.values[node.name] = v
+                        return v
                 parent_vals = [self.get(p) for p in node.parents]
                 if self.remat and node.params:
                     # rematerialise parameterised nodes in the backward pass

@@ -386,6 +386,39 @@ def pooling(x, pool_shape, mode="max", stride=None):
     return y
 
 
+def pooling_slices(x, pool_shape, mode="max"):
+    """``pooling`` lowered as elementwise max/sum of STRIDED SLICES
+    instead of ``lax.reduce_window`` (r5, VERDICT r4 #1): the wide-graph
+    profile shows reduce_window maxpools lowering to select/pad kLoop
+    fusions plus layout copies around them; shifted strided slices are
+    plain elementwise maxima XLA fuses into neighbours. Exactly
+    equivalent for non-overlapping windows incl. the ignore_border
+    trailing-drop (the slice limit trims to whole windows).
+    """
+    import itertools
+    nsp = x.ndim - 2
+    pool_shape = tuple(int(p) for p in pool_shape)
+    if len(pool_shape) != nsp:
+        raise ValueError("pool_shape rank mismatch")
+    out = None
+    for offs in itertools.product(*[range(p) for p in pool_shape]):
+        idx = [slice(None), slice(None)] + [
+            slice(o, (x.shape[2 + d] // p) * p, p)
+            for d, (o, p) in enumerate(zip(offs, pool_shape))]
+        piece = x[tuple(idx)]
+        if out is None:
+            out = piece
+        elif mode == "max":
+            out = jnp.maximum(out, piece)
+        elif mode in ("sum", "avg", "mean"):
+            out = out + piece
+        else:
+            raise ValueError(f"unknown pooling mode {mode!r}")
+    if mode in ("avg", "mean"):
+        out = out / np.prod(pool_shape)
+    return out
+
+
 def unpooling(x, pool_shape):
     """Nearest-neighbour unpooling (repeat each voxel pool times).
 

@@ -1307,3 +1307,49 @@ def test_unet_zpooled_sweep_matches_whole_volume(rng, tmp_path):
     q_ref = np.asarray(m.predict_dense_device(volf, pad_raw=True))
     q_out = m.sweep_knossos(ka, step=[12, 12, 12])
     np.testing.assert_array_equal(q_out, q_ref)
+
+
+def test_convdense_poolslice_skipsum_exact(rng):
+    """r5 wide-graph glue knobs: ``poolslice`` (pools as strided-slice
+    maxima) and ``skipsum`` (skip-concat convs as split-weight conv
+    sums) == the default conv-dense trace, alone and composed with
+    zfold; rebuild carries them."""
+    m = faithless_unet3d()
+    vol = jnp.asarray(rng.randn(1, 11, 21, 23).astype(np.float32))
+    base = np.asarray(m.predict_dense_device(vol))
+    for kw in ({"poolslice": True}, {"skipsum": True},
+               {"poolslice": True, "skipsum": True},
+               {"zfold": True, "skipsum": True}):
+        m.set_convdense_impl(**kw)
+        got = np.asarray(m.predict_dense_device(vol))
+        np.testing.assert_allclose(got, base, atol=2e-5, err_msg=str(kw))
+        pr = np.asarray(m.predict_dense_device(vol, pad_raw=True))
+        assert pr.shape == (2, 11, 21, 23)
+        m.set_convdense_impl()
+    # training / patch predict untouched (flags are serving-only)
+    m.set_convdense_impl(poolslice=True, skipsum=True)
+    p = np.asarray(m.predict(rng.randn(
+        1, 1, *m.input_node.shape.spatial_shape).astype(np.float32)))
+    assert p.shape[0] == 1
+    from elektronn2_tpu.neuromancer.model import rebuild_model
+    m2 = rebuild_model(m)
+    assert m2._convdense_poolslice is True
+    assert m2._convdense_skipsum is True
+    np.testing.assert_allclose(
+        np.asarray(m2.predict_dense_device(vol)), base, atol=2e-5)
+    m.set_convdense_impl()
+
+
+def test_pooling_slices_equals_reduce_window(rng):
+    """ops.conv.pooling_slices == pooling for max/avg, divisible and
+    ignore_border (trailing remainder) shapes."""
+    from elektronn2_tpu.ops.conv import pooling, pooling_slices
+    for shape, pool in (((2, 3, 8, 12, 16), (2, 2, 2)),
+                        ((1, 4, 9, 13, 17), (2, 3, 2)),
+                        ((2, 2, 10, 11), (2, 3))):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        for mode in ("max", "avg"):
+            a = np.asarray(pooling(x, pool, mode=mode))
+            b = np.asarray(pooling_slices(x, pool, mode=mode))
+            np.testing.assert_allclose(b, a, atol=1e-6,
+                                       err_msg=f"{shape} {pool} {mode}")
