@@ -258,6 +258,29 @@ class Model:
         self._dilated_fns = {}    # conv-dense jits live in this cache
         return self
 
+    def set_train_lowering(self, zfold=False, skipsum=False):
+        """Exactly-equivalent op lowerings for the NODE trace (training
+        and patch predict) — the training-side siblings of
+        ``set_convdense_impl`` (r5, VERDICT r4 #2):
+
+        ``zfold``: kz=1 3D convs as 2D convs with z folded into the
+        conv batch dim;
+        ``skipsum``: a Conv fed by a FaithlessMerge computes
+        ``conv(concat(a, b))`` as ``conv(a, w[:, :Ca]) + conv(b,
+        w[:, Ca:])`` — the skip concat never materialises. (Under
+        ``set_remat`` the skipsum hook steps aside so rematerialisation
+        stays whole-node.)
+
+        Measured on the wide U-Net train chunk (scripts/exp_wide_train
+        .py); serving paths have their own knobs. Invalidates compiled
+        step/loss functions."""
+        self._train_zfold = bool(zfold)
+        self._train_skipsum = bool(skipsum)
+        self._step_fn = None
+        self._loss_fn = None
+        self._predict_fns = {}
+        return self
+
     def set_remat(self, enabled=True):
         """Rematerialisation: recompute each node's activations in the
         backward pass instead of storing them (``jax.checkpoint``) — trades
@@ -376,6 +399,16 @@ class Model:
                        node_index=self._node_index,
                        compute_dtype=getattr(self, "_compute_dtype", None))
         ctx.remat = bool(getattr(self, "_remat", False)) and train
+        # r5 node-trace lowerings (set_train_lowering): the wide-graph
+        # TRAINING profile shows the same glue families the serving
+        # harvest removed (skip-concat pad/maximum fusions, kz=1 conv
+        # layout copies) — the ctx flags reuse the conv-dense names the
+        # node code already consults. Exactly equivalent lowerings;
+        # autodiff flows through both (plain jnp ops).
+        if getattr(self, "_train_zfold", False):
+            ctx.convdense_zfold = True
+        if getattr(self, "_train_skipsum", False):
+            ctx.convdense_skipsum = True
         outs = [ctx.get(n) for n in out_nodes]
         new_state = dict(state)
         new_state.update(ctx.state_out)

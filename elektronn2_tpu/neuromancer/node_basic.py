@@ -70,7 +70,9 @@ class TraceCtx:
                 # its FaithlessMerge parent's PIECES so the skip concat
                 # is never materialised). Returns None to decline.
                 fused = getattr(node, "_compute_fused", None)
-                if fused is not None:
+                if fused is not None and not (self.remat and node.params):
+                    # (under remat the hook steps aside so the
+                    # checkpoint below stays whole-node)
                     v = fused(self)
                     if v is not None:
                         self.values[node.name] = v

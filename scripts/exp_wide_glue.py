@@ -60,6 +60,39 @@ def build(slab=(32, 256, 256)):
     return model, vol, fn
 
 
+def aggregate_trace(d):
+    """Aggregate device-op durations by (hlo_category, op name) from a
+    jax.profiler trace dir; returns {(cat, name): usec}."""
+    ev = {}
+    for fpath in glob.glob(f"{d}/**/*.trace.json.gz", recursive=True):
+        with gzip.open(fpath, "rt") as fh:
+            tr = json.load(fh)
+        for e in tr.get("traceEvents", []):
+            if e.get("ph") != "X":
+                continue
+            cat = (e.get("args", {}) or {}).get("hlo_category")
+            if cat is None:
+                continue
+            key = (cat, e.get("name", ""))
+            ev[key] = ev.get(key, 0) + e.get("dur", 0)
+    return ev
+
+
+def print_trace_summary(ev, top=25):
+    total = sum(ev.values())
+    print(f"total device-op time {total/1e3:.1f} ms")
+    bycat = {}
+    for (cat, name), dur in ev.items():
+        bycat[cat] = bycat.get(cat, 0) + dur
+    for cat, dur in sorted(bycat.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:<28s} {dur/1e3:8.2f} ms  {100*dur/total:5.1f}%")
+    print(f"top {top} ops:")
+    for (cat, name), dur in sorted(ev.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {dur/1e3:8.2f} ms  {100*dur/total:5.1f}%  [{cat}] "
+              f"{name[:110]}")
+    return bycat, total
+
+
 def profile(slab, impl=None):
     import jax
     import jax.numpy as jnp

@@ -496,3 +496,45 @@ def test_user_input_surface_alias():
     """trainutils.user_input is the console (reference surface name)."""
     from elektronn2_tpu.training import trainutils
     assert trainutils.user_input is trainutils.ConsoleControl
+
+
+def test_set_train_lowering_exact_losses(rng):
+    """r5 ``Model.set_train_lowering`` (zfold / skipsum node-trace
+    lowerings): loss trajectories through 5 optimiser steps equal the
+    default trace (gradients flow through both lowerings)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    from unet3d_wide import create_model
+
+    x = rng.rand(1, 1, 16, 32, 32).astype(np.float32)
+
+    def run(**kw):
+        m = create_model(batch=1, patch=(16, 32, 32), widths=(8, 12, 16))
+        m.set_train_lowering(**kw)
+        m.set_opt("SGD", lr=0.05, mom=0.9)
+        zo, xo, yo = [int(s) for s in
+                      m.prediction_node.shape.spatial_shape]
+        r2 = np.random.RandomState(1)
+        y = (r2.rand(1, zo, xo, yo) * 2).astype(np.int32)
+        return np.asarray([float(m.trainingstep(x, y)[0])
+                           for _ in range(5)])
+
+    base = run()
+    assert np.isfinite(base).all() and base[-1] < base[0]
+    for kw in (dict(zfold=True), dict(skipsum=True),
+               dict(zfold=True, skipsum=True)):
+        got = run(**kw)
+        np.testing.assert_allclose(got, base, atol=1e-5,
+                                   err_msg=str(kw))
+    # remat + skipsum compose (the fused hook steps aside under remat)
+    m = create_model(batch=1, patch=(16, 32, 32), widths=(8, 12, 16))
+    m.set_train_lowering(skipsum=True)
+    m.set_remat(True)
+    m.set_opt("SGD", lr=0.05)
+    zo, xo, yo = [int(s) for s in m.prediction_node.shape.spatial_shape]
+    y = (np.random.RandomState(1).rand(1, zo, xo, yo) * 2).astype(
+        np.int32)
+    l1, _ = m.trainingstep(x, y)
+    assert np.isfinite(float(l1))
