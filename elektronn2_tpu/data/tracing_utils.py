@@ -375,7 +375,7 @@ class DeviceTracer(_AgentStepper):
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
                  min_step=1e-4, use_pallas_extract=None,
                  rotate_to_heading=False, use_pallas_rot=None,
-                 rot_compute_dtype="float32"):
+                 rot_compute_dtype="float32", rot_precision=None):
         import jax.numpy as jnp
 
         self.model = model
@@ -384,8 +384,13 @@ class DeviceTracer(_AgentStepper):
         #: eligible geometry). ``rot_compute_dtype='bfloat16'`` is the
         #: opt-in single-pass-MXU speed mode (~4e-3 relative on the
         #: patch values; 'float32' is parity-grade).
+        #: ``rot_precision='high'`` selects the 3-pass bf16x3 MXU dot
+        #: for the f32 mode (~2e-5 vs float64 truth — the middle rung
+        #: of the measured accuracy ladder; None = 6-pass true f32).
         self.use_pallas_rot = use_pallas_rot
         self.rot_compute_dtype = str(rot_compute_dtype)
+        self.rot_precision = (None if rot_precision is None
+                              else str(rot_precision))
         #: Pallas patch-extraction kernel (ops/pallas_extract.py): the
         #: r3 attribution found the vmapped dynamic_slice extraction is
         #: 97% of the rollout (XLA lowers it as a whole-volume gather);
@@ -498,6 +503,7 @@ class DeviceTracer(_AgentStepper):
                 vol, pos, F, p,
                 compute_dtype=getattr(self, "rot_compute_dtype",
                                       "float32"),
+                precision=getattr(self, "rot_precision", None),
                 interpret=jax.devices()[0].platform == "cpu")
             return patches, ok, F
         grids = jnp.meshgrid(

@@ -101,10 +101,11 @@ def rotated_ok(vol_shape, pos, frames, patch):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("patch", "compute_dtype", "interpret", "variant"))
+    static_argnames=("patch", "compute_dtype", "interpret", "variant",
+                     "precision"))
 def rotated_patches_pallas(vol, pos, frames, patch,
                            compute_dtype="float32", interpret=False,
-                           variant="bigk"):
+                           variant="bigk", precision=None):
     """Frame-aligned trilinear patches: vol (f, Z, X, Y) f32, pos (B, 3)
     float, frames (B, 3, 3) flight-frame rows -> (patches (B, f, pz, px,
     py), ok (B,)). Matches ``DeviceTracer._extract_rot_batch`` semantics
@@ -112,18 +113,50 @@ def rotated_patches_pallas(vol, pos, frames, patch,
 
     Batches past ``_MAX_CALL_B`` split into ceil(B/512) kernel calls.
     ``interpret=True`` runs the Pallas interpreter (CPU tests).
+
+    ``precision``: MXU pass count for the f32 contraction — None keeps
+    the parity-grade default (HIGHEST, 6-pass true-f32), ``"high"``
+    selects the 3-pass bf16x3 dot (~2e-5 vs the f64 truth on EM-scale
+    data — between the 6-pass 2.4e-6 and single-pass bf16 3.8e-3; r5
+    measured speed/accuracy ladder in docs/tpu_performance.md).
+    Ignored under ``compute_dtype='bfloat16'`` (single-pass already).
+
+    ``variant``: contraction strategy, all numerically equivalent modulo
+    float reassociation (``probe`` excepted — timing-only):
+      * ``bigk``  — hat-product weights built on the VPU, one
+        (PT, Wz*32) @ (Wz*32, 32) MXU dot (r5 default);
+      * ``mxb``   — same dot, but the separable hat factors are built
+        small ((PT, Wz) and (PT, 32)) and expanded to the (PT, Wz*32)
+        layout by constant 0/1 selection-matrix dots on the MXU,
+        replacing the ~10-op full-width VPU build;
+      * ``sepa``  — z folded first by a K=Wz dot with N=1024 FULL lanes
+        ((PT, Wz) @ (Wz, 32*32)), x/y hats expanded by selection dots,
+        then one VPU multiply + cross-lane sum — no N=32-underfilled
+        dot anywhere;
+      * ``fact2`` — factored contraction (measured rejection: its
+        block-reduction dot equals bigk's underfilled dot);
+      * ``probe`` — wrong-numerics attribution variant (weight build
+        replaced by 2 ops) for measuring the build share on-chip.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if variant not in ("bigk", "mxb", "sepa", "fact2", "probe"):
+        # an unknown name must not fall into the wrong-numerics probe
+        # branch silently
+        raise ValueError(f"variant={variant!r}: expected one of "
+                         "bigk/mxb/sepa/fact2/probe")
+    if precision not in (None, "high"):
+        raise ValueError(f"precision={precision!r}: expected None or "
+                         "'high'")
     if pos.shape[0] > _MAX_CALL_B:
         outs = [rotated_patches_pallas(
             vol, pos[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B],
             frames[i * _MAX_CALL_B:(i + 1) * _MAX_CALL_B], patch,
             compute_dtype=compute_dtype, interpret=interpret,
-            variant=variant)
+            variant=variant, precision=precision)
             for i in range(-(-pos.shape[0] // _MAX_CALL_B))]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
@@ -241,9 +274,32 @@ def rotated_patches_pallas(vol, pos, frames, patch,
 
         # parity-grade f32 asks for the multi-pass MXU dot (default
         # Mosaic dot is single-pass bf16: measured 3e-2 vs the oracle);
-        # bf16 mode keeps the fast single pass
+        # bf16 mode keeps the fast single pass; precision='high' is the
+        # 3-pass bf16x3 middle rung — decomposed MANUALLY (split both
+        # f32 operands into bf16 hi+lo, drop the lo*lo term) because
+        # Mosaic's dot lowering accepts only DEFAULT and HIGHEST
         prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
                 else jax.lax.Precision.DEFAULT)
+
+        def mxu_dot(a, b):
+            """The kernel's one contraction primitive, mode-dispatched:
+            bf16 single-pass / f32 6-pass HIGHEST / 'high' 3x bf16x3."""
+            if cdt != jnp.float32:
+                return jnp.dot(a.astype(cdt), b.astype(cdt),
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+            if precision == "high":
+                bf = jnp.bfloat16
+                ah = a.astype(bf)
+                al = (a - ah.astype(jnp.float32)).astype(bf)
+                bh = b.astype(bf)
+                bl = (b - bh.astype(jnp.float32)).astype(bf)
+                d = functools.partial(
+                    jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+                return d(ah, bh) + d(ah, bl) + d(al, bh)
+            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
 
         if variant == "fact2":
             # constant selection matrices for the factored contraction:
@@ -257,12 +313,32 @@ def rotated_patches_pallas(vol, pos, frames, patch,
             yy_i = jax.lax.broadcasted_iota(jnp.int32,
                                             (SXY * SXY, SXY), 1)
             Ssum = (kk2 % SXY == yy_i).astype(jnp.float32)
+        if variant == "mxb":
+            # constant 0/1 expanders onto the bigk (vz*32 + vx) K layout:
+            # Zrep[z, k] = [k//32 == z], Xtil[x, k] = [k%32 == x] — the
+            # hat factors are built SMALL ((PT, Wz) / (PT, 32)) and
+            # lane-expanded by MXU dots instead of the ~10-op full-width
+            # (PT, Wz*32) VPU build
+            kk = jax.lax.broadcasted_iota(jnp.int32, (Wz, Wz * SXY), 1)
+            zz_i = jax.lax.broadcasted_iota(jnp.int32, (Wz, Wz * SXY), 0)
+            Zrep = (kk // SXY == zz_i).astype(jnp.float32)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (SXY, Wz * SXY), 1)
+            xx_i = jax.lax.broadcasted_iota(jnp.int32, (SXY, Wz * SXY), 0)
+            Xtil = (kk % SXY == xx_i).astype(jnp.float32)
+        if variant == "sepa":
+            # expanders onto the winf (vx*32 + vy) lane layout:
+            # Xrep[x, k] = [k//32 == x], Ytil[y, k] = [k%32 == y]
+            kk = jax.lax.broadcasted_iota(jnp.int32, (SXY, SXY * SXY), 1)
+            xx_i = jax.lax.broadcasted_iota(jnp.int32,
+                                            (SXY, SXY * SXY), 0)
+            Xrep = (kk // SXY == xx_i).astype(jnp.float32)
+            Ytil = (kk % SXY == xx_i).astype(jnp.float32)
 
         for c in range(f):
             w3 = slab[b % R, c]                       # (Wz, WXr, 256)
             w3 = pltpu.roll(w3, (W - oy_s) % W, 2)[:, :, :SXY]
             w3 = pltpu.roll(w3, (WXr - ox_s) % WXr, 1)[:, :SXY, :]
-            if variant == "fact2":
+            if variant in ("fact2", "sepa"):
                 # winf[vz, x*32 + y]: the 32 x-rows laid side by side on
                 # lanes — via explicit VMEM stores (a lane-concat of
                 # sublane-sliced views is a Mosaic "offset mismatch on
@@ -273,7 +349,6 @@ def rotated_patches_pallas(vol, pos, frames, patch,
             else:
                 win2 = jnp.concatenate(
                     [w3[z] for z in range(Wz)], axis=0)   # (Wz*32, 32)
-                win2 = win2.astype(cdt)
             for t in range(NT):
                 pp = (jax.lax.broadcasted_iota(
                     jnp.int32, (PT, 1), 0).astype(jnp.float32)
@@ -299,9 +374,31 @@ def rotated_patches_pallas(vol, pos, frames, patch,
                     # 23.9M at 16^3)
                     hzx = (jnp.maximum(0.0, 1.0 - jnp.abs(rz - vz_map))
                            * jnp.maximum(0.0, 1.0 - jnp.abs(rx - vx_map))
-                           ).astype(cdt)              # (PT, Wz*32)
-                    t1 = jnp.dot(hzx, win2, precision=prec,
-                                 preferred_element_type=jnp.float32)
+                           )                          # (PT, Wz*32)
+                    t1 = mxu_dot(hzx, win2)
+                elif variant == "mxb":
+                    # bigk's dot, MXU-assisted weight build: small hat
+                    # factors, 0/1 selection-dot lane expansion, one mul
+                    hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz - iota_z))
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - iota_l))
+                    hz_rep = mxu_dot(hz, Zrep)
+                    hx_til = mxu_dot(hx, Xtil)
+                    hzx = hz_rep * hx_til
+                    t1 = mxu_dot(hzx, win2)
+                elif variant == "sepa":
+                    # separable: fold z FIRST by a K=Wz dot with N=1024
+                    # FULL lanes, expand the x/y hats by selection dots,
+                    # finish on the VPU — no N=32-underfilled dot. The
+                    # hy fold moves into the lane product, so the final
+                    # reduction is a plain 1024-lane sum.
+                    hz = jnp.maximum(0.0, 1.0 - jnp.abs(rz - iota_z))
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - iota_l))
+                    wzm = mxu_dot(hz, winf)
+                    hx_rep = mxu_dot(hx, Xrep)
+                    hy_til = mxu_dot(hy, Ytil)
+                    out_ref[0, c, pl.ds(t * PT, PT), :] = jnp.sum(
+                        wzm * hx_rep * hy_til, axis=1, keepdims=True)
+                    continue
                 elif variant == "fact2":
                     # factored contraction (r5 attribution: the bigk
                     # dot's N=32 lane underfill is the binder). dot1

@@ -63,7 +63,8 @@ def main():
     if os.environ.get("EXP_KNOBS"):
         # part 2: lowering knobs (set_convdense_impl) at the best slab
         results = []
-        V = (96, 512, 512)
+        V = tuple(int(v) for v in os.environ.get(
+            "EXP_V", "96,512,512").split(","))
         vol = jax.random.uniform(jax.random.PRNGKey(0), (1,) + V,
                                  jnp.float32)
         float(jnp.sum(vol))
@@ -75,6 +76,14 @@ def main():
                 # gates itself off under bf16/int8 serving)
                 kws += [{"ptail": True},
                         {"upconv": "d2s", "zfold": True, "ptail": True}]
+                # r5 (VERDICT r4 #7): the wide-graph glue winners A/B'd
+                # on the NARROW decoder family — skipsum on the champion
+                # lowering, plus poolslice for completeness
+                kws += [{"upconv": "d2s", "zfold": True, "ptail": True,
+                         "skipsum": True},
+                        {"upconv": "d2s", "zfold": True, "skipsum": True},
+                        {"upconv": "d2s", "zfold": True, "ptail": True,
+                         "poolslice": True}]
             for kw in kws:
                 model.set_compute_dtype(dtype)
                 model.set_convdense_impl(**kw)

@@ -87,26 +87,46 @@ def main():
     print(json.dumps({"leg": "extract_oracle", "ms": round(dt_o * 1e3, 2),
                       "per_agent_us": round(dt_o / B * 1e6, 2)}),
           flush=True)
-    for cdt in ("float32", "bfloat16"):
-        for var in ("bigk", "fact2", "probe"):
+    legs = ([(cdt, var, None) for cdt in ("float32", "bfloat16")
+             for var in ("bigk", "fact2", "probe", "mxb", "sepa")]
+            + [("float32", var, "high") for var in ("bigk", "mxb",
+                                                    "sepa")])
+    for cdt, var, precision in legs:
+        tag = (f"extract_kernel_{cdt}_{var}"
+               + ("_high" if precision else ""))
+        try:
             dt_k = sustained(lambda: rotated_patches_pallas(
                 vol, pos, frames, patch, compute_dtype=cdt,
-                variant=var)[0], K=8)
-            print(json.dumps({"leg": f"extract_kernel_{cdt}_{var}",
-                              "ms": round(dt_k * 1e3, 3),
-                              "per_agent_us": round(dt_k / B * 1e6, 2),
-                              "speedup_vs_oracle":
-                              round(dt_o / dt_k, 1)}), flush=True)
+                variant=var, precision=precision)[0], K=8)
+        except Exception as e:   # noqa: BLE001 — variant-tolerant
+            print(json.dumps({"leg": tag, "error":
+                              f"{type(e).__name__}: {str(e)[:110]}"}),
+                  flush=True)
+            continue
+        print(json.dumps({"leg": tag,
+                          "ms": round(dt_k * 1e3, 3),
+                          "per_agent_us": round(dt_k / B * 1e6, 2),
+                          "speedup_vs_oracle":
+                          round(dt_o / dt_k, 1)}), flush=True)
 
     # ---- B: on-chip parity --------------------------------------------
     ref, ok_ref, _ = oracle(vol, pos, heads)
-    for cdt in ("float32", "bfloat16"):
+    for cdt, var, precision in (("float32", "bigk", None),
+                                ("float32", "sepa", None),
+                                ("float32", "bigk", "high"),
+                                ("float32", "sepa", "high"),
+                                ("float32", "mxb", None),
+                                ("bfloat16", "bigk", None),
+                                ("bfloat16", "sepa", None)):
         got, ok = rotated_patches_pallas(vol, pos, frames, patch,
-                                         compute_dtype=cdt)
+                                         compute_dtype=cdt, variant=var,
+                                         precision=precision)
         m = np.asarray(ok_ref)
         d = float(jnp.max(jnp.abs(got[m] - ref[m])))
         okeq = bool(jnp.all(ok == ok_ref))
-        print(json.dumps({"leg": f"parity_{cdt}", "maxdiff": d,
+        print(json.dumps({"leg": f"parity_{cdt}_{var}"
+                          + ("_high" if precision else ""),
+                          "maxdiff": d,
                           "ok_equal": okeq, "ok_frac":
                           round(float(jnp.mean(ok_ref.astype(
                               jnp.float32))), 3)}), flush=True)
@@ -116,13 +136,14 @@ def main():
         from scripts.exp_tracer_rollout import build_model
         model = build_model(patch)
         seeds = jnp.asarray(rng.uniform(24, 232, (B, 3)), jnp.float32)
-        variants = [("oracle", False, "float32"),
-                    ("kernel_f32", True, "float32"),
-                    ("kernel_bf16", True, "bfloat16")]
-        for name, use_k, cdt in variants:
+        variants = [("oracle", False, "float32", None),
+                    ("kernel_f32", True, "float32", None),
+                    ("kernel_f32_high", True, "float32", "high"),
+                    ("kernel_bf16", True, "bfloat16", None)]
+        for name, use_k, cdt, rprec in variants:
             tr = DeviceTracer(model, vol, max_steps=args.k, min_step=0.0,
                               rotate_to_heading=True, use_pallas_rot=use_k,
-                              rot_compute_dtype=cdt)
+                              rot_compute_dtype=cdt, rot_precision=rprec)
             fn = tr._build()
             t0 = time.perf_counter()
             traj, alive = fn(model.params, model.state, tr.volume, seeds)

@@ -189,10 +189,49 @@ def variants(slab):
         model.set_convdense_impl()
 
 
+def sweep(slabs, kw):
+    """One impl across a slab-geometry list (the frontier search)."""
+    import jax
+    import jax.numpy as jnp
+    from elektronn2_tpu.neuromancer.inference import (
+        convolutional_dense_forward)
+    best = (None, 0.0)
+    for slab in slabs:
+        try:
+            model, vol, _ = build(slab)
+            model.set_convdense_impl(**kw)
+            fn = jax.jit(lambda p, s, v: convolutional_dense_forward(
+                model, v, batch=True, params=p, state=s))
+            out, dt = _sustained(
+                lambda: fn(model.params, model.state, vol))
+            mvox = float(np.prod(slab)) / dt / 1e6
+            # 0.919 MFLOP/vox (the wide U-Net's per-voxel conv cost —
+            # docs/tpu_performance.md r5 table)
+            print(json.dumps({"slab": list(slab),
+                              "ms": round(dt * 1e3, 2),
+                              "Mvox_s": round(mvox, 1),
+                              "TF_s": round(mvox * 0.919 / 1e3, 1),
+                              "pct_bf16_peak":
+                              round(100 * mvox * 0.919 / 1e3 / 197, 1)}),
+                  flush=True)
+            if mvox > best[1]:
+                best = (slab, mvox)
+            del vol, out
+        except Exception as e:   # noqa: BLE001 — OOM/compile tolerant
+            print(json.dumps({"slab": list(slab), "error":
+                              f"{type(e).__name__}: {str(e)[:110]}"}),
+                  flush=True)
+    print(json.dumps({"champion": list(best[0] or ()),
+                      "Mvox_s": round(best[1], 1)}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--variants", action="store_true")
+    ap.add_argument("--sweep", default=None,
+                    help="semicolon list of slabs, e.g. "
+                         "'128,448,448;160,416,416'")
     ap.add_argument("--slab", default="32,256,256")
     ap.add_argument("--impl", default=None,
                     help="e.g. zfold=True,skipsum=True")
@@ -205,6 +244,15 @@ def main():
         profile(slab, args.impl)
     if args.variants:
         variants(slab)
+    if args.sweep:
+        kw = {}
+        if args.impl:
+            kw = dict(kv.split("=") for kv in args.impl.split(","))
+            kw = {k: v == "True" if v in ("True", "False") else v
+                  for k, v in kw.items()}
+        slabs = [tuple(int(v) for v in s.split(","))
+                 for s in args.sweep.split(";")]
+        sweep(slabs, kw)
 
 
 if __name__ == "__main__":

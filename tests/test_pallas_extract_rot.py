@@ -148,6 +148,54 @@ def test_call_split_over_max_b(monkeypatch):
     assert d < 1e-5, d
 
 
+@pytest.mark.parametrize("variant", ["mxb", "sepa", "fact2"])
+def test_contraction_variants_match_oracle(variant):
+    """All contraction strategies are the same trilinear sum, reordered
+    (r5: mxb = MXU-assisted weight build, sepa = separable full-lane
+    z-fold; fact2 = the measured-rejected factored form, kept as the
+    attribution baseline)."""
+    vol, pos, heads = _rand_case(8, B=16)
+    patch = (4, 4, 4)
+    ref, ok_ref, F = _oracle(vol, pos, heads, patch)
+    got, ok = rotated_patches_pallas(vol, jnp.asarray(pos), F, patch,
+                                     interpret=True, variant=variant)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    m = np.asarray(ok_ref)
+    assert m.any()
+    d = float(jnp.max(jnp.abs(got[m] - ref[m])))
+    assert d < 1e-5, (variant, d)
+
+
+@pytest.mark.parametrize("variant", ["bigk", "sepa"])
+def test_precision_high_mode(variant):
+    """precision='high' (3-pass bf16x3 dot) stays f32-close in interpret
+    mode (on-chip ladder: HIGHEST 2.4e-6 / high ~2e-5 / bf16 3.8e-3 —
+    scripts/exp_rotated_kernel.py)."""
+    vol, pos, heads = _rand_case(9, B=12)
+    patch = (4, 4, 4)
+    ref, ok_ref, F = _oracle(vol, pos, heads, patch)
+    got, ok = rotated_patches_pallas(vol, jnp.asarray(pos), F, patch,
+                                     interpret=True, variant=variant,
+                                     precision="high")
+    m = np.asarray(ok_ref)
+    assert m.any()
+    d = float(jnp.max(jnp.abs(got[m] - ref[m])))
+    assert d < 1e-3, (variant, d)
+
+
+def test_unknown_variant_and_precision_rejected():
+    """An unknown variant must raise, not fall into the wrong-numerics
+    probe branch silently (found by the r5 verify error-path drive)."""
+    vol, pos, heads = _rand_case(10, B=4)
+    F = jax.vmap(_flight_frame_jnp)(jnp.asarray(heads))
+    with pytest.raises(ValueError, match="variant='nope'"):
+        rotated_patches_pallas(vol, jnp.asarray(pos), F, (4, 4, 4),
+                               interpret=True, variant="nope")
+    with pytest.raises(ValueError, match="precision='hi'"):
+        rotated_patches_pallas(vol, jnp.asarray(pos), F, (4, 4, 4),
+                               interpret=True, precision="hi")
+
+
 def test_bf16_mode_close():
     vol, pos, heads = _rand_case(6, B=8)
     patch = (4, 4, 4)
