@@ -375,7 +375,7 @@ class DeviceTracer(_AgentStepper):
     def __init__(self, model, volume, step_scale=1.0, max_steps=500,
                  min_step=1e-4, use_pallas_extract=None,
                  rotate_to_heading=False, use_pallas_rot=None,
-                 rot_compute_dtype="float32", rot_precision=None):
+                 rot_compute_dtype="float32", rot_precision="high"):
         import jax.numpy as jnp
 
         self.model = model
@@ -384,9 +384,12 @@ class DeviceTracer(_AgentStepper):
         #: eligible geometry). ``rot_compute_dtype='bfloat16'`` is the
         #: opt-in single-pass-MXU speed mode (~4e-3 relative on the
         #: patch values; 'float32' is parity-grade).
-        #: ``rot_precision='high'`` selects the 3-pass bf16x3 MXU dot
-        #: for the f32 mode (~2e-5 vs float64 truth — the middle rung
-        #: of the measured accuracy ladder; None = 6-pass true f32).
+        #: ``rot_precision``: f32-mode MXU dot — 'high' (deployment
+        #: default) is the manual 3-pass bf16x3 decomposition, measured
+        #: on-chip at the SAME accuracy class as the 6-pass dot
+        #: (1.44e-5 vs 1.39e-5 against the f32 oracle) at 1.48x the
+        #: rollout rate (39.0K vs 26.3K agent-steps/s, B=512 K=64);
+        #: None selects the 6-pass true-f32 dot (oracle-grade).
         self.use_pallas_rot = use_pallas_rot
         self.rot_compute_dtype = str(rot_compute_dtype)
         self.rot_precision = (None if rot_precision is None

@@ -189,7 +189,7 @@ def variants(slab):
         model.set_convdense_impl()
 
 
-def sweep(slabs, kw):
+def sweep(slabs, kw, dtype=None, act=False):
     """One impl across a slab-geometry list (the frontier search)."""
     import jax
     import jax.numpy as jnp
@@ -200,19 +200,21 @@ def sweep(slabs, kw):
         try:
             model, vol, _ = build(slab)
             model.set_convdense_impl(**kw)
+            if dtype:
+                model.set_compute_dtype(dtype, activations=act)
             fn = jax.jit(lambda p, s, v: convolutional_dense_forward(
                 model, v, batch=True, params=p, state=s))
             out, dt = _sustained(
                 lambda: fn(model.params, model.state, vol))
             mvox = float(np.prod(slab)) / dt / 1e6
             # 0.919 MFLOP/vox (the wide U-Net's per-voxel conv cost —
-            # docs/tpu_performance.md r5 table)
+            # docs/tpu_performance.md r5 table): TF/s = Mvox/s x 0.919
             print(json.dumps({"slab": list(slab),
                               "ms": round(dt * 1e3, 2),
                               "Mvox_s": round(mvox, 1),
-                              "TF_s": round(mvox * 0.919 / 1e3, 1),
+                              "TF_s": round(mvox * 0.919, 1),
                               "pct_bf16_peak":
-                              round(100 * mvox * 0.919 / 1e3 / 197, 1)}),
+                              round(mvox * 0.919 / 197 * 100, 1)}),
                   flush=True)
             if mvox > best[1]:
                 best = (slab, mvox)
@@ -232,6 +234,11 @@ def main():
     ap.add_argument("--sweep", default=None,
                     help="semicolon list of slabs, e.g. "
                          "'128,448,448;160,416,416'")
+    ap.add_argument("--dtype", default=None,
+                    help="serving compute dtype for --sweep "
+                         "(e.g. bfloat16)")
+    ap.add_argument("--act", action="store_true",
+                    help="with --dtype: store activations in it too")
     ap.add_argument("--slab", default="32,256,256")
     ap.add_argument("--impl", default=None,
                     help="e.g. zfold=True,skipsum=True")
@@ -252,7 +259,7 @@ def main():
                   for k, v in kw.items()}
         slabs = [tuple(int(v) for v in s.split(","))
                  for s in args.sweep.split(";")]
-        sweep(slabs, kw)
+        sweep(slabs, kw, dtype=args.dtype, act=args.act)
 
 
 if __name__ == "__main__":
