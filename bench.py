@@ -494,6 +494,27 @@ def _trace_metric():
             out["trace_rot_impl"] = (
                 f"rot_kernel_bf16,b{Br},k{Kr}"
                 if tr._rot_kernel else f"rot_xla,b{Br},k{Kr}")
+            # r5: the parity-grade f32 deployment default (bf16x3
+            # 'high' dot — same accuracy class as the 6-pass f32 mode,
+            # docs/tpu_performance.md accuracy ladder)
+            trf = DeviceTracer(model, vol, max_steps=Kr, min_step=0.0,
+                               rotate_to_heading=True)
+            fnf = trf._build()
+            for _ in range(2):
+                traj_f, _ = fnf(model.params, model.state, trf.volume,
+                                rseeds)
+                float(jnp.sum(traj_f))
+            fdts = []
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                acc = jnp.float32(0)
+                for _ in range(2):
+                    traj_f, _ = fnf(model.params, model.state,
+                                    trf.volume, rseeds)
+                    acc = acc + jnp.sum(traj_f)
+                float(acc)
+                fdts.append((_time.perf_counter() - t0) / 2)
+            out["trace_rot_f32_sps"] = round(Br * Kr / min(fdts), 0)
         except Exception as e:              # noqa: BLE001
             out["trace_rot_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
